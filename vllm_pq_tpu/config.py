@@ -1,0 +1,195 @@
+"""Configuration dataclasses.
+
+Plays the role of the reference's ``vllm/config.py`` (ModelConfig /
+CacheConfig / ParallelConfig / SchedulerConfig composed into VllmConfig,
+reference ``vllm/config.py:106,1049,1326,1527``) but restructured for a
+TPU-native engine: static-shape bucketing knobs and mesh axes are
+first-class, and there is a single engine generation (V1-style).
+"""
+
+import hashlib
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+from vllm_pq_tpu.logger import init_logger
+from vllm_pq_tpu.utils import cdiv
+
+logger = init_logger(__name__)
+
+_STR_DTYPE = {"bfloat16", "float32", "float16"}
+
+
+@dataclass
+class ModelConfig:
+    """The model to serve and how to interpret its checkpoint."""
+
+    model: str = "facebook/opt-125m"
+    tokenizer: Optional[str] = None
+    dtype: str = "bfloat16"
+    seed: int = 0
+    max_model_len: Optional[int] = None
+    # Quantization method name registered in vllm_pq_tpu.quantization
+    # ("pq", "int8", or None for unquantized bf16).
+    quantization: Optional[str] = None
+    # Load format: "auto" (HF safetensors) or "dummy" (random weights,
+    # role of reference --load-format dummy, model_loader/loader.py:440).
+    load_format: str = "auto"
+    trust_remote_code: bool = False
+    revision: Optional[str] = None
+    hf_overrides: Dict[str, Any] = field(default_factory=dict)
+
+    def __post_init__(self):
+        if self.tokenizer is None:
+            self.tokenizer = self.model
+        if self.dtype not in _STR_DTYPE:
+            raise ValueError(f"Unsupported dtype {self.dtype!r}")
+
+    @property
+    def jax_dtype(self):
+        import jax.numpy as jnp
+        return {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+                "float16": jnp.float16}[self.dtype]
+
+
+@dataclass
+class CacheConfig:
+    """Paged KV-cache configuration.
+
+    ``block_size`` is the page size in tokens. ``num_blocks`` is derived
+    from the device memory probe (role of reference
+    ``v1/core/kv_cache_utils.py:503-553``) unless overridden.
+    """
+
+    block_size: int = 16
+    gpu_memory_utilization: float = 0.9
+    swap_space_gb: float = 0.0  # no swap: recompute preemption only
+    num_blocks_override: Optional[int] = None
+    enable_prefix_caching: bool = True
+    # dtype of the KV cache ("auto" = model dtype).
+    cache_dtype: str = "auto"
+
+    def __post_init__(self):
+        if self.block_size & (self.block_size - 1):
+            raise ValueError("block_size must be a power of two")
+
+
+@dataclass
+class ParallelConfig:
+    """Mesh layout. TP within a host rides ICI; DP may span hosts (DCN).
+
+    Axis names follow the scaling-book convention: mesh ("data", "model").
+    """
+
+    tensor_parallel_size: int = 1
+    data_parallel_size: int = 1
+    # Pipeline parallelism is expressed as stage sharding over the same
+    # mesh; >1 enables layer-range partitioning.
+    pipeline_parallel_size: int = 1
+
+    @property
+    def world_size(self) -> int:
+        return (self.tensor_parallel_size * self.data_parallel_size *
+                self.pipeline_parallel_size)
+
+
+@dataclass
+class SchedulerConfig:
+    """Token-budget continuous-batching scheduler config (V1-style:
+    single queue, no prefill/decode distinction, reference
+    ``v1/core/scheduler.py:101-110``)."""
+
+    max_num_seqs: int = 64
+    max_num_batched_tokens: int = 1024
+    max_model_len: int = 2048
+    # Lookahead blocks preallocated per running request to reduce
+    # per-step allocator traffic (reference kv_cache_manager.py:211-218).
+    num_preallocate_blocks: int = 4
+    # Enable chunked prefill (inherent in the token-budget scheduler; this
+    # only gates whether a single prompt may exceed the budget).
+    chunked_prefill: bool = True
+
+    def __post_init__(self):
+        if self.max_num_batched_tokens < self.max_num_seqs:
+            # every running request needs at least one token slot
+            self.max_num_batched_tokens = self.max_num_seqs
+
+
+@dataclass
+class DeviceConfig:
+    """Which jax platform to run on. "auto" picks tpu when present."""
+
+    device: str = "auto"
+
+    def resolve(self) -> str:
+        if self.device != "auto":
+            return self.device
+        import jax
+        try:
+            platform = jax.devices()[0].platform
+        except RuntimeError:
+            platform = "cpu"
+        return platform
+
+
+@dataclass
+class ObservabilityConfig:
+    collect_metrics: bool = True
+    log_stats_interval_s: float = 10.0
+    otlp_traces_endpoint: Optional[str] = None
+
+
+@dataclass
+class CompilationConfig:
+    """Static-shape discipline: token-count buckets replace CUDA graphs
+    (reference analog: V0-TPU pow-2 buckets, worker/tpu_model_runner.py:862,
+    V1-TPU pad-to-16, v1/worker/tpu_model_runner.py:419)."""
+
+    # Token buckets: padded total-token counts the step fn is compiled for.
+    # None = derived from scheduler config at engine init.
+    token_buckets: Optional[List[int]] = None
+    # Pad the request-count axis to this set of buckets.
+    seq_buckets: Optional[List[int]] = None
+    enable_xla_cache: bool = True
+
+    def derive(self, scheduler: SchedulerConfig) -> None:
+        if self.token_buckets is None:
+            buckets, b = [], 16
+            while b < scheduler.max_num_batched_tokens:
+                buckets.append(b)
+                b *= 2
+            buckets.append(scheduler.max_num_batched_tokens)
+            self.token_buckets = buckets
+        if self.seq_buckets is None:
+            buckets, b = [], 8
+            while b < scheduler.max_num_seqs:
+                buckets.append(b)
+                b *= 2
+            buckets.append(scheduler.max_num_seqs)
+            self.seq_buckets = buckets
+
+
+@dataclass
+class EngineConfig:
+    """Composite of all configs (role of reference VllmConfig)."""
+
+    model: ModelConfig = field(default_factory=ModelConfig)
+    cache: CacheConfig = field(default_factory=CacheConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    scheduler: SchedulerConfig = field(default_factory=SchedulerConfig)
+    device: DeviceConfig = field(default_factory=DeviceConfig)
+    observability: ObservabilityConfig = field(
+        default_factory=ObservabilityConfig)
+    compilation: CompilationConfig = field(default_factory=CompilationConfig)
+
+    def __post_init__(self):
+        self.compilation.derive(self.scheduler)
+
+    @property
+    def max_blocks_per_req(self) -> int:
+        return cdiv(self.scheduler.max_model_len, self.cache.block_size)
+
+    def compute_hash(self) -> str:
+        """Stable hash over configs for the XLA compile cache key."""
+        h = hashlib.sha256(repr(self).encode()).hexdigest()[:16]
+        return h

@@ -1,0 +1,168 @@
+"""Per-request KV block allocation over the BlockPool.
+
+Behavioral parity with reference ``vllm/v1/core/kv_cache_manager.py``:
+- get_computed_blocks (:91): longest chain of cached full blocks.
+- allocate_slots (:136): refuses allocation counting evictable computed
+  blocks (:181-189); preallocates lookahead blocks (:211-218).
+- free in reverse order so prefix tails evict first (:251-255).
+Own implementation, host-side only (never touches device).
+"""
+
+from typing import Dict, List, Optional, Tuple
+
+from vllm_pq_tpu.core.block_pool import BlockPool
+from vllm_pq_tpu.core.kv_cache_utils import (BlockHash, KVCacheBlock,
+                                             hash_request_tokens)
+from vllm_pq_tpu.request import Request
+from vllm_pq_tpu.utils import cdiv
+
+
+class KVCacheManager:
+
+    def __init__(
+        self,
+        num_blocks: int,
+        block_size: int,
+        max_model_len: int,
+        enable_caching: bool = True,
+        num_preallocate_blocks: int = 4,
+    ):
+        self.block_size = block_size
+        self.enable_caching = enable_caching
+        self.num_preallocate_blocks = num_preallocate_blocks
+        self.max_blocks_per_req = cdiv(max_model_len, block_size)
+        self.block_pool = BlockPool(num_blocks, enable_caching)
+
+        # request_id -> blocks held
+        self.req_to_blocks: Dict[str, List[KVCacheBlock]] = {}
+        # request_id -> precomputed block hashes (grows as tokens grow)
+        self.req_to_block_hashes: Dict[str, List[BlockHash]] = {}
+        # request_id -> number of blocks already content-hashed/cached
+        self.num_cached_block: Dict[str, int] = {}
+
+    @property
+    def usage(self) -> float:
+        return self.block_pool.get_usage()
+
+    def get_computed_blocks(
+            self, request: Request) -> Tuple[List[KVCacheBlock], int]:
+        """Longest cached prefix for a new request. Returns (blocks,
+        num_computed_tokens). Never returns the full prompt: the last
+        token must be recomputed to produce logits, so a full-prompt hit
+        is trimmed by one block."""
+        if not self.enable_caching:
+            return [], 0
+        block_hashes = self.req_to_block_hashes.get(request.request_id)
+        if block_hashes is None:
+            block_hashes = hash_request_tokens(self.block_size,
+                                               request.all_token_ids)
+            self.req_to_block_hashes[request.request_id] = block_hashes
+
+        computed: List[KVCacheBlock] = []
+        for bh in block_hashes:
+            block = self.block_pool.get_cached_block(bh)
+            if block is None:
+                break
+            computed.append(block)
+        num_computed = len(computed) * self.block_size
+        if num_computed >= request.num_tokens:
+            # keep at least one token to compute
+            computed.pop()
+            num_computed -= self.block_size
+        return computed, num_computed
+
+    def allocate_slots(
+        self,
+        request: Request,
+        num_tokens: int,
+        new_computed_blocks: Optional[List[KVCacheBlock]] = None,
+    ) -> Optional[List[KVCacheBlock]]:
+        """Allocate blocks so the request can hold
+        ``num_computed_tokens + num_tokens`` slots. Returns newly
+        allocated blocks (excluding prefix-hit blocks), or None if the
+        pool cannot satisfy the request this step."""
+        assert num_tokens > 0
+        new_computed_blocks = new_computed_blocks or []
+
+        req_blocks = self.req_to_blocks.setdefault(request.request_id, [])
+        num_computed_tokens = (request.num_computed_tokens +
+                               len(new_computed_blocks) * self.block_size)
+        num_required_blocks = cdiv(num_computed_tokens + num_tokens,
+                                   self.block_size)
+        num_new_blocks = (num_required_blocks - len(req_blocks) -
+                          len(new_computed_blocks))
+
+        # Evictable (ref 0) cached blocks among the prefix hits must not
+        # be double-counted as free.
+        num_evictable_computed = sum(1 for b in new_computed_blocks
+                                     if b.ref_cnt == 0)
+        if (num_new_blocks >
+                self.block_pool.get_num_free_blocks() - num_evictable_computed):
+            return None
+
+        # Commit the prefix hits.
+        if self.enable_caching:
+            self.block_pool.touch(new_computed_blocks)
+        else:
+            assert not new_computed_blocks
+        req_blocks.extend(new_computed_blocks)
+
+        if num_new_blocks <= 0:
+            new_blocks: List[KVCacheBlock] = []
+        else:
+            # Preallocate lookahead, bounded by pool and per-request caps.
+            num_preallocate = min(
+                num_new_blocks + self.num_preallocate_blocks,
+                self.block_pool.get_num_free_blocks() -
+                num_evictable_computed,
+                self.max_blocks_per_req - len(req_blocks),
+            )
+            assert num_preallocate >= num_new_blocks
+            new_blocks = self.block_pool.get_new_blocks(num_preallocate)
+            req_blocks.extend(new_blocks)
+
+        if self.enable_caching:
+            self._cache_full_blocks(request, req_blocks,
+                                    num_computed_tokens + num_tokens)
+        return new_blocks
+
+    def _cache_full_blocks(self, request: Request,
+                           req_blocks: List[KVCacheBlock],
+                           num_computed_after: int) -> None:
+        """Assign hashes to newly full blocks whose tokens are all known
+        (i.e. not beyond the tokens scheduled this step)."""
+        block_hashes = self.req_to_block_hashes.setdefault(
+            request.request_id, [])
+        # extend hash chain as far as the request's known tokens allow
+        tokens = request.all_token_ids
+        while (len(block_hashes) + 1) * self.block_size <= len(tokens):
+            start = len(block_hashes) * self.block_size
+            chunk = tuple(tokens[start:start + self.block_size])
+            parent = block_hashes[-1] if block_hashes else None
+            from vllm_pq_tpu.core.kv_cache_utils import hash_block_tokens
+            block_hashes.append(hash_block_tokens(parent, chunk))
+
+        num_cached = self.num_cached_block.get(request.request_id, 0)
+        num_full = min(num_computed_after // self.block_size,
+                       len(block_hashes), len(req_blocks))
+        if num_full > num_cached:
+            self.block_pool.cache_full_blocks(req_blocks, block_hashes,
+                                              num_cached, num_full)
+            self.num_cached_block[request.request_id] = num_full
+
+    def free(self, request: Request) -> None:
+        """Release all blocks. Freed in reverse order so tail blocks are
+        evicted before prefix blocks."""
+        blocks = self.req_to_blocks.pop(request.request_id, [])
+        self.block_pool.free_blocks(list(reversed(blocks)))
+        self.num_cached_block.pop(request.request_id, None)
+
+    def free_block_hashes(self, request: Request) -> None:
+        """Forget the hash chain once the request leaves the engine."""
+        self.req_to_block_hashes.pop(request.request_id, None)
+
+    def get_block_ids(self, request_id: str) -> List[int]:
+        return [b.block_id for b in self.req_to_blocks.get(request_id, [])]
+
+    def reset_prefix_cache(self) -> bool:
+        return self.block_pool.reset_prefix_cache()

@@ -1,0 +1,325 @@
+"""Token-budget continuous-batching scheduler.
+
+Behavioral parity with the reference V1 scheduler
+(``vllm/v1/core/scheduler.py:100-230,475-608``), own implementation:
+
+- single queue, no prefill/decode phase distinction; chunked prefill is
+  implicit (a request may receive any token allotment each step);
+- preemption is recompute-based: the most recently scheduled running
+  request is freed and moved back to the head of the waiting queue;
+- prefix-cache hits reduce the tokens actually computed;
+- ``update_from_output`` advances ``num_computed_tokens``, appends sampled
+  tokens once the whole prompt is computed, and applies stop checks
+  (length cap / EOS / stop token ids).
+"""
+
+import time
+from collections import deque
+from typing import Deque, Dict, List, Optional, Set
+
+from vllm_pq_tpu.config import CacheConfig, SchedulerConfig
+from vllm_pq_tpu.core.kv_cache_manager import KVCacheManager
+from vllm_pq_tpu.core.scheduler_output import (CachedRequestData,
+                                               ModelRunnerOutput,
+                                               NewRequestData,
+                                               SchedulerOutput)
+from vllm_pq_tpu.logger import init_logger
+from vllm_pq_tpu.request import Request, RequestStatus
+
+logger = init_logger(__name__)
+
+
+class EngineCoreOutput:
+    """Per-request, per-step output emitted by the scheduler."""
+
+    __slots__ = ("req_id", "new_token_ids", "finish_reason", "stop_reason",
+                 "logprobs")
+
+    def __init__(self, req_id: str, new_token_ids: List[int],
+                 finish_reason: Optional[str] = None,
+                 stop_reason: Optional[object] = None,
+                 logprobs: Optional[object] = None):
+        self.req_id = req_id
+        self.new_token_ids = new_token_ids
+        self.finish_reason = finish_reason
+        self.stop_reason = stop_reason
+        self.logprobs = logprobs
+
+
+class Scheduler:
+
+    def __init__(self, scheduler_config: SchedulerConfig,
+                 cache_config: CacheConfig, num_kv_blocks: int):
+        self.config = scheduler_config
+        self.max_num_seqs = scheduler_config.max_num_seqs
+        self.max_num_batched_tokens = scheduler_config.max_num_batched_tokens
+        self.max_model_len = scheduler_config.max_model_len
+
+        self.kv_cache_manager = KVCacheManager(
+            num_blocks=num_kv_blocks,
+            block_size=cache_config.block_size,
+            max_model_len=scheduler_config.max_model_len,
+            enable_caching=cache_config.enable_prefix_caching,
+            num_preallocate_blocks=scheduler_config.num_preallocate_blocks,
+        )
+
+        self.waiting: Deque[Request] = deque()
+        self.running: List[Request] = []
+        self.requests: Dict[str, Request] = {}
+        # finished request ids to relay to the worker for batch cleanup
+        self.finished_req_ids: Set[str] = set()
+        # requests aborted by the scheduler itself (e.g. exceeding KV
+        # capacity); drained by the engine to emit client outputs
+        self.ignored_req_ids: Set[str] = set()
+
+        # stats
+        self.num_preemptions = 0
+
+    # ------------------------------------------------------------------
+    # request lifecycle
+
+    def add_request(self, request: Request) -> None:
+        self.waiting.append(request)
+        self.requests[request.request_id] = request
+
+    def finish_requests(self, request_ids, status: RequestStatus) -> None:
+        """Externally finish requests (abort, or client-side stop-string
+        hit)."""
+        if isinstance(request_ids, str):
+            request_ids = (request_ids,)
+        for req_id in request_ids:
+            request = self.requests.get(req_id)
+            if request is None or request.is_finished:
+                continue
+            if request.status == RequestStatus.RUNNING:
+                self.running.remove(request)
+            else:
+                try:
+                    self.waiting.remove(request)
+                except ValueError:
+                    pass
+            request.status = status
+            self._free_request(request)
+
+    def has_unfinished_requests(self) -> bool:
+        return bool(self.waiting or self.running)
+
+    def get_num_unfinished_requests(self) -> int:
+        return len(self.waiting) + len(self.running)
+
+    # ------------------------------------------------------------------
+    # scheduling
+
+    def schedule(self) -> SchedulerOutput:
+        output = SchedulerOutput()
+        token_budget = self.max_num_batched_tokens
+
+        # -- running requests first (decodes + in-flight chunked prefills)
+        req_index = 0
+        while req_index < len(self.running) and token_budget > 0:
+            request = self.running[req_index]
+            num_new_tokens = request.num_tokens - request.num_computed_tokens
+            num_new_tokens = min(num_new_tokens, token_budget)
+            assert num_new_tokens > 0, (
+                "running request with nothing to compute")
+
+            new_blocks = None
+            while True:
+                new_blocks = self.kv_cache_manager.allocate_slots(
+                    request, num_new_tokens)
+                if new_blocks is not None:
+                    break
+                # preempt the lowest-priority (most recently added)
+                # running request to free space
+                preempted = self.running.pop()
+                if preempted is request and not self.running:
+                    # The request alone exceeds the whole pool: it can
+                    # never make progress. Finish it instead of
+                    # livelocking on recompute.
+                    request.status = RequestStatus.FINISHED_IGNORED
+                    self._free_request(request)
+                    self.ignored_req_ids.add(request.request_id)
+                    logger.warning(
+                        "Request %s exceeds KV-cache capacity; aborted",
+                        request.request_id)
+                    break
+                self._preempt(preempted)
+                if preempted is request:
+                    break
+            if new_blocks is None:
+                break  # the request itself was preempted or aborted
+
+            output.num_scheduled_tokens[request.request_id] = num_new_tokens
+            output.total_num_scheduled_tokens += num_new_tokens
+            token_budget -= num_new_tokens
+            output.scheduled_cached_reqs.append(
+                CachedRequestData(
+                    req_id=request.request_id,
+                    resumed_from_preemption=False,
+                    new_token_ids=request.all_token_ids[
+                        request.num_computed_tokens:
+                        request.num_computed_tokens + num_new_tokens],
+                    new_block_ids=[b.block_id for b in new_blocks],
+                    num_computed_tokens=request.num_computed_tokens,
+                ))
+            req_index += 1
+
+        # -- admit waiting requests
+        while (self.waiting and token_budget > 0
+               and len(self.running) < self.max_num_seqs):
+            request = self.waiting[0]
+
+            computed_blocks, num_computed = (
+                self.kv_cache_manager.get_computed_blocks(request)
+                if request.status == RequestStatus.WAITING else ([], 0))
+            # A resumed (preempted) request recomputes from scratch but
+            # may still hit the prefix cache via the chain above; its
+            # num_computed_tokens was reset at preemption.
+            num_new_tokens = request.num_tokens - num_computed
+            if not self.config.chunked_prefill and \
+                    num_new_tokens > token_budget:
+                break
+            num_new_tokens = min(num_new_tokens, token_budget)
+            if num_new_tokens <= 0:
+                break
+
+            new_blocks = self.kv_cache_manager.allocate_slots(
+                request, num_new_tokens, computed_blocks)
+            if new_blocks is None:
+                break  # pool exhausted; try next step
+
+            self.waiting.popleft()
+            resumed = request.status == RequestStatus.PREEMPTED
+            request.status = RequestStatus.RUNNING
+            request.num_computed_tokens = num_computed
+            self.running.append(request)
+
+            output.num_scheduled_tokens[request.request_id] = num_new_tokens
+            output.total_num_scheduled_tokens += num_new_tokens
+            output.num_cached_tokens += num_computed
+            token_budget -= num_new_tokens
+
+            all_block_ids = self.kv_cache_manager.get_block_ids(
+                request.request_id)
+            if resumed:
+                output.scheduled_cached_reqs.append(
+                    CachedRequestData(
+                        req_id=request.request_id,
+                        resumed_from_preemption=True,
+                        new_token_ids=request.all_token_ids[
+                            num_computed:num_computed + num_new_tokens],
+                        new_block_ids=all_block_ids,
+                        num_computed_tokens=num_computed,
+                    ))
+            else:
+                output.scheduled_new_reqs.append(
+                    NewRequestData(
+                        req_id=request.request_id,
+                        prompt_token_ids=request.prompt_token_ids,
+                        sampling_params=request.sampling_params,
+                        block_ids=all_block_ids,
+                        num_computed_tokens=num_computed,
+                    ))
+
+        output.finished_req_ids = self.finished_req_ids
+        self.finished_req_ids = set()
+        return output
+
+    def _preempt(self, request: Request) -> None:
+        self.kv_cache_manager.free(request)
+        request.status = RequestStatus.PREEMPTED
+        request.num_computed_tokens = 0
+        request.num_preemptions += 1
+        self.num_preemptions += 1
+        self.waiting.appendleft(request)
+
+    # ------------------------------------------------------------------
+    # post-execution update
+
+    def update_from_output(
+            self, scheduler_output: SchedulerOutput,
+            runner_output: ModelRunnerOutput) -> List[EngineCoreOutput]:
+        outputs: List[EngineCoreOutput] = []
+        new_running: List[Request] = []
+        for request in self.running:
+            req_id = request.request_id
+            num_scheduled = scheduler_output.num_scheduled_tokens.get(req_id)
+            if num_scheduled is None:
+                new_running.append(request)
+                continue
+            request.num_computed_tokens += num_scheduled
+
+            if request.num_computed_tokens < request.num_tokens:
+                # partial prefill: sampled token is not valid yet
+                new_running.append(request)
+                continue
+
+            sampled = runner_output.sampled_token_ids.get(req_id, [])
+            new_token_ids: List[int] = []
+            finish = None
+            for tok in sampled:
+                request.append_output_token_ids(tok)
+                new_token_ids.append(tok)
+                finish = self._check_stop(request, tok)
+                if finish is not None:
+                    break
+            if request.logprobs is not None:
+                lp = runner_output.logprobs.get(req_id)
+                if lp is not None:
+                    request.logprobs.append(lp)
+
+            outputs.append(
+                EngineCoreOutput(
+                    req_id=req_id,
+                    new_token_ids=new_token_ids,
+                    finish_reason=request.get_finish_reason(),
+                    stop_reason=request.stop_reason,
+                    logprobs=runner_output.logprobs.get(req_id),
+                ))
+            if finish is not None:
+                self._free_request(request)
+            else:
+                new_running.append(request)
+        self.running = new_running
+        return outputs
+
+    def _check_stop(self, request: Request,
+                    last_token: int) -> Optional[RequestStatus]:
+        sp = request.sampling_params
+        if (request.num_tokens >= self.max_model_len
+                or request.num_output_tokens >= request.max_tokens):
+            request.status = RequestStatus.FINISHED_LENGTH_CAPPED
+            return request.status
+        if request.num_output_tokens < sp.min_tokens:
+            return None
+        if (not sp.ignore_eos and request.eos_token_id is not None
+                and last_token == request.eos_token_id):
+            request.status = RequestStatus.FINISHED_STOPPED
+            return request.status
+        if last_token in sp.stop_token_ids:
+            request.status = RequestStatus.FINISHED_STOPPED
+            request.stop_reason = last_token
+            return request.status
+        return None
+
+    def _free_request(self, request: Request) -> None:
+        self.kv_cache_manager.free(request)
+        self.kv_cache_manager.free_block_hashes(request)
+        self.finished_req_ids.add(request.request_id)
+        self.requests.pop(request.request_id, None)
+
+    # ------------------------------------------------------------------
+
+    def reset_prefix_cache(self) -> bool:
+        return self.kv_cache_manager.reset_prefix_cache()
+
+    def make_stats(self) -> dict:
+        pool = self.kv_cache_manager.block_pool
+        return {
+            "num_running": len(self.running),
+            "num_waiting": len(self.waiting),
+            "kv_cache_usage": pool.get_usage(),
+            "prefix_cache_queries": pool.query_count,
+            "prefix_cache_hits": pool.hit_count,
+            "num_preemptions": self.num_preemptions,
+        }

@@ -1,0 +1,64 @@
+"""Scheduler -> model-runner contract.
+
+Mirrors the send-once/diff-after protocol of the reference
+(``vllm/v1/core/scheduler_output.py:15,49,78``): new requests carry the
+full prompt + sampling state exactly once; cached requests carry only the
+diff (new block ids, resume flag). This is also the multi-host broadcast
+payload (rank-0 schedules; all hosts run the identical jitted step).
+"""
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Set
+
+from vllm_pq_tpu.sampling_params import SamplingParams
+
+
+@dataclass
+class NewRequestData:
+    req_id: str
+    prompt_token_ids: List[int]
+    sampling_params: SamplingParams
+    block_ids: List[int]
+    num_computed_tokens: int
+
+
+@dataclass
+class CachedRequestData:
+    req_id: str
+    # True when the request was preempted and is rescheduled: the worker
+    # must replace (not extend) its block table.
+    resumed_from_preemption: bool
+    new_token_ids: List[int]
+    new_block_ids: List[int]
+    num_computed_tokens: int
+
+
+@dataclass
+class SchedulerOutput:
+    scheduled_new_reqs: List[NewRequestData] = field(default_factory=list)
+    scheduled_cached_reqs: List[CachedRequestData] = field(
+        default_factory=list)
+    # req_id -> number of tokens to run this step (chunked prefills may be
+    # partial; decodes are 1).
+    num_scheduled_tokens: Dict[str, int] = field(default_factory=dict)
+    total_num_scheduled_tokens: int = 0
+    finished_req_ids: Set[str] = field(default_factory=set)
+    # prefix-cache stats for metrics
+    num_cached_tokens: int = 0
+
+    @property
+    def is_empty(self) -> bool:
+        return self.total_num_scheduled_tokens == 0
+
+
+@dataclass
+class ModelRunnerOutput:
+    """Worker -> scheduler per-step result."""
+
+    # req_ids in batch order
+    req_ids: List[str] = field(default_factory=list)
+    # req_id -> list of sampled token ids (len>=1 with spec decode later)
+    sampled_token_ids: Dict[str, List[int]] = field(default_factory=dict)
+    # req_id -> logprobs payload for tokens sampled this step; each entry
+    # is (token_ids[k+1], logprobs[k+1], rank_of_sampled) arrays or None.
+    logprobs: Dict[str, object] = field(default_factory=dict)

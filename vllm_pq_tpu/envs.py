@@ -1,0 +1,45 @@
+"""Typed, lazily-read environment variables.
+
+Mirrors the pattern (not the code) of the reference's ``vllm/envs.py``: one
+module of ``VPQ_*`` env vars, each a lazy lambda so values are read at use
+time and can be monkeypatched in tests.
+"""
+
+import os
+from typing import Any, Callable, Dict
+
+environment_variables: Dict[str, Callable[[], Any]] = {
+    # Logging level for the framework logger.
+    "VPQ_LOGGING_LEVEL": lambda: os.environ.get("VPQ_LOGGING_LEVEL", "INFO"),
+    # Persistent XLA compile cache directory (role of VLLM_XLA_CACHE_PATH,
+    # reference vllm/envs.py:438).
+    "VPQ_XLA_CACHE_PATH": lambda: os.environ.get(
+        "VPQ_XLA_CACHE_PATH", os.path.expanduser("~/.cache/vllm_pq_tpu/xla")
+    ),
+    # Force a jax platform ("cpu" / "tpu"); empty = jax default.
+    "VPQ_PLATFORM": lambda: os.environ.get("VPQ_PLATFORM", ""),
+    # Attention backend override: "pallas" | "xla" | "ref".
+    "VPQ_ATTENTION_BACKEND": lambda: os.environ.get("VPQ_ATTENTION_BACKEND", ""),
+    # PQ matmul implementation override: "pallas" | "xla".
+    "VPQ_PQ_BACKEND": lambda: os.environ.get("VPQ_PQ_BACKEND", ""),
+    # Run engine core in a background process (like VLLM_ENABLE_V1_MULTIPROCESSING).
+    "VPQ_ENABLE_MULTIPROCESSING": lambda: os.environ.get(
+        "VPQ_ENABLE_MULTIPROCESSING", "0") == "1",
+    # ZMQ ports / addresses for the engine-core process.
+    "VPQ_ENGINE_CORE_ADDR": lambda: os.environ.get(
+        "VPQ_ENGINE_CORE_ADDR", "ipc:///tmp/vpq_engine_core"),
+    # Profiling output directory; empty disables the profiler endpoints.
+    "VPQ_PROFILE_DIR": lambda: os.environ.get("VPQ_PROFILE_DIR", ""),
+    # Rich progress / debug timing in the engine loop.
+    "VPQ_DEBUG_TIMING": lambda: os.environ.get("VPQ_DEBUG_TIMING", "0") == "1",
+}
+
+
+def __getattr__(name: str) -> Any:
+    if name in environment_variables:
+        return environment_variables[name]()
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def __dir__():
+    return list(environment_variables.keys())
