@@ -1,0 +1,258 @@
+"""Llama-family decoder (functional JAX).
+
+Covers LlamaForCausalLM and close relatives (TinyLlama, Llama-2/3,
+Mistral incl. sliding window, Qwen2 via attention bias) — role of the
+reference's ``model_executor/models/llama.py`` + parallel layers
+(``layers/linear.py``), redesigned as pure functions over a param pytree
+executed per-shard under ``shard_map``:
+
+- q/k/v/o and gate/up/down projections are each a LinearMethod apply
+  (PQ / int8 / bf16) with column- or row-parallel partition specs;
+- row-parallel outputs are psum-ed over the "model" mesh axis;
+- the KV cache is a per-layer paged tensor sharded on the kv-head axis;
+- embeddings are vocab-parallel; lm_head logits are all-gathered.
+"""
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from vllm_pq_tpu.layers.activation import silu_and_mul
+from vllm_pq_tpu.layers.norm import rms_norm
+from vllm_pq_tpu.layers.rotary import apply_rope, build_rope_cache
+from vllm_pq_tpu.ops.attention import ragged_paged_attention, write_kv_cache
+from vllm_pq_tpu.quantization.methods import LinearMethod, TP_AXIS
+
+
+@dataclass
+class LlamaConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 32
+    head_dim: Optional[int] = None
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    rope_scaling: Optional[dict] = None
+    max_position_embeddings: int = 4096
+    tie_word_embeddings: bool = False
+    attention_bias: bool = False
+    sliding_window: Optional[int] = None
+    dtype: Any = jnp.bfloat16
+
+    def __post_init__(self):
+        if self.head_dim is None:
+            self.head_dim = self.hidden_size // self.num_attention_heads
+
+    @classmethod
+    def from_hf_config(cls, hf) -> "LlamaConfig":
+        return cls(
+            vocab_size=hf.vocab_size,
+            hidden_size=hf.hidden_size,
+            intermediate_size=hf.intermediate_size,
+            num_hidden_layers=hf.num_hidden_layers,
+            num_attention_heads=hf.num_attention_heads,
+            num_key_value_heads=getattr(hf, "num_key_value_heads",
+                                        hf.num_attention_heads),
+            head_dim=getattr(hf, "head_dim", None),
+            rms_norm_eps=getattr(hf, "rms_norm_eps", 1e-5),
+            rope_theta=getattr(hf, "rope_theta", 10000.0),
+            rope_scaling=getattr(hf, "rope_scaling", None),
+            max_position_embeddings=getattr(hf, "max_position_embeddings",
+                                            4096),
+            tie_word_embeddings=getattr(hf, "tie_word_embeddings", False),
+            attention_bias=getattr(hf, "attention_bias", False),
+            sliding_window=getattr(hf, "sliding_window", None),
+        )
+
+
+# The linear sublayers of one decoder block: (name, in_dim_fn, out_dim_fn,
+# shard kind). Quantizable.
+def _linear_defs(cfg: LlamaConfig):
+    d = cfg.head_dim
+    return [
+        ("q_proj", cfg.hidden_size, cfg.num_attention_heads * d, "column"),
+        ("k_proj", cfg.hidden_size, cfg.num_key_value_heads * d, "column"),
+        ("v_proj", cfg.hidden_size, cfg.num_key_value_heads * d, "column"),
+        ("o_proj", cfg.num_attention_heads * d, cfg.hidden_size, "row"),
+        ("gate_proj", cfg.hidden_size, cfg.intermediate_size, "column"),
+        ("up_proj", cfg.hidden_size, cfg.intermediate_size, "column"),
+        ("down_proj", cfg.intermediate_size, cfg.hidden_size, "row"),
+    ]
+
+
+class LlamaModel:
+    """Stateless model definition: param templates, specs, forward."""
+
+    def __init__(self, cfg: LlamaConfig, linear_method: LinearMethod,
+                 lm_head_method: Optional[LinearMethod] = None):
+        from vllm_pq_tpu.quantization.methods import UnquantizedLinearMethod
+        self.cfg = cfg
+        self.linear_method = linear_method
+        # embeddings / lm_head stay unquantized (reference AQLM leaves
+        # them fp16 as well)
+        self.embed_method = UnquantizedLinearMethod()
+        self.lm_head_method = lm_head_method or UnquantizedLinearMethod()
+
+    # -- parameter templates ------------------------------------------------
+
+    def param_shapes(self) -> Dict:
+        cfg = self.cfg
+        layer = {}
+        for name, i, o, _kind in _linear_defs(cfg):
+            layer[name] = self.linear_method.param_shapes(i, o, cfg.dtype)
+            if cfg.attention_bias and name in ("q_proj", "k_proj", "v_proj"):
+                layer[name + "_bias"] = {"bias": ((o,), cfg.dtype)}
+        layer["input_layernorm"] = {"weight": ((cfg.hidden_size,), cfg.dtype)}
+        layer["post_attention_layernorm"] = {
+            "weight": ((cfg.hidden_size,), cfg.dtype)}
+        shapes = {
+            "embed_tokens": {"weight": ((cfg.vocab_size, cfg.hidden_size),
+                                        cfg.dtype)},
+            "layers": [dict(layer) for _ in range(cfg.num_hidden_layers)],
+            "norm": {"weight": ((cfg.hidden_size,), cfg.dtype)},
+        }
+        if not cfg.tie_word_embeddings:
+            shapes["lm_head"] = self.lm_head_method.param_shapes(
+                cfg.hidden_size, cfg.vocab_size, cfg.dtype)
+        return shapes
+
+    def param_specs(self) -> Dict:
+        cfg = self.cfg
+        layer = {}
+        for name, _i, _o, kind in _linear_defs(cfg):
+            layer[name] = self.linear_method.partition_specs(kind)
+            if cfg.attention_bias and name in ("q_proj", "k_proj", "v_proj"):
+                layer[name + "_bias"] = {"bias": P(TP_AXIS)}
+        layer["input_layernorm"] = {"weight": P(None)}
+        layer["post_attention_layernorm"] = {"weight": P(None)}
+        specs = {
+            "embed_tokens": {"weight": P(TP_AXIS, None)},  # vocab-parallel
+            "layers": [dict(layer) for _ in range(cfg.num_hidden_layers)],
+            "norm": {"weight": P(None)},
+        }
+        if not cfg.tie_word_embeddings:
+            specs["lm_head"] = self.lm_head_method.partition_specs("column")
+        return specs
+
+    def kv_cache_shape(self, num_pages: int, page_size: int,
+                       tp_size: int = 1) -> Tuple:
+        cfg = self.cfg
+        kvh = max(cfg.num_key_value_heads // tp_size, 1)
+        return (num_pages, page_size, 2 * kvh, cfg.head_dim)
+
+    def kv_cache_spec(self) -> P:
+        return P(None, None, TP_AXIS, None)
+
+    def rope_cache(self, dtype=jnp.float32) -> jax.Array:
+        cfg = self.cfg
+        return build_rope_cache(cfg.max_position_embeddings, cfg.head_dim,
+                                cfg.rope_theta, cfg.rope_scaling, dtype)
+
+    # -- forward (per-shard code under shard_map) ---------------------------
+
+    def __call__(
+        self,
+        params: Dict,
+        input_ids: jax.Array,        # i32[T]
+        positions: jax.Array,        # i32[T]
+        kv_caches: List[jax.Array],  # per layer [P, ps, 2*KVH_l, D]
+        attn_md: Dict[str, jax.Array],
+        rope_cache: jax.Array,
+        *,
+        tp_axis: Optional[str] = TP_AXIS,
+    ) -> Tuple[jax.Array, List[jax.Array]]:
+        """Returns (hidden [T, H], updated kv_caches)."""
+        cfg = self.cfg
+        tp = jax.lax.psum(1, tp_axis) if tp_axis else 1
+        heads = cfg.num_attention_heads // tp
+        kv_heads = max(cfg.num_key_value_heads // tp, 1)
+        d = cfg.head_dim
+        sm_scale = 1.0 / (d**0.5)
+
+        x = self._embed(params["embed_tokens"], input_ids, tp_axis)
+        new_caches = []
+        for li in range(cfg.num_hidden_layers):
+            lp = params["layers"][li]
+            # self-attention
+            h = rms_norm(x, lp["input_layernorm"]["weight"],
+                         cfg.rms_norm_eps)
+            q = self.linear_method.apply(lp["q_proj"], h)
+            k = self.linear_method.apply(lp["k_proj"], h)
+            v = self.linear_method.apply(lp["v_proj"], h)
+            if cfg.attention_bias:
+                q = q + lp["q_proj_bias"]["bias"]
+                k = k + lp["k_proj_bias"]["bias"]
+                v = v + lp["v_proj_bias"]["bias"]
+            t = q.shape[0]
+            q = q.reshape(t, heads, d)
+            k = k.reshape(t, kv_heads, d)
+            v = v.reshape(t, kv_heads, d)
+            q, k = apply_rope(q, k, positions, rope_cache)
+
+            cache = write_kv_cache(kv_caches[li], k, v,
+                                   attn_md["slot_mapping"])
+            new_caches.append(cache)
+            attn = ragged_paged_attention(
+                q, cache, attn_md["kv_lens"], attn_md["page_indices"],
+                attn_md["cu_q_lens"], attn_md["num_seqs"],
+                sm_scale=sm_scale, sliding_window=cfg.sliding_window)
+            attn = attn.reshape(t, heads * d)
+            o = self.linear_method.apply(lp["o_proj"], attn)
+            if tp_axis:
+                o = jax.lax.psum(o, tp_axis)
+            x = x + o
+
+            # mlp
+            h = rms_norm(x, lp["post_attention_layernorm"]["weight"],
+                         cfg.rms_norm_eps)
+            gate = self.linear_method.apply(lp["gate_proj"], h)
+            up = self.linear_method.apply(lp["up_proj"], h)
+            act = jax.nn.silu(gate) * up
+            down = self.linear_method.apply(lp["down_proj"], act)
+            if tp_axis:
+                down = jax.lax.psum(down, tp_axis)
+            x = x + down
+
+        x = rms_norm(x, params["norm"]["weight"], cfg.rms_norm_eps)
+        return x, new_caches
+
+    def _embed(self, ep: Dict, input_ids: jax.Array,
+               tp_axis: Optional[str]) -> jax.Array:
+        """Vocab-parallel embedding lookup (reference
+        VocabParallelEmbedding:159)."""
+        w = ep["weight"]
+        if not tp_axis:
+            return w[input_ids]
+        tp = jax.lax.psum(1, tp_axis)
+        rank = jax.lax.axis_index(tp_axis)
+        vocab_local = w.shape[0]
+        start = rank * vocab_local
+        local_ids = input_ids - start
+        in_range = (local_ids >= 0) & (local_ids < vocab_local)
+        local_ids = jnp.clip(local_ids, 0, vocab_local - 1)
+        emb = w[local_ids]
+        emb = jnp.where(in_range[:, None], emb, 0)
+        return jax.lax.psum(emb, tp_axis)
+
+    def compute_logits(self, params: Dict, hidden: jax.Array,
+                       tp_axis: Optional[str] = TP_AXIS) -> jax.Array:
+        """hidden [S, H] -> logits [S, vocab] (f32, gathered)."""
+        cfg = self.cfg
+        if cfg.tie_word_embeddings:
+            w = params["embed_tokens"]["weight"]  # [V_local, H]
+            logits = jnp.dot(hidden, w.T,
+                             preferred_element_type=jnp.float32)
+        else:
+            logits = self.lm_head_method.apply(
+                params["lm_head"], hidden).astype(jnp.float32)
+        if tp_axis:
+            logits = jax.lax.all_gather(logits, tp_axis, axis=1,
+                                        tiled=True)
+        return logits.astype(jnp.float32)

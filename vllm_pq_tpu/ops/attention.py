@@ -1,0 +1,122 @@
+"""Ragged paged attention + KV-cache write ops.
+
+KV-cache layout: ``[num_pages, page_size, 2*num_kv_heads, head_dim]``
+with K at even and V at odd combined-head indices (matches the JAX
+ecosystem ragged-paged-attention convention so kernels are
+interchangeable; role of the reference kv-cache shape decisions in
+``attention/backends/pallas.py:34-44``).
+
+Page 0 is the *null page*: padded slots in ``slot_mapping`` point at it,
+so scatter writes of padding tokens are harmless (the BlockPool never
+allocates block 0 to a request).
+
+Three implementations:
+- ``ref_ragged_paged_attention``: jittable XLA reference (static shapes,
+  masked), used on CPU and as the correctness oracle;
+- ``ragged_paged_attention_pallas``: our own Pallas kernel (see
+  ``ops/rpa_kernel.py``);
+- dispatch in ``ragged_paged_attention``.
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import vllm_pq_tpu.envs as envs
+
+MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
+
+
+def write_kv_cache(kv_cache: jax.Array, k: jax.Array, v: jax.Array,
+                   slot_mapping: jax.Array) -> jax.Array:
+    """Scatter new K/V rows into the paged cache.
+
+    kv_cache [P, page_size, 2*KVH, D]; k, v [T, KVH, D];
+    slot_mapping [T] flat slot ids (page*page_size + offset); padding
+    slots must point into page 0.
+    """
+    p, ps, ckv, d = kv_cache.shape
+    kv = jnp.stack([k, v], axis=2).reshape(k.shape[0], ckv, d)
+    flat = kv_cache.reshape(p * ps, ckv, d)
+    flat = flat.at[slot_mapping].set(kv.astype(flat.dtype))
+    return flat.reshape(p, ps, ckv, d)
+
+
+def ref_ragged_paged_attention(
+    q: jax.Array,              # [T, num_q_heads, head_dim]
+    kv_pages: jax.Array,       # [P, page_size, 2*KVH, D]
+    kv_lens: jax.Array,        # i32[S]
+    page_indices: jax.Array,   # i32[S, pages_per_seq]
+    cu_q_lens: jax.Array,      # i32[S+1]
+    num_seqs: jax.Array,       # i32[] or i32[1]
+    *,
+    sm_scale: float = 1.0,
+    sliding_window: Optional[int] = None,
+    soft_cap: Optional[float] = None,
+) -> jax.Array:
+    """Jittable masked reference. O(S * pages_per_seq * page_size * T)
+    memory — fine for tests/CPU, not for production TPU."""
+    t, hq, d = q.shape
+    p, ps, ckv, _ = kv_pages.shape
+    kvh = ckv // 2
+    s, pages_per_seq = page_indices.shape
+    rep = hq // kvh
+    num_seqs = jnp.reshape(num_seqs, ())
+
+    # Gather each sequence's pages: [S, pages*ps, CKV, D]
+    seq_kv = kv_pages[page_indices.reshape(-1)].reshape(
+        s, pages_per_seq * ps, ckv, d)
+    k = seq_kv[:, :, 0::2, :]  # [S, L, KVH, D]
+    v = seq_kv[:, :, 1::2, :]
+
+    # token -> seq id map [T]
+    tok = jnp.arange(t, dtype=jnp.int32)
+    seq_of_tok = jnp.sum(
+        (tok[None, :] >= cu_q_lens[1:][:, None]).astype(jnp.int32), axis=0)
+    seq_of_tok = jnp.minimum(seq_of_tok, s - 1)
+    # query position within the full sequence: kv_len - q_len + local_idx
+    local = tok - cu_q_lens[seq_of_tok]
+    q_lens = cu_q_lens[1:] - cu_q_lens[:-1]
+    qpos = kv_lens[seq_of_tok] - q_lens[seq_of_tok] + local  # [T]
+
+    kq = k[seq_of_tok]  # [T, L, KVH, D]
+    vq = v[seq_of_tok]
+
+    qf = q.astype(jnp.float32).reshape(t, kvh, rep, d)
+    scores = jnp.einsum("tkrd,tlkd->tkrl", qf * sm_scale,
+                        kq.astype(jnp.float32))
+    if soft_cap is not None:
+        scores = jnp.tanh(scores / soft_cap) * soft_cap
+
+    lpos = jnp.arange(pages_per_seq * ps, dtype=jnp.int32)
+    valid = (lpos[None, :] <= qpos[:, None]) & \
+            (lpos[None, :] < kv_lens[seq_of_tok][:, None])
+    if sliding_window is not None:
+        valid &= lpos[None, :] > (qpos[:, None] - sliding_window)
+    # disable padded tokens/seqs
+    valid &= (tok < cu_q_lens[num_seqs])[:, None]
+    scores = jnp.where(valid[:, None, None, :], scores, MASK_VALUE)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("tkrl,tlkd->tkrd", probs, vq.astype(jnp.float32))
+    return out.reshape(t, hq, d).astype(q.dtype)
+
+
+def ragged_paged_attention(q, kv_pages, kv_lens, page_indices, cu_q_lens,
+                           num_seqs, *, sm_scale: float = 1.0,
+                           sliding_window: Optional[int] = None,
+                           soft_cap: Optional[float] = None) -> jax.Array:
+    """Dispatch to the best implementation for the current device."""
+    backend = envs.VPQ_ATTENTION_BACKEND
+    on_tpu = jax.default_backend() == "tpu"
+    if backend == "ref" or (not on_tpu and backend != "pallas"):
+        return ref_ragged_paged_attention(
+            q, kv_pages, kv_lens, page_indices, cu_q_lens, num_seqs,
+            sm_scale=sm_scale, sliding_window=sliding_window,
+            soft_cap=soft_cap)
+    from vllm_pq_tpu.ops.rpa_kernel import ragged_paged_attention_pallas
+    return ragged_paged_attention_pallas(
+        q, kv_pages, kv_lens, page_indices, cu_q_lens, num_seqs,
+        sm_scale=sm_scale, sliding_window=sliding_window,
+        soft_cap=soft_cap)

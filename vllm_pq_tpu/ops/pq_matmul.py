@@ -1,0 +1,189 @@
+"""Fused PQ (codebook) matmul — the centerpiece op.
+
+Computes ``y = x @ W`` where ``W[in, out]`` is product-quantized as
+``W[j*g+p, o] = (sum_k codebooks[k, codes[k, j, o], p]) * scales[o]``.
+
+Two execution paths (role of the reference's AQLM GEMV/dequant crossover,
+``aqlm.py:344-364``, rebuilt TPU-first):
+
+- ``pq_dequant_matmul_pallas``: grid over (T, out, in-group) tiles; codes
+  stream HBM->VMEM; dequant uses the TPU lane-gather primitive
+  (``take_along_axis`` on a 128-lane table; 256-entry codebooks are split
+  into low/high halves selected by the code's top bit — the VMEM analog
+  of the reference's smem-resident codebooks, ``gemm_kernels.cu:137-142``)
+  feeding MXU matmuls per subvector position.
+- XLA fallback (``pq_matmul_xla``): full dequant via XLA gather + dot.
+  Used on CPU, for 16-bit codebooks, and as the correctness oracle.
+
+Codes layout is ``[num_codebooks, in/g, out]`` (out on TPU lanes); see
+``vllm_pq_tpu.quantization.pq``.
+"""
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vllm_pq_tpu.quantization.pq import pq_dequantize_ref
+
+# Tile sizes (tuned for v5e; out tile fixed at 128 lanes by the gather
+# primitive's table width).
+_TILE_T = 256
+_TILE_O = 128
+_TILE_J = 128
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:
+        return False
+
+
+def pq_matmul_xla(x: jax.Array, codes: jax.Array, codebooks: jax.Array,
+                  scales: jax.Array) -> jax.Array:
+    w = pq_dequantize_ref(codes, codebooks, scales, out_dtype=x.dtype)
+    return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas fused dequant + matmul
+# ---------------------------------------------------------------------------
+
+
+def _dequant_matmul_kernel(xp_ref, codes_ref, cb_lo_ref, cb_hi_ref,
+                           scales_ref, out_ref, acc_ref, *, m: int, g: int,
+                           tile_t: int, tile_j: int, n_j: int):
+    """One (t, o, j) grid cell.
+
+    xp_ref     [g, tile_t, tile_j]  bf16  x permuted to position-major
+    codes_ref  [m, tile_j, 128]     int   (uint8 viewed as int32 below)
+    cb_lo_ref  [m, g, 128]          f32   codebook entries 0..127
+    cb_hi_ref  [m, g, 128]          f32   codebook entries 128..255
+    scales_ref [1, 128]             f32
+    out_ref    [tile_t, 128]        bf16/f32 (written at last j step)
+    acc_ref    [tile_t, 128]        f32 scratch accumulator
+    """
+    j_idx = pl.program_id(2)
+
+    @pl.when(j_idx == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    codes = codes_ref[:].astype(jnp.int32)  # [m, tile_j, 128]
+
+    acc = acc_ref[:]
+    for p in range(g):
+        # Dequantize W_p [tile_j, 128]: weights for subvector position p.
+        w_p = None
+        for k in range(m):
+            c = codes[k]
+            low = c & 127
+            is_hi = c >= 128
+            t_lo = jnp.broadcast_to(cb_lo_ref[k, p, :][None, :],
+                                    (tile_j, 128))
+            t_hi = jnp.broadcast_to(cb_hi_ref[k, p, :][None, :],
+                                    (tile_j, 128))
+            g_lo = jnp.take_along_axis(t_lo, low, axis=1)
+            g_hi = jnp.take_along_axis(t_hi, low, axis=1)
+            val = jnp.where(is_hi, g_hi, g_lo)
+            w_p = val if w_p is None else w_p + val
+        # [tile_t, tile_j] @ [tile_j, 128] on the MXU
+        acc = acc + jax.lax.dot_general(
+            xp_ref[p], w_p.astype(xp_ref.dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    acc_ref[:] = acc
+
+    @pl.when(j_idx == n_j - 1)
+    def _():
+        out_ref[:] = (acc_ref[:] *
+                      scales_ref[0, :][None, :]).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pq_dequant_matmul_pallas(x: jax.Array, codes: jax.Array,
+                             codebooks: jax.Array, scales: jax.Array,
+                             interpret: bool = False) -> jax.Array:
+    """y = x @ dequant(codes).  x [T, I]; returns [T, O].
+
+    Requires O % 128 == 0 and 8-bit codebooks; T and in-groups are padded
+    internally.
+    """
+    t, i = x.shape
+    m, j, o = codes.shape
+    c, g = codebooks.shape[1], codebooks.shape[2]
+    assert i == j * g, (i, j, g)
+    assert c == 256, "pallas path supports 8-bit codebooks"
+    assert o % _TILE_O == 0, f"out dim {o} must be a multiple of {_TILE_O}"
+
+    tile_t = min(_TILE_T, max(8, 1 << (t - 1).bit_length()))
+    tile_j = min(_TILE_J, j)
+
+    # pad T and J
+    t_pad = -t % tile_t
+    j_pad = -j % tile_j
+    if j_pad:
+        codes = jnp.pad(codes, ((0, 0), (0, j_pad), (0, 0)))
+        x = jnp.pad(x, ((0, 0), (0, j_pad * g)))
+    if t_pad:
+        x = jnp.pad(x, ((0, t_pad), (0, 0)))
+    tp, jp = t + t_pad, j + j_pad
+
+    # x -> position-major [g, T, J] so each subvector position is a
+    # contiguous [T, J] operand for the per-position matmul.
+    xp = x.reshape(tp, jp, g).transpose(2, 0, 1)
+
+    cb = codebooks.transpose(0, 2, 1)  # [m, g, C]
+    cb_lo = cb[:, :, :128]
+    cb_hi = cb[:, :, 128:]
+    scales2d = scales.reshape(1, o).astype(jnp.float32)
+
+    n_t = tp // tile_t
+    n_o = o // _TILE_O
+    n_j = jp // tile_j
+
+    grid = (n_t, n_o, n_j)
+    kernel = functools.partial(_dequant_matmul_kernel, m=m, g=g,
+                               tile_t=tile_t, tile_j=tile_j, n_j=n_j)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((g, tile_t, tile_j),
+                         lambda ti, oi, ji: (0, ti, ji),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, tile_j, _TILE_O),
+                         lambda ti, oi, ji: (0, ji, oi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _TILE_O), lambda ti, oi, ji: (0, oi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_t, _TILE_O),
+                               lambda ti, oi, ji: (ti, oi),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((tp, o), x.dtype),
+        scratch_shapes=[pltpu.VMEM((tile_t, _TILE_O), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * tp * i * o,
+            bytes_accessed=codes.size + tp * i * 2 + tp * o * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xp, codes, cb_lo, cb_hi, scales2d)
+    return out[:t] if t_pad else out
+
+
+def pq_matmul(x: jax.Array, codes: jax.Array, codebooks: jax.Array,
+              scales: jax.Array) -> jax.Array:
+    """Dispatch to the best path for the current device/shape."""
+    nbits8 = codebooks.shape[1] == 256
+    if _on_tpu() and nbits8 and codes.shape[2] % _TILE_O == 0:
+        return pq_dequant_matmul_pallas(x, codes, codebooks, scales)
+    return pq_matmul_xla(x, codes, codebooks, scales)

@@ -1,0 +1,260 @@
+"""Ragged paged attention — own Pallas TPU kernel.
+
+One kernel handles mixed prefill+decode batches (the V1 design point;
+role of the reference's ``torch.ops.xla.ragged_paged_attention``,
+``v1/attention/backends/pallas.py:161-172``, rebuilt from scratch):
+
+- grid = global query blocks of ``num_queries_per_block`` tokens; a block
+  may span several sequences (decode-heavy batches put many seqs in one
+  block); an inner dynamic loop visits each sequence overlapping the
+  block with row masks;
+- per sequence, a flash-attention (online softmax) loop walks its KV
+  pages in blocks of ``num_kv_pages_per_block``, each block DMA'd
+  HBM->VMEM with double buffering so the copy of block i+1 overlaps the
+  compute of block i (decode attention is DMA-bound; this is the
+  speed-of-light path);
+- KV heads are a static python loop; per-head flash state lives in VMEM
+  scratch.
+
+KV layout: ``[num_pages, page_size, 2*num_kv_heads, head_dim]``, K even /
+V odd — see ``ops/attention.py``.
+"""
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vllm_pq_tpu.utils import cdiv
+
+MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
+
+
+def _rpa_kernel(
+    # scalar prefetch
+    kv_lens_ref,        # i32[S]
+    page_indices_ref,   # i32[S * pages_per_seq]
+    cu_q_lens_ref,      # i32[S+1]
+    seq_range_ref,      # i32[2 * n_q_blks]: (first_seq, last_seq+1) per blk
+    # inputs
+    q_ref,              # [TQ, HQ, D] VMEM (block)
+    kv_hbm_ref,         # [P, ps, 2*KVH, D] HBM (full)
+    # outputs
+    out_ref,            # [TQ, HQ, D] VMEM (block)
+    # scratch
+    kv_buf,             # [2, ps*ppb, 2*KVH, D] VMEM
+    acc_ref,            # [KVH, TQ*rep, D] f32
+    m_ref,              # [KVH, TQ*rep, 128] f32 (max, col-bcast)
+    l_ref,              # [KVH, TQ*rep, 128] f32 (denominator)
+    sems,               # DMA sems [2]
+    *,
+    sm_scale: float,
+    num_kv_heads: int,
+    rep: int,
+    tile_q: int,
+    page_size: int,
+    pages_per_blk: int,
+    pages_per_seq: int,
+    sliding_window: Optional[int],
+    soft_cap: Optional[float],
+):
+    blk = pl.program_id(0)
+    q_blk_start = blk * tile_q
+    first_seq = seq_range_ref[2 * blk]
+    end_seq = seq_range_ref[2 * blk + 1]
+    kv_blk_len = page_size * pages_per_blk
+
+    def _page_copy(s, kv_blk_idx, slot, i):
+        pidx = page_indices_ref[s * pages_per_seq +
+                                kv_blk_idx * pages_per_blk + i]
+        return pltpu.make_async_copy(
+            kv_hbm_ref.at[pidx],
+            kv_buf.at[slot, pl.ds(i * page_size, page_size)],
+            sems.at[slot, i],
+        )
+
+    def kv_dma(s, kv_blk_idx, slot):
+        """DMA pages [kv_blk_idx*ppb, ...) of sequence s into kv_buf[slot]."""
+        for i in range(pages_per_blk):
+            _page_copy(s, kv_blk_idx, slot, i).start()
+
+    def kv_wait(s, kv_blk_idx, slot):
+        for i in range(pages_per_blk):
+            _page_copy(s, kv_blk_idx, slot, i).wait()
+
+    def process_seq(s, _):
+        q_start = cu_q_lens_ref[s]
+        q_end = cu_q_lens_ref[s + 1]
+        kv_len = kv_lens_ref[s]
+        n_kv_blks = pl.cdiv(kv_len, kv_blk_len)
+
+        # rows of this q block belonging to seq s: [lo, hi)
+        row_ids = jax.lax.broadcasted_iota(
+            jnp.int32, (tile_q * rep, 1), 0) // rep + q_blk_start
+        row_valid = (row_ids >= q_start) & (row_ids < q_end)
+        # query position in the sequence's KV timeline
+        qpos = kv_len - (q_end - q_start) + (row_ids - q_start)  # [TQ*rep,1]
+
+        # reset flash state
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, MASK_VALUE)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+        kv_dma(s, 0, 0)
+
+        def kv_step(kv_i, _):
+            slot = jax.lax.rem(kv_i, 2)
+
+            @pl.when(kv_i + 1 < n_kv_blks)
+            def _():
+                kv_dma(s, kv_i + 1, 1 - slot)
+
+            kv_wait(s, kv_i, slot)
+
+            col_base = kv_i * kv_blk_len
+            col_ids = col_base + jax.lax.broadcasted_iota(
+                jnp.int32, (1, kv_blk_len), 1)  # [1, L]
+            mask = (col_ids < kv_len) & (col_ids <= qpos) & row_valid
+            if sliding_window is not None:
+                mask &= col_ids > (qpos - sliding_window)
+
+            for h in range(num_kv_heads):
+                # q rows for this head group: [TQ, rep, D] -> [TQ*rep, D]
+                qh = q_ref[:, h * rep:(h + 1) * rep, :].reshape(
+                    tile_q * rep, -1)
+                k = kv_buf[slot, :, 2 * h, :]      # [L, D]
+                v = kv_buf[slot, :, 2 * h + 1, :]  # [L, D]
+                scores = jax.lax.dot_general(
+                    qh.astype(jnp.float32) * sm_scale,
+                    k.astype(jnp.float32),
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # [TQ*rep, L]
+                if soft_cap is not None:
+                    scores = jnp.tanh(scores / soft_cap) * soft_cap
+                scores = jnp.where(mask, scores, MASK_VALUE)
+
+                m_prev = m_ref[h, :, 0:1]                  # [R,1]
+                m_cur = jnp.max(scores, axis=1, keepdims=True)
+                m_new = jnp.maximum(m_prev, m_cur)
+                alpha = jnp.exp(m_prev - m_new)            # [R,1]
+                p = jnp.exp(scores - m_new)                # [R,L]
+                p = jnp.where(mask, p, 0.0)
+                l_new = l_ref[h, :, 0:1] * alpha + jnp.sum(
+                    p, axis=1, keepdims=True)
+                pv = jax.lax.dot_general(
+                    p.astype(v.dtype), v,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)    # [R,D]
+                acc_ref[h] = acc_ref[h] * alpha + pv
+                m_ref[h] = jnp.broadcast_to(m_new, m_ref.shape[1:])
+                l_ref[h] = jnp.broadcast_to(l_new, l_ref.shape[1:])
+            return 0
+
+        jax.lax.fori_loop(0, n_kv_blks, kv_step, 0)
+
+        # write masked rows of this sequence to the output block
+        for h in range(num_kv_heads):
+            l = l_ref[h, :, 0:1]
+            res = acc_ref[h] / jnp.where(l == 0.0, 1.0, l)  # [TQ*rep, D]
+            res = res.reshape(tile_q, rep, -1).astype(out_ref.dtype)
+            rv = row_valid.reshape(tile_q, rep, 1)
+            cur = out_ref[:, h * rep:(h + 1) * rep, :]
+            out_ref[:, h * rep:(h + 1) * rep, :] = jnp.where(rv, res, cur)
+        return 0
+
+    jax.lax.fori_loop(first_seq, end_seq, process_seq, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sm_scale", "sliding_window", "soft_cap",
+                     "num_kv_pages_per_block", "num_queries_per_block",
+                     "interpret"))
+def ragged_paged_attention_pallas(
+    q: jax.Array,             # [T, HQ, D]
+    kv_pages: jax.Array,      # [P, ps, 2*KVH, D]
+    kv_lens: jax.Array,       # i32[S]
+    page_indices: jax.Array,  # i32[S, pages_per_seq]
+    cu_q_lens: jax.Array,     # i32[S+1]
+    num_seqs: jax.Array,      # i32[1] (unused: seq_range covers it)
+    *,
+    sm_scale: float = 1.0,
+    sliding_window: Optional[int] = None,
+    soft_cap: Optional[float] = None,
+    num_kv_pages_per_block: int = 8,
+    num_queries_per_block: int = 32,
+    interpret: bool = False,
+) -> jax.Array:
+    t, hq, d = q.shape
+    p, ps, ckv, _ = kv_pages.shape
+    kvh = ckv // 2
+    rep = hq // kvh
+    s, pages_per_seq = page_indices.shape
+    tile_q = num_queries_per_block
+    assert t % tile_q == 0, (t, tile_q)
+    ppb = min(num_kv_pages_per_block, pages_per_seq)
+    # the last (partial) kv block still DMAs ppb pages; the runner pads
+    # page tables with null page 0, so the table must cover a whole block
+    assert pages_per_seq % ppb == 0, (pages_per_seq, ppb)
+    n_q_blks = t // tile_q
+
+    # seq_range per q block is data-dependent on cu_q_lens; computed
+    # jit-side (tiny) so the op stays a pure function of its args.
+    starts = jnp.arange(n_q_blks, dtype=jnp.int32) * tile_q
+    ends = starts + tile_q
+    # first seq whose q range intersects the block; cu_q_lens padded seqs
+    # have empty ranges and are skipped by the intersection test
+    cu = cu_q_lens
+    nseq = jnp.reshape(num_seqs, ())[None]
+    valid_seq = jnp.arange(s, dtype=jnp.int32)[None, :] < nseq  # [1,S]
+    s_start = cu[:-1][None, :]  # [1, S]
+    s_end = cu[1:][None, :]
+    inter = (s_start < ends[:, None]) & (s_end > starts[:, None])
+    inter &= valid_seq & (s_end > s_start)
+    sidx = jnp.arange(s, dtype=jnp.int32)[None, :]
+    first = jnp.min(jnp.where(inter, sidx, s), axis=1)
+    last1 = jnp.max(jnp.where(inter, sidx + 1, 0), axis=1)
+    seq_range = jnp.stack([first, last1], axis=1).reshape(-1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n_q_blks,),
+        in_specs=[
+            pl.BlockSpec((tile_q, hq, d), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((tile_q, hq, d), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, ps * ppb, ckv, d), kv_pages.dtype),
+            pltpu.VMEM((kvh, tile_q * rep, d), jnp.float32),
+            pltpu.VMEM((kvh, tile_q * rep, 128), jnp.float32),
+            pltpu.VMEM((kvh, tile_q * rep, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, ppb)),
+        ],
+    )
+    kernel = functools.partial(
+        _rpa_kernel,
+        sm_scale=sm_scale,
+        num_kv_heads=kvh,
+        rep=rep,
+        tile_q=tile_q,
+        page_size=ps,
+        pages_per_blk=ppb,
+        pages_per_seq=pages_per_seq,
+        sliding_window=sliding_window,
+        soft_cap=soft_cap,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t, hq, d), q.dtype),
+        interpret=interpret,
+    )(kv_lens, page_indices.reshape(-1), cu_q_lens, seq_range,
+      q, kv_pages)
+    return out
