@@ -1,0 +1,89 @@
+"""EngineArgs: flat kwargs/CLI flags -> EngineConfig (role of reference
+``engine/arg_utils.py:91``)."""
+
+import argparse
+from dataclasses import dataclass, field, fields
+from typing import Any, Dict, Optional
+
+from vllm_pq_tpu.config import (CacheConfig, CompilationConfig, DeviceConfig,
+                                EngineConfig, ModelConfig,
+                                ObservabilityConfig, ParallelConfig,
+                                SchedulerConfig)
+
+
+@dataclass
+class EngineArgs:
+    model: str = "facebook/opt-125m"
+    tokenizer: Optional[str] = None
+    dtype: str = "bfloat16"
+    seed: int = 0
+    max_model_len: int = 2048
+    quantization: Optional[str] = None
+    load_format: str = "auto"
+    trust_remote_code: bool = False
+    revision: Optional[str] = None
+    hf_overrides: Dict[str, Any] = field(default_factory=dict)
+
+    block_size: int = 16
+    gpu_memory_utilization: float = 0.9
+    num_kv_blocks: Optional[int] = None
+    enable_prefix_caching: bool = True
+
+    tensor_parallel_size: int = 1
+    data_parallel_size: int = 1
+
+    max_num_seqs: int = 64
+    max_num_batched_tokens: int = 1024
+    device: str = "auto"
+    disable_log_stats: bool = False
+
+    def create_engine_config(self) -> EngineConfig:
+        return EngineConfig(
+            model=ModelConfig(
+                model=self.model, tokenizer=self.tokenizer,
+                dtype=self.dtype, seed=self.seed,
+                max_model_len=self.max_model_len,
+                quantization=self.quantization,
+                load_format=self.load_format,
+                trust_remote_code=self.trust_remote_code,
+                revision=self.revision, hf_overrides=self.hf_overrides),
+            cache=CacheConfig(
+                block_size=self.block_size,
+                gpu_memory_utilization=self.gpu_memory_utilization,
+                num_blocks_override=self.num_kv_blocks,
+                enable_prefix_caching=self.enable_prefix_caching),
+            parallel=ParallelConfig(
+                tensor_parallel_size=self.tensor_parallel_size,
+                data_parallel_size=self.data_parallel_size),
+            scheduler=SchedulerConfig(
+                max_num_seqs=self.max_num_seqs,
+                max_num_batched_tokens=self.max_num_batched_tokens,
+                max_model_len=self.max_model_len),
+            device=DeviceConfig(device=self.device),
+            observability=ObservabilityConfig(
+                collect_metrics=not self.disable_log_stats),
+        )
+
+    @staticmethod
+    def add_cli_args(parser: argparse.ArgumentParser
+                     ) -> argparse.ArgumentParser:
+        for f in fields(EngineArgs):
+            name = "--" + f.name.replace("_", "-")
+            if f.type == bool or isinstance(f.default, bool):
+                parser.add_argument(
+                    name, action="store_true" if not f.default
+                    else "store_false", default=f.default)
+            elif f.name == "hf_overrides":
+                continue
+            else:
+                typ = (int if isinstance(f.default, int)
+                       and not isinstance(f.default, bool)
+                       else float if isinstance(f.default, float)
+                       else str)
+                parser.add_argument(name, type=typ, default=f.default)
+        return parser
+
+    @classmethod
+    def from_cli_args(cls, args: argparse.Namespace) -> "EngineArgs":
+        names = {f.name for f in fields(cls)}
+        return cls(**{k: v for k, v in vars(args).items() if k in names})

@@ -1,0 +1,76 @@
+"""EngineCore: the schedule -> execute -> update inner loop (role of
+reference ``v1/engine/core.py:146``). In-process here; the ZMQ process
+wrapper lives in ``engine/core_proc.py``."""
+
+from typing import Dict, List, Optional
+
+from vllm_pq_tpu.config import EngineConfig
+from vllm_pq_tpu.core.scheduler import EngineCoreOutput, Scheduler
+from vllm_pq_tpu.logger import init_logger
+from vllm_pq_tpu.request import Request, RequestStatus
+from vllm_pq_tpu.worker.worker import Worker
+
+logger = init_logger(__name__)
+
+
+class EngineCore:
+
+    def __init__(self, config: EngineConfig):
+        self.config = config
+        self.worker = Worker(config)
+        self.worker.load_model()
+        num_blocks = self.worker.determine_num_kv_blocks()
+        self.runner = self.worker.init_runner(num_blocks)
+        self.scheduler = Scheduler(config.scheduler, config.cache,
+                                   num_blocks)
+        # eos metadata for requests not yet sent to the runner
+        self._pending_meta: Dict[str, tuple] = {}
+
+    # ------------------------------------------------------------------
+
+    def add_request(self, request: Request) -> None:
+        self.scheduler.add_request(request)
+        self._pending_meta[request.request_id] = (
+            request.eos_token_id, request.sampling_params.ignore_eos)
+
+    def abort_requests(self, request_ids: List[str]) -> None:
+        self.scheduler.finish_requests(request_ids,
+                                       RequestStatus.FINISHED_ABORTED)
+        for rid in request_ids:
+            self._pending_meta.pop(rid, None)
+
+    def has_unfinished_requests(self) -> bool:
+        return self.scheduler.has_unfinished_requests()
+
+    def step(self) -> List[EngineCoreOutput]:
+        scheduler_output = self.scheduler.schedule()
+        runner_output = self.runner.execute_model(scheduler_output,
+                                                  self._pending_meta)
+        for nr in scheduler_output.scheduled_new_reqs:
+            self._pending_meta.pop(nr.req_id, None)
+        outputs = self.scheduler.update_from_output(scheduler_output,
+                                                    runner_output)
+        # requests the scheduler aborted itself (exceed KV capacity)
+        if self.scheduler.ignored_req_ids:
+            for rid in sorted(self.scheduler.ignored_req_ids):
+                outputs.append(EngineCoreOutput(
+                    req_id=rid, new_token_ids=[],
+                    finish_reason="length", stop_reason="kv_capacity"))
+            self.scheduler.ignored_req_ids.clear()
+        return outputs
+
+    # -- utility RPCs (role of reference EngineCore utility methods) ----
+
+    def reset_prefix_cache(self) -> bool:
+        return self.scheduler.reset_prefix_cache()
+
+    def make_stats(self) -> dict:
+        return self.scheduler.make_stats()
+
+    def profile_start(self, path: str) -> None:
+        import jax
+        jax.profiler.start_trace(path)
+
+    def profile_stop(self) -> None:
+        import jax
+        jax.profiler.stop_trace()

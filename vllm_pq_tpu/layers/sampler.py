@@ -33,6 +33,7 @@ class SamplingState(NamedTuple):
     frequency_penalty: jax.Array   # f32
     repetition_penalty: jax.Array  # f32; 1 => disabled
     seed: jax.Array          # u32 per-request seed
+    has_seed: jax.Array      # bool: seeded => reproducible stream
     eos_token_id: jax.Array  # i32; -1 => none
     min_tokens: jax.Array    # i32
     output_len: jax.Array    # i32 generated so far
@@ -103,14 +104,25 @@ def sample(
 
     masked = jnp.where(keep, sorted_l, NEG_INF)
 
-    # per-request keys: fold the request seed into the step key
-    def row_sample(key, seed, row):
-        k2 = jax.random.fold_in(key, seed)
+    # per-request keys: seeded requests use a stream derived only from
+    # (seed, output position) so re-runs reproduce exactly; unseeded
+    # requests fold the step key with their row index.
+    const_key = jax.random.PRNGKey(0x5EED)
+
+    def row_sample(key, seed, has_seed, outlen, row_idx, row):
+        k_seeded = jax.random.fold_in(
+            jax.random.fold_in(const_key, seed), outlen)
+        k_global = jax.random.fold_in(key, row_idx)
+        kd = jnp.where(has_seed, jax.random.key_data(k_seeded),
+                       jax.random.key_data(k_global))
+        k2 = jax.random.wrap_key_data(kd)
         g = jax.random.gumbel(k2, (v,), dtype=jnp.float32)
         return jnp.argmax(row + g).astype(jnp.int32)
 
-    pos = jax.vmap(row_sample, in_axes=(None, 0, 0))(
-        step_key, state.seed, masked)
+    row_idx = jnp.arange(s, dtype=jnp.uint32)
+    pos = jax.vmap(row_sample, in_axes=(None, 0, 0, 0, 0, 0))(
+        step_key, state.seed, state.has_seed, state.output_len,
+        row_idx, masked)
     sampled = jnp.take_along_axis(sorted_idx, pos[:, None],
                                   axis=1)[:, 0].astype(jnp.int32)
 

@@ -1,0 +1,211 @@
+"""Weight loading: dummy init, HF safetensors, and AQLM->PQ conversion.
+
+Roles of the reference's ``model_loader/loader.py`` (DefaultModelLoader
+:198, DummyModelLoader :440) and the AQLM weight mapping
+(``quantization/aqlm.py:253-316``):
+
+- ``load_dummy``: random params matching the model's templates (PQ
+  artifacts included) — the ``--load-format dummy`` path used by
+  benchmarks and CI (reference ``benchmarks`` + weight-loading tests);
+- ``load_hf``: streams safetensors shards, maps HF names to our tree;
+  dense weights are transposed to [in, out] and (optionally) quantized
+  online with the method's ``quantize`` (role of tpu_int8's post-load
+  quantization, ``tpu_int8.py:78-101``);
+- AQLM checkpoints (codes/codebooks/scales tensors) are converted
+  losslessly: codes [out, in/g, m] -> [m, in/g, out] (+unsigned shift),
+  codebooks [m, 2^b, 1, g] -> [m, 2^b, g], scales [out,1,1,1] -> [out].
+"""
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from vllm_pq_tpu.logger import init_logger
+from vllm_pq_tpu.quantization.methods import (LinearMethod, PQLinearMethod,
+                                              UnquantizedLinearMethod)
+
+logger = init_logger(__name__)
+
+_HF_LAYER_MAP = {
+    "self_attn.q_proj": "q_proj",
+    "self_attn.k_proj": "k_proj",
+    "self_attn.v_proj": "v_proj",
+    "self_attn.o_proj": "o_proj",
+    "mlp.gate_proj": "gate_proj",
+    "mlp.up_proj": "up_proj",
+    "mlp.down_proj": "down_proj",
+    "input_layernorm": "input_layernorm",
+    "post_attention_layernorm": "post_attention_layernorm",
+}
+
+
+def _tree_device_put(tree: Any, specs: Any, mesh: Mesh) -> Any:
+    """device_put a (nested) numpy tree with matching PartitionSpecs."""
+    if isinstance(tree, dict):
+        return {k: _tree_device_put(tree[k],
+                                    specs[k] if isinstance(specs, dict)
+                                    else specs, mesh)
+                for k in tree}
+    if isinstance(tree, list):
+        return [_tree_device_put(t, s, mesh)
+                for t, s in zip(tree, specs)]
+    spec = specs if isinstance(specs, P) else P()
+    return jax.device_put(tree, NamedSharding(mesh, spec))
+
+
+def load_dummy(model, mesh: Mesh, seed: int = 0) -> Any:
+    """Random weights with the right shapes (quantized artifacts are
+    sampled directly, not derived from a dense sample — fast)."""
+    rng = np.random.default_rng(seed)
+
+    def init(shapes):
+        out = {}
+        for k, v in shapes.items():
+            if isinstance(v, dict):
+                out[k] = init(v)
+            elif isinstance(v, list):
+                out[k] = [init(x) for x in v]
+            else:
+                shape, dtype = v
+                jdt = jnp.dtype(dtype)
+                if jdt == jnp.dtype(jnp.uint8):
+                    arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+                elif jdt == jnp.dtype(jnp.uint16):
+                    arr = rng.integers(0, 65536, size=shape,
+                                       dtype=np.uint16)
+                elif jdt == jnp.dtype(jnp.int8):
+                    arr = rng.integers(-127, 128, size=shape, dtype=np.int8)
+                else:
+                    fan_in = shape[0] if len(shape) > 1 else 1
+                    arr = (rng.standard_normal(shape) /
+                           max(np.sqrt(fan_in), 1)).astype(np.float32)
+                    if k == "scales":
+                        arr = np.abs(arr) + 0.5
+                    arr = arr.astype(jnp.dtype(dtype).name
+                                     if jdt != jnp.dtype(jnp.bfloat16)
+                                     else np.float32)
+                    if jdt == jnp.dtype(jnp.bfloat16):
+                        arr = jnp.asarray(arr, jnp.bfloat16)
+                out[k] = np.asarray(arr) if not isinstance(
+                    arr, jax.Array) else arr
+        return out
+
+    tree = init(model.param_shapes())
+    return _tree_device_put(tree, model.param_specs(), mesh)
+
+
+def _iter_safetensors(model_dir: str):
+    from safetensors import safe_open
+    files = sorted(f for f in os.listdir(model_dir)
+                   if f.endswith(".safetensors"))
+    if not files:
+        raise FileNotFoundError(
+            f"no .safetensors files under {model_dir}")
+    for f in files:
+        with safe_open(os.path.join(model_dir, f), framework="np") as sf:
+            for name in sf.keys():
+                yield name, sf.get_tensor(name)
+
+
+def load_hf(model, mesh: Mesh, model_dir: str,
+            linear_method: LinearMethod) -> Any:
+    """Load a local HF checkpoint directory into the model's param tree."""
+    cfg = model.cfg
+    shapes = model.param_shapes()
+    tree: Dict[str, Any] = {
+        "embed_tokens": {},
+        "layers": [dict() for _ in range(cfg.num_hidden_layers)],
+        "norm": {},
+    }
+    is_pq = isinstance(linear_method, PQLinearMethod)
+    pending_aqlm: Dict[tuple, Dict[str, np.ndarray]] = {}
+
+    def to_np(x):
+        if x.dtype == np.dtype("bfloat16") if hasattr(np, "bfloat16") \
+                else False:
+            return x
+        return x
+
+    for name, tensor in _iter_safetensors(model_dir):
+        tensor = np.asarray(tensor)
+        if name in ("model.embed_tokens.weight",):
+            tree["embed_tokens"]["weight"] = tensor
+        elif name in ("lm_head.weight",):
+            tree["lm_head"] = {"weight": tensor.T}
+        elif name == "model.norm.weight":
+            tree["norm"]["weight"] = tensor
+        elif name.startswith("model.layers."):
+            parts = name.split(".")
+            li = int(parts[2])
+            rest = ".".join(parts[3:-1])
+            leaf = parts[-1]
+            ours = _HF_LAYER_MAP.get(rest)
+            if ours is None:
+                logger.warning("unmapped weight %s", name)
+                continue
+            if leaf == "weight" and "layernorm" in ours:
+                tree["layers"][li][ours] = {"weight": tensor}
+            elif leaf in ("codes", "codebooks", "scales"):
+                pending_aqlm.setdefault((li, ours), {})[leaf] = tensor
+            elif leaf == "weight":
+                w = tensor.T  # HF stores [out, in]; we use [in, out]
+                if is_pq or not isinstance(linear_method,
+                                           UnquantizedLinearMethod):
+                    tree["layers"][li][ours] = linear_method.quantize(
+                        w, np.float32)
+                else:
+                    tree["layers"][li][ours] = {"weight": w}
+            elif leaf == "bias":
+                tree["layers"][li][ours + "_bias"] = {"bias": tensor}
+
+    for (li, ours), arts in pending_aqlm.items():
+        tree["layers"][li][ours] = convert_aqlm_artifacts(arts)
+
+    if cfg.tie_word_embeddings:
+        tree.pop("lm_head", None)
+    return _tree_device_put(tree, model.param_specs(), mesh)
+
+
+def convert_aqlm_artifacts(arts: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """AQLM HF layout -> our TPU layout (lossless; see module docstring).
+
+    Reference shapes (aqlm.py:253-316): codes [out, in/g, m] int8/int16
+    (signed, bias 2^(b-1) applied on the unsigned index), codebooks
+    [m, 2^b, out_group=1, g], scales [out, 1, 1, 1].
+    """
+    codes = arts["codes"]
+    codebooks = arts["codebooks"]
+    scales = arts["scales"]
+    m = codes.shape[-1]
+    nbits = {np.dtype(np.int8): 8, np.dtype(np.uint8): 8,
+             np.dtype(np.int16): 16, np.dtype(np.uint16): 16}[codes.dtype]
+    # signed storage: unsigned index = signed + 2^(nbits-1)
+    if codes.dtype in (np.dtype(np.int8), np.dtype(np.int16)):
+        ucodes = codes.astype(np.int32) + (1 << (nbits - 1))
+    else:
+        ucodes = codes.astype(np.int32)
+    udtype = np.uint8 if nbits == 8 else np.uint16
+    ucodes = ucodes.astype(udtype)
+    # [out, J, m] -> [m, J, out]
+    ucodes = np.transpose(ucodes, (2, 1, 0))
+    cb = codebooks.reshape(m, codebooks.shape[1], -1).astype(np.float32)
+    sc = scales.reshape(-1).astype(np.float32)
+    return {"codes": ucodes, "codebooks": cb, "scales": sc}
+
+
+def load_model_params(model, mesh: Mesh, config, linear_method) -> Any:
+    if config.model.load_format == "dummy":
+        return load_dummy(model, mesh, config.model.seed)
+    model_dir = config.model.model
+    if not os.path.isdir(model_dir):
+        raise ValueError(
+            f"model {model_dir!r} is not a local directory; this "
+            "environment has no network access — pass a local path or "
+            "use load_format='dummy'")
+    return load_hf(model, mesh, model_dir, linear_method)

@@ -1,0 +1,92 @@
+"""Model registry (role of reference ``models/registry.py:334,522``).
+
+Maps HF ``architectures[0]`` to a model builder. New families register
+with ``@register_model``.
+"""
+
+import json
+import os
+from typing import Callable, Dict, Tuple
+
+from vllm_pq_tpu.config import EngineConfig
+from vllm_pq_tpu.logger import init_logger
+
+logger = init_logger(__name__)
+
+_REGISTRY: Dict[str, Callable] = {}
+
+
+def register_model(*names):
+    def deco(fn):
+        for n in names:
+            _REGISTRY[n] = fn
+        return fn
+    return deco
+
+
+def _load_hf_config(model_path: str, config: EngineConfig):
+    cfg_file = os.path.join(model_path, "config.json")
+    if os.path.isfile(cfg_file):
+        with open(cfg_file) as f:
+            raw = json.load(f)
+        raw.update(config.model.hf_overrides)
+
+        class _NS:
+            def __init__(self, d):
+                self.__dict__.update(d)
+        return _NS(raw)
+    try:
+        from transformers import AutoConfig
+        hf = AutoConfig.from_pretrained(
+            config.model.model, local_files_only=True,
+            trust_remote_code=config.model.trust_remote_code)
+        for k, v in config.model.hf_overrides.items():
+            setattr(hf, k, v)
+        return hf
+    except Exception:
+        return None
+
+
+@register_model("LlamaForCausalLM", "MistralForCausalLM",
+                "Qwen2ForCausalLM", "TinyLlamaForCausalLM")
+def _build_llama(hf_config, config: EngineConfig, linear_method):
+    from vllm_pq_tpu.models.llama import LlamaConfig, LlamaModel
+    if hf_config is not None:
+        mc = LlamaConfig.from_hf_config(hf_config)
+    else:
+        mc = LlamaConfig()
+    mc.dtype = config.model.jax_dtype
+    if config.scheduler.max_model_len > mc.max_position_embeddings:
+        logger.warning(
+            "max_model_len %d > model max_position_embeddings %d",
+            config.scheduler.max_model_len, mc.max_position_embeddings)
+    return LlamaModel(mc, linear_method)
+
+
+def build_model(config: EngineConfig, linear_method) -> Tuple:
+    """Returns (model, linear_method). Quantization overrides declared in
+    the checkpoint's quantization_config take precedence."""
+    hf = _load_hf_config(config.model.model, config)
+    arch = "LlamaForCausalLM"
+    if hf is not None:
+        archs = getattr(hf, "architectures", None) or [arch]
+        arch = archs[0]
+        qcfg = getattr(hf, "quantization_config", None)
+        if qcfg and qcfg.get("quant_method") == "aqlm":
+            from vllm_pq_tpu.quantization import get_linear_method
+            linear_method = get_linear_method("pq", {
+                "in_group_size": qcfg.get("in_group_size", 8),
+                "nbits_per_codebook": qcfg.get("nbits_per_codebook", 16),
+                "num_codebooks": qcfg.get("num_codebooks", 1),
+            })
+    builder = _REGISTRY.get(arch)
+    if builder is None:
+        raise ValueError(
+            f"Unsupported architecture {arch!r}; supported: "
+            f"{sorted(_REGISTRY)}")
+    model = builder(hf, config, linear_method)
+    return model, linear_method
+
+
+def list_supported_archs():
+    return sorted(_REGISTRY)

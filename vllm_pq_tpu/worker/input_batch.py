@@ -46,6 +46,7 @@ class InputBatch:
         self.frequency_penalty = np.zeros(max_num_reqs, np.float32)
         self.repetition_penalty = np.ones(max_num_reqs, np.float32)
         self.seed = np.zeros(max_num_reqs, np.uint32)
+        self.has_seed = np.zeros(max_num_reqs, bool)
         self.eos_token_id = np.full(max_num_reqs, -1, np.int32)
         self.min_tokens = np.zeros(max_num_reqs, np.int32)
 
@@ -96,6 +97,7 @@ class InputBatch:
         self.frequency_penalty[idx] = sp.frequency_penalty
         self.repetition_penalty[idx] = sp.repetition_penalty
         self.seed[idx] = np.uint32(sp.seed if sp.seed is not None else 0)
+        self.has_seed[idx] = sp.seed is not None
         self.min_tokens[idx] = sp.min_tokens
 
         rid = data.req_id
@@ -184,6 +186,7 @@ class InputBatch:
                     self.num_computed_tokens, self.num_blocks,
                     self.temperature, self.top_k, self.top_p, self.min_p,
                     self.presence_penalty, self.frequency_penalty,
-                    self.repetition_penalty, self.seed, self.eos_token_id,
+                    self.repetition_penalty, self.seed, self.has_seed,
+                    self.eos_token_id,
                     self.min_tokens):
             arr[dst] = arr[src]
