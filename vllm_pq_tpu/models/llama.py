@@ -171,8 +171,14 @@ class LlamaModel:
         """Returns (hidden [T, H], updated kv_caches)."""
         cfg = self.cfg
         tp = jax.lax.psum(1, tp_axis) if tp_axis else 1
+        if cfg.num_attention_heads % tp or cfg.num_key_value_heads % tp:
+            raise ValueError(
+                f"tp={tp} must divide num_attention_heads="
+                f"{cfg.num_attention_heads} and num_key_value_heads="
+                f"{cfg.num_key_value_heads} (kv-head replication is not "
+                "implemented yet)")
         heads = cfg.num_attention_heads // tp
-        kv_heads = max(cfg.num_key_value_heads // tp, 1)
+        kv_heads = cfg.num_key_value_heads // tp
         d = cfg.head_dim
         sm_scale = 1.0 / (d**0.5)
 
