@@ -64,6 +64,11 @@ class EngineArgs:
                 collect_metrics=not self.disable_log_stats),
         )
 
+    # explicit types for Optional[...] fields (defaults of None carry no
+    # type information for argparse)
+    _OPTIONAL_TYPES = {"num_kv_blocks": int, "tokenizer": str,
+                       "quantization": str, "revision": str}
+
     @staticmethod
     def add_cli_args(parser: argparse.ArgumentParser
                      ) -> argparse.ArgumentParser:
@@ -76,10 +81,11 @@ class EngineArgs:
             elif f.name == "hf_overrides":
                 continue
             else:
-                typ = (int if isinstance(f.default, int)
-                       and not isinstance(f.default, bool)
-                       else float if isinstance(f.default, float)
-                       else str)
+                typ = EngineArgs._OPTIONAL_TYPES.get(f.name) or (
+                    int if isinstance(f.default, int)
+                    and not isinstance(f.default, bool)
+                    else float if isinstance(f.default, float)
+                    else str)
                 parser.add_argument(name, type=typ, default=f.default)
         return parser
 

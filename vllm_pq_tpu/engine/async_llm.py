@@ -1,0 +1,143 @@
+"""AsyncLLM: asyncio wrapper over the sync engine (role of reference
+``v1/engine/async_llm.py:39``).
+
+A dedicated engine thread runs the schedule->execute->update loop
+whenever requests exist; finished/streamed outputs are routed to
+per-request asyncio queues on the event loop (the reference's
+output_handler pattern, ``async_llm.py:280+``)."""
+
+import asyncio
+import threading
+from typing import AsyncGenerator, Dict, Optional, Union
+
+from vllm_pq_tpu.config import EngineConfig
+from vllm_pq_tpu.engine.llm_engine import LLMEngine
+from vllm_pq_tpu.logger import init_logger
+from vllm_pq_tpu.outputs import RequestOutput
+from vllm_pq_tpu.sampling_params import RequestOutputKind, SamplingParams
+from vllm_pq_tpu.utils import random_uuid
+
+logger = init_logger(__name__)
+
+
+class EngineDeadError(RuntimeError):
+    pass
+
+
+class AsyncLLM:
+
+    def __init__(self, config: EngineConfig):
+        self.engine = LLMEngine(config)
+        self.config = config
+        self._lock = threading.Lock()
+        self._streams: Dict[str, asyncio.Queue] = {}
+        self._loop: Optional[asyncio.AbstractEventLoop] = None
+        self._wakeup = threading.Event()
+        self._shutdown = False
+        self.dead_error: Optional[BaseException] = None
+        self._thread = threading.Thread(target=self._run_engine,
+                                        name="engine-loop", daemon=True)
+        self._thread.start()
+
+    @classmethod
+    def from_engine_args(cls, engine_args) -> "AsyncLLM":
+        return cls(engine_args.create_engine_config())
+
+    @property
+    def errored(self) -> bool:
+        return self.dead_error is not None
+
+    # ------------------------------------------------------------------
+
+    def _run_engine(self) -> None:
+        while not self._shutdown:
+            with self._lock:
+                busy = self.engine.has_unfinished_requests()
+                if busy:
+                    try:
+                        outputs = self.engine.step()
+                    except BaseException as e:  # engine death => fail fast
+                        logger.exception("engine loop died")
+                        self.dead_error = e
+                        self._fail_all_streams(e)
+                        return
+                    for out in outputs:
+                        self._route(out)
+            if not busy:
+                self._wakeup.wait(timeout=0.005)
+                self._wakeup.clear()
+
+    def _route(self, out: RequestOutput) -> None:
+        q = self._streams.get(out.request_id)
+        if q is None or self._loop is None:
+            return
+        self._loop.call_soon_threadsafe(q.put_nowait, out)
+        if out.finished:
+            self._streams.pop(out.request_id, None)
+
+    def _fail_all_streams(self, e: BaseException) -> None:
+        if self._loop is None:
+            return
+        for q in list(self._streams.values()):
+            self._loop.call_soon_threadsafe(q.put_nowait, e)
+        self._streams.clear()
+
+    # ------------------------------------------------------------------
+
+    async def generate(
+        self,
+        prompt: Union[str, dict],
+        sampling_params: SamplingParams,
+        request_id: Optional[str] = None,
+    ) -> AsyncGenerator[RequestOutput, None]:
+        if self.errored:
+            raise EngineDeadError() from self.dead_error
+        request_id = request_id or random_uuid()
+        self._loop = asyncio.get_running_loop()
+        q: asyncio.Queue = asyncio.Queue()
+        self._streams[request_id] = q
+        try:
+            with self._lock:
+                self.engine.add_request(request_id, prompt,
+                                        sampling_params)
+            self._wakeup.set()
+            while True:
+                item = await q.get()
+                if isinstance(item, BaseException):
+                    raise EngineDeadError() from item
+                yield item
+                if item.finished:
+                    return
+        finally:
+            if request_id in self._streams:
+                self._streams.pop(request_id, None)
+                with self._lock:
+                    self.engine.abort_request(request_id)
+
+    async def abort(self, request_id: str) -> None:
+        self._streams.pop(request_id, None)
+        with self._lock:
+            self.engine.abort_request(request_id)
+
+    # -- admin -----------------------------------------------------------
+
+    def get_tokenizer(self):
+        return self.engine.tokenizer
+
+    async def get_stats(self) -> dict:
+        with self._lock:
+            return self.engine.get_stats()
+
+    async def reset_prefix_cache(self) -> bool:
+        with self._lock:
+            return self.engine.reset_prefix_cache()
+
+    def start_profile(self) -> None:
+        self.engine.start_profile()
+
+    def stop_profile(self) -> None:
+        self.engine.stop_profile()
+
+    def shutdown(self) -> None:
+        self._shutdown = True
+        self._wakeup.set()

@@ -1,0 +1,430 @@
+"""OpenAI-compatible API server on aiohttp (role of reference
+``entrypoints/openai/api_server.py:269-694``; FastAPI is not available in
+this image, aiohttp is).
+
+Endpoints: /v1/completions, /v1/chat/completions (SSE streaming),
+/v1/models, /v1/embeddings (501), /health, /ping, /version, /tokenize,
+/detokenize, /metrics, /reset_prefix_cache, /start_profile,
+/stop_profile, /invocations (SageMaker alias). ``--api-key`` adds bearer
+auth; every response carries an X-Request-Id.
+"""
+
+import argparse
+import asyncio
+import json
+import time
+from typing import AsyncGenerator, List, Optional, Union
+
+from aiohttp import web
+
+from vllm_pq_tpu.engine.arg_utils import EngineArgs
+from vllm_pq_tpu.engine.async_llm import AsyncLLM, EngineDeadError
+from vllm_pq_tpu.logger import init_logger
+from vllm_pq_tpu.sampling_params import RequestOutputKind, SamplingParams
+from vllm_pq_tpu.utils import random_uuid
+from vllm_pq_tpu.version import __version__
+
+logger = init_logger(__name__)
+
+ENGINE_KEY = web.AppKey("engine", AsyncLLM)
+MODEL_KEY = web.AppKey("model_name", str)
+
+
+def _error(status: int, message: str, etype: str = "invalid_request_error"):
+    return web.json_response(
+        {"error": {"message": message, "type": etype, "code": status}},
+        status=status)
+
+
+def _sampling_from_request(body: dict, defaults_max: int = 16,
+                           chat: bool = False) -> SamplingParams:
+    stop = body.get("stop")
+    return SamplingParams(
+        n=body.get("n", 1),
+        temperature=body.get("temperature", 1.0),
+        top_p=body.get("top_p", 1.0),
+        top_k=body.get("top_k", 0),
+        min_p=body.get("min_p", 0.0),
+        presence_penalty=body.get("presence_penalty", 0.0),
+        frequency_penalty=body.get("frequency_penalty", 0.0),
+        repetition_penalty=body.get("repetition_penalty", 1.0),
+        seed=body.get("seed"),
+        stop=stop,
+        stop_token_ids=body.get("stop_token_ids"),
+        ignore_eos=body.get("ignore_eos", False),
+        max_tokens=body.get("max_completion_tokens" if chat else None)
+        or body.get("max_tokens", defaults_max),
+        min_tokens=body.get("min_tokens", 0),
+        logprobs=(body.get("top_logprobs") if chat
+                  else body.get("logprobs")),
+        skip_special_tokens=body.get("skip_special_tokens", True),
+        include_stop_str_in_output=body.get(
+            "include_stop_str_in_output", False),
+        output_kind=RequestOutputKind.CUMULATIVE,
+    )
+
+
+# ---------------------------------------------------------------------------
+# handlers
+
+
+async def health(request: web.Request) -> web.Response:
+    engine = request.app[ENGINE_KEY]
+    if engine.errored:
+        return _error(500, "engine dead", "internal_error")
+    return web.Response(status=200)
+
+
+async def ping(request: web.Request) -> web.Response:
+    return await health(request)
+
+
+async def version(request: web.Request) -> web.Response:
+    return web.json_response({"version": __version__})
+
+
+async def models(request: web.Request) -> web.Response:
+    name = request.app[MODEL_KEY]
+    return web.json_response({
+        "object": "list",
+        "data": [{"id": name, "object": "model",
+                  "created": int(time.time()), "owned_by": "vllm_pq_tpu"}],
+    })
+
+
+async def tokenize(request: web.Request) -> web.Response:
+    body = await request.json()
+    tok = request.app[ENGINE_KEY].get_tokenizer()
+    text = body.get("prompt") or body.get("text", "")
+    ids = tok.encode(text)
+    return web.json_response({"tokens": ids, "count": len(ids),
+                              "max_model_len":
+                              request.app["max_model_len"]})
+
+
+async def detokenize(request: web.Request) -> web.Response:
+    body = await request.json()
+    tok = request.app[ENGINE_KEY].get_tokenizer()
+    text = tok.decode(body.get("tokens", []))
+    return web.json_response({"prompt": text})
+
+
+async def metrics(request: web.Request) -> web.Response:
+    try:
+        from prometheus_client import generate_latest
+        return web.Response(body=generate_latest(),
+                            content_type="text/plain")
+    except Exception:
+        return web.Response(status=501)
+
+
+async def reset_prefix_cache(request: web.Request) -> web.Response:
+    ok = await request.app[ENGINE_KEY].reset_prefix_cache()
+    return web.json_response({"success": bool(ok)})
+
+
+async def start_profile(request: web.Request) -> web.Response:
+    request.app[ENGINE_KEY].start_profile()
+    return web.Response(status=200)
+
+
+async def stop_profile(request: web.Request) -> web.Response:
+    request.app[ENGINE_KEY].stop_profile()
+    return web.Response(status=200)
+
+
+async def load_stats(request: web.Request) -> web.Response:
+    return web.json_response(await request.app[ENGINE_KEY].get_stats())
+
+
+# -- completions -------------------------------------------------------------
+
+
+def _completion_chunk(rid, model, out, text_delta, idx, finish):
+    return {
+        "id": rid, "object": "text_completion",
+        "created": int(time.time()), "model": model,
+        "choices": [{"index": idx, "text": text_delta,
+                     "logprobs": None, "finish_reason": finish}],
+    }
+
+
+async def completions(request: web.Request) -> web.StreamResponse:
+    engine = request.app[ENGINE_KEY]
+    model_name = request.app[MODEL_KEY]
+    try:
+        body = await request.json()
+    except Exception:
+        return _error(400, "invalid JSON body")
+    prompt = body.get("prompt")
+    if prompt is None:
+        return _error(400, "missing 'prompt'")
+    if isinstance(prompt, list) and prompt and isinstance(prompt[0], int):
+        prompt = {"prompt_token_ids": prompt}
+    elif isinstance(prompt, list):
+        prompt = prompt[0] if len(prompt) == 1 else prompt
+    if isinstance(prompt, list):
+        return _error(400, "batched prompts: send one request per prompt")
+    try:
+        sp = _sampling_from_request(body)
+    except ValueError as e:
+        return _error(400, str(e))
+    stream = bool(body.get("stream", False))
+    rid = f"cmpl-{random_uuid()}"
+
+    if sp.n > 1 and stream:
+        return _error(400, "stream with n>1 is not supported yet")
+
+    try:
+        if stream:
+            resp = web.StreamResponse(headers={
+                "Content-Type": "text/event-stream",
+                "Cache-Control": "no-cache",
+                "X-Request-Id": rid})
+            await resp.prepare(request)
+            sent = 0
+            async for out in engine.generate(prompt, sp, rid):
+                c = out.outputs[0]
+                delta = c.text[sent:]
+                sent = len(c.text)
+                chunk = _completion_chunk(
+                    rid, model_name, out, delta, 0,
+                    c.finish_reason if out.finished else None)
+                await resp.write(
+                    f"data: {json.dumps(chunk)}\n\n".encode())
+            await resp.write(b"data: [DONE]\n\n")
+            await resp.write_eof()
+            return resp
+
+        # non-streaming (n>1 via fan-out)
+        finals = []
+        if sp.n == 1:
+            async for out in engine.generate(prompt, sp, rid):
+                if out.finished:
+                    finals.append((0, out))
+        else:
+            async def run_child(i):
+                child = sp.clone()
+                child.n = 1
+                if sp.seed is not None:
+                    child.seed = sp.seed + i
+                async for out in engine.generate(prompt, child,
+                                                 f"{rid}-{i}"):
+                    if out.finished:
+                        return (i, out)
+            finals = await asyncio.gather(
+                *[run_child(i) for i in range(sp.n)])
+        choices = []
+        prompt_tokens = comp_tokens = 0
+        for i, out in sorted(finals):
+            c = out.outputs[0]
+            prompt_tokens = len(out.prompt_token_ids)
+            comp_tokens += len(c.token_ids)
+            choices.append({
+                "index": i, "text": c.text,
+                "logprobs": _fmt_logprobs(c, engine) if sp.logprobs
+                else None,
+                "finish_reason": c.finish_reason,
+                "stop_reason": c.stop_reason,
+            })
+        return web.json_response({
+            "id": rid, "object": "text_completion",
+            "created": int(time.time()), "model": model_name,
+            "choices": choices,
+            "usage": {"prompt_tokens": prompt_tokens,
+                      "completion_tokens": comp_tokens,
+                      "total_tokens": prompt_tokens + comp_tokens},
+        }, headers={"X-Request-Id": rid})
+    except EngineDeadError:
+        return _error(500, "engine dead", "internal_error")
+    except ValueError as e:
+        return _error(400, str(e))
+
+
+def _fmt_logprobs(c, engine):
+    if not c.logprobs:
+        return None
+    tok = engine.get_tokenizer()
+    out = {"tokens": [], "token_logprobs": [], "top_logprobs": [],
+           "text_offset": []}
+    for tid, entry in zip(c.token_ids, c.logprobs):
+        out["tokens"].append(tok.decode([tid]))
+        lp = entry.get(tid)
+        out["token_logprobs"].append(lp.logprob if lp else None)
+        out["top_logprobs"].append(
+            {tok.decode([t]): e.logprob for t, e in entry.items()})
+        out["text_offset"].append(0)
+    return out
+
+
+# -- chat --------------------------------------------------------------------
+
+
+async def chat_completions(request: web.Request) -> web.StreamResponse:
+    engine = request.app[ENGINE_KEY]
+    model_name = request.app[MODEL_KEY]
+    try:
+        body = await request.json()
+    except Exception:
+        return _error(400, "invalid JSON body")
+    messages = body.get("messages")
+    if not messages:
+        return _error(400, "missing 'messages'")
+    tok = engine.get_tokenizer()
+    try:
+        prompt = tok.apply_chat_template(messages, tokenize=False,
+                                         add_generation_prompt=True)
+    except Exception as e:
+        return _error(400, f"chat template failed: {e}")
+    try:
+        sp = _sampling_from_request(body, defaults_max=256, chat=True)
+    except ValueError as e:
+        return _error(400, str(e))
+    stream = bool(body.get("stream", False))
+    rid = f"chatcmpl-{random_uuid()}"
+
+    try:
+        if stream:
+            resp = web.StreamResponse(headers={
+                "Content-Type": "text/event-stream",
+                "Cache-Control": "no-cache",
+                "X-Request-Id": rid})
+            await resp.prepare(request)
+            first = {"id": rid, "object": "chat.completion.chunk",
+                     "created": int(time.time()), "model": model_name,
+                     "choices": [{"index": 0,
+                                  "delta": {"role": "assistant",
+                                            "content": ""},
+                                  "finish_reason": None}]}
+            await resp.write(f"data: {json.dumps(first)}\n\n".encode())
+            sent = 0
+            async for out in engine.generate(prompt, sp, rid):
+                c = out.outputs[0]
+                delta = c.text[sent:]
+                sent = len(c.text)
+                if delta or out.finished:
+                    chunk = {
+                        "id": rid, "object": "chat.completion.chunk",
+                        "created": int(time.time()), "model": model_name,
+                        "choices": [{"index": 0,
+                                     "delta": ({"content": delta}
+                                               if delta else {}),
+                                     "finish_reason":
+                                     c.finish_reason if out.finished
+                                     else None}]}
+                    await resp.write(
+                        f"data: {json.dumps(chunk)}\n\n".encode())
+            await resp.write(b"data: [DONE]\n\n")
+            await resp.write_eof()
+            return resp
+
+        final = None
+        async for out in engine.generate(prompt, sp, rid):
+            if out.finished:
+                final = out
+        c = final.outputs[0]
+        return web.json_response({
+            "id": rid, "object": "chat.completion",
+            "created": int(time.time()), "model": model_name,
+            "choices": [{
+                "index": 0,
+                "message": {"role": "assistant", "content": c.text},
+                "finish_reason": c.finish_reason,
+            }],
+            "usage": {
+                "prompt_tokens": len(final.prompt_token_ids),
+                "completion_tokens": len(c.token_ids),
+                "total_tokens": (len(final.prompt_token_ids) +
+                                 len(c.token_ids)),
+            },
+        }, headers={"X-Request-Id": rid})
+    except EngineDeadError:
+        return _error(500, "engine dead", "internal_error")
+    except ValueError as e:
+        return _error(400, str(e))
+
+
+async def embeddings(request: web.Request) -> web.Response:
+    return _error(501, "embedding models are not supported yet",
+                  "not_implemented")
+
+
+async def invocations(request: web.Request) -> web.StreamResponse:
+    """SageMaker-style alias: route by body shape."""
+    body = await request.json()
+    if "messages" in body:
+        return await chat_completions(request)
+    return await completions(request)
+
+
+# ---------------------------------------------------------------------------
+
+
+@web.middleware
+async def request_id_middleware(request: web.Request, handler):
+    resp = await handler(request)
+    if "X-Request-Id" not in resp.headers:
+        resp.headers["X-Request-Id"] = random_uuid()
+    return resp
+
+
+def build_app(engine: AsyncLLM, model_name: str, max_model_len: int,
+              api_key: Optional[str] = None) -> web.Application:
+    middlewares = [request_id_middleware]
+    if api_key:
+        @web.middleware
+        async def auth(request: web.Request, handler):
+            if request.path.startswith("/v1"):
+                hdr = request.headers.get("Authorization", "")
+                if hdr != f"Bearer {api_key}":
+                    return _error(401, "invalid API key",
+                                  "authentication_error")
+            return await handler(request)
+        middlewares.append(auth)
+
+    app = web.Application(middlewares=middlewares,
+                          client_max_size=32 * 2**20)
+    app[ENGINE_KEY] = engine
+    app[MODEL_KEY] = model_name
+    app["max_model_len"] = max_model_len
+    app.router.add_get("/health", health)
+    app.router.add_get("/ping", ping)
+    app.router.add_post("/ping", ping)
+    app.router.add_get("/version", version)
+    app.router.add_get("/v1/models", models)
+    app.router.add_post("/v1/completions", completions)
+    app.router.add_post("/v1/chat/completions", chat_completions)
+    app.router.add_post("/v1/embeddings", embeddings)
+    app.router.add_post("/tokenize", tokenize)
+    app.router.add_post("/detokenize", detokenize)
+    app.router.add_get("/metrics", metrics)
+    app.router.add_get("/load", load_stats)
+    app.router.add_post("/reset_prefix_cache", reset_prefix_cache)
+    app.router.add_post("/start_profile", start_profile)
+    app.router.add_post("/stop_profile", stop_profile)
+    app.router.add_post("/invocations", invocations)
+    return app
+
+
+def make_arg_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser("vllm_pq_tpu OpenAI API server")
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--api-key", default=None)
+    parser.add_argument("--served-model-name", default=None)
+    EngineArgs.add_cli_args(parser)
+    return parser
+
+
+def run_server(args) -> None:
+    engine_args = EngineArgs.from_cli_args(args)
+    engine = AsyncLLM(engine_args.create_engine_config())
+    name = args.served_model_name or args.model
+    app = build_app(engine, name, engine_args.max_model_len,
+                    api_key=args.api_key)
+    logger.info("serving %s on %s:%d", name, args.host, args.port)
+    web.run_app(app, host=args.host, port=args.port, print=None)
+
+
+if __name__ == "__main__":
+    run_server(make_arg_parser().parse_args())
