@@ -127,6 +127,17 @@ def test_pallas_gqa():
     np.testing.assert_allclose(got, oracle, rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.parametrize("d,hq,kvh", [(64, 8, 4), (64, 32, 4), (32, 8, 2)])
+def test_pallas_small_head_dim(d, hq, kvh):
+    """head_dim < 128 uses the lane-packed KV view (TinyLlama d=64)."""
+    args, oracle, t = build_case(5, [3, 1, 9], [20, 40, 9], hq=hq, kvh=kvh,
+                                 d=d, t_pad=32)
+    got = np.asarray(
+        ragged_paged_attention_pallas(*args, sm_scale=0.5,
+                                      interpret=True))[:t]
+    np.testing.assert_allclose(got, oracle, rtol=2e-3, atol=2e-3)
+
+
 def test_sliding_window():
     args, oracle, t = build_case(3, [1, 3], [60, 30], t_pad=32)
     oracle = numpy_oracle

@@ -18,6 +18,17 @@ role of the reference's ``torch.ops.xla.ragged_paged_attention``,
 
 KV layout: ``[num_pages, page_size, 2*num_kv_heads, head_dim]``, K even /
 V odd — see ``ops/attention.py``.
+
+Head dims below 128 (e.g. 64 for TinyLlama/Llama-2-7B-ish models) cannot
+be DMA'd as HBM lane slices (Mosaic requires 128-aligned last-dim
+slices). For ``head_dim * pack == 128`` the page layout is viewed as
+``[P, ps, 2*KVH/pack, 128]`` — K/V of one head already share a 128-lane
+group, so this is a free reshape — q is zero-padded into the K lanes,
+and the score/PV matmuls run on full 128-wide tiles (which the MXU pads
+to anyway; no extra FLOP cost). The V half of the accumulator is
+extracted once per sequence in the epilogue. The reference's torch_xla
+kernel simply forbids these models (``v1/attention/backends/pallas.py:
+98-110`` requires head_size % 128); supporting them is deliberate.
 """
 
 import functools
@@ -46,8 +57,8 @@ def _rpa_kernel(
     # outputs
     out_ref,            # [TQ, HQ, D] VMEM (block)
     # scratch
-    kv_buf,             # [2, ps*ppb, 2*KVH, D] VMEM
-    acc_ref,            # [KVH, TQ*rep, D] f32
+    kv_buf,             # [2, ps*ppb, C, LANES] VMEM
+    acc_ref,            # [KVH, TQ*rep, LANES] f32
     m_ref,              # [KVH, TQ*rep, 128] f32 (max, col-bcast)
     l_ref,              # [KVH, TQ*rep, 128] f32 (denominator)
     sems,               # DMA sems [2]
@@ -59,6 +70,8 @@ def _rpa_kernel(
     page_size: int,
     pages_per_blk: int,
     pages_per_seq: int,
+    head_dim: int,
+    pack: int,          # heads-per-128-lane-group packing (1 if D%128==0)
     sliding_window: Optional[int],
     soft_cap: Optional[float],
 ):
@@ -123,11 +136,18 @@ def _rpa_kernel(
                 mask &= col_ids > (qpos - sliding_window)
 
             for h in range(num_kv_heads):
-                # q rows for this head group: [TQ, rep, D] -> [TQ*rep, D]
+                # q rows for this head group: [TQ, rep, D|128] ->
+                # [TQ*rep, D|128] (pack>1: q pre-padded into the K lanes)
                 qh = q_ref[:, h * rep:(h + 1) * rep, :].reshape(
                     tile_q * rep, -1)
-                k = kv_buf[slot, :, 2 * h, :]      # [L, D]
-                v = kv_buf[slot, :, 2 * h + 1, :]  # [L, D]
+                if pack == 1:
+                    k = kv_buf[slot, :, 2 * h, :]      # [L, D]
+                    v = kv_buf[slot, :, 2 * h + 1, :]  # [L, D]
+                else:
+                    # packed: one [L, 128] tile holds this head's K and V
+                    # lanes; zero q-lanes cancel the V columns in scores.
+                    k = kv_buf[slot, :, (2 * h * head_dim) // 128, :]
+                    v = k
                 scores = jax.lax.dot_general(
                     qh.astype(jnp.float32) * sm_scale,
                     k.astype(jnp.float32),
@@ -159,7 +179,11 @@ def _rpa_kernel(
         # write masked rows of this sequence to the output block
         for h in range(num_kv_heads):
             l = l_ref[h, :, 0:1]
-            res = acc_ref[h] / jnp.where(l == 0.0, 1.0, l)  # [TQ*rep, D]
+            res = acc_ref[h] / jnp.where(l == 0.0, 1.0, l)  # [TQ*rep, D|128]
+            if pack > 1:
+                # extract this head's V lanes from the packed accumulator
+                off_v = ((2 * h + 1) * head_dim) % 128
+                res = res[:, off_v:off_v + head_dim]
             res = res.reshape(tile_q, rep, -1).astype(out_ref.dtype)
             rv = row_valid.reshape(tile_q, rep, 1)
             cur = out_ref[:, h * rep:(h + 1) * rep, :]
@@ -194,13 +218,31 @@ def ragged_paged_attention_pallas(
     kvh = ckv // 2
     rep = hq // kvh
     s, pages_per_seq = page_indices.shape
-    tile_q = num_queries_per_block
+    tile_q = min(num_queries_per_block, t)
     assert t % tile_q == 0, (t, tile_q)
     ppb = min(num_kv_pages_per_block, pages_per_seq)
     # the last (partial) kv block still DMAs ppb pages; the runner pads
     # page tables with null page 0, so the table must cover a whole block
     assert pages_per_seq % ppb == 0, (pages_per_seq, ppb)
     n_q_blks = t // tile_q
+
+    # Lane packing for head_dim < 128 (see module docstring).
+    if d % 128 == 0:
+        pack = 1
+        q_in = q
+    else:
+        assert 128 % d == 0, f"head_dim {d} must divide or be a multiple " \
+                             "of 128"
+        pack = 128 // d
+        assert ckv % pack == 0, (ckv, pack)
+        kv_pages = kv_pages.reshape(p, ps, ckv // pack, 128)
+        # place each q head's values into its K lanes, zeros elsewhere
+        q_in = jnp.zeros((t, hq, 128), q.dtype)
+        head_kv = np.arange(hq) // rep
+        offs = (2 * head_kv * d) % 128
+        for o in sorted(set(offs.tolist())):
+            sel = np.where(offs == o)[0]
+            q_in = q_in.at[:, sel, o:o + d].set(q[:, sel, :])
 
     # seq_range per q block is data-dependent on cu_q_lens; computed
     # jit-side (tiny) so the op stays a pure function of its args.
@@ -220,19 +262,20 @@ def ragged_paged_attention_pallas(
     last1 = jnp.max(jnp.where(inter, sidx + 1, 0), axis=1)
     seq_range = jnp.stack([first, last1], axis=1).reshape(-1)
 
+    lanes = d if pack == 1 else 128
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(n_q_blks,),
         in_specs=[
-            pl.BlockSpec((tile_q, hq, d), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((tile_q, hq, lanes), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((tile_q, hq, d), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, ps * ppb, ckv, d), kv_pages.dtype),
-            pltpu.VMEM((kvh, tile_q * rep, d), jnp.float32),
+            pltpu.VMEM((2, ps * ppb, ckv // pack, lanes), kv_pages.dtype),
+            pltpu.VMEM((kvh, tile_q * rep, lanes), jnp.float32),
             pltpu.VMEM((kvh, tile_q * rep, 128), jnp.float32),
             pltpu.VMEM((kvh, tile_q * rep, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2, ppb)),
@@ -247,6 +290,8 @@ def ragged_paged_attention_pallas(
         page_size=ps,
         pages_per_blk=ppb,
         pages_per_seq=pages_per_seq,
+        head_dim=d,
+        pack=pack,
         sliding_window=sliding_window,
         soft_cap=soft_cap,
     )
@@ -256,5 +301,5 @@ def ragged_paged_attention_pallas(
         out_shape=jax.ShapeDtypeStruct((t, hq, d), q.dtype),
         interpret=interpret,
     )(kv_lens, page_indices.reshape(-1), cu_q_lens, seq_range,
-      q, kv_pages)
+      q_in, kv_pages)
     return out
