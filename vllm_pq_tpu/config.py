@@ -116,6 +116,33 @@ class SchedulerConfig:
 
 
 @dataclass
+class SpeculativeConfig:
+    """Speculative decoding (role of reference SpeculativeConfig,
+    ``vllm/config.py:1781``; V1 scope = ngram prompt-lookup proposer +
+    on-device verification, ``v1/spec_decode/ngram_proposer.py`` and
+    ``v1/sample/rejection_sampler.py``)."""
+
+    # Proposer: None disables spec decode; "ngram" = prompt-lookup.
+    method: Optional[str] = None
+    num_spec_tokens: int = 0
+    # ngram window: match the last n in [min, max] tokens against history.
+    prompt_lookup_min: int = 2
+    prompt_lookup_max: int = 4
+
+    def __post_init__(self):
+        if self.method is not None and self.method != "ngram":
+            raise ValueError(f"Unknown speculative method {self.method!r}")
+        if self.method and self.num_spec_tokens <= 0:
+            self.num_spec_tokens = 3
+        if self.prompt_lookup_min > self.prompt_lookup_max:
+            raise ValueError("prompt_lookup_min > prompt_lookup_max")
+
+    @property
+    def enabled(self) -> bool:
+        return self.method is not None and self.num_spec_tokens > 0
+
+
+@dataclass
 class DeviceConfig:
     """Which jax platform to run on. "auto" picks tpu when present."""
 
@@ -181,6 +208,7 @@ class EngineConfig:
     observability: ObservabilityConfig = field(
         default_factory=ObservabilityConfig)
     compilation: CompilationConfig = field(default_factory=CompilationConfig)
+    speculative: SpeculativeConfig = field(default_factory=SpeculativeConfig)
 
     def __post_init__(self):
         self.compilation.derive(self.scheduler)

@@ -74,6 +74,8 @@ class Scheduler:
 
         # stats
         self.num_preemptions = 0
+        self.spec_stats_proposed = 0
+        self.spec_stats_accepted = 0
 
     # ------------------------------------------------------------------
     # request lifecycle
@@ -118,10 +120,16 @@ class Scheduler:
         req_index = 0
         while req_index < len(self.running) and token_budget > 0:
             request = self.running[req_index]
-            num_new_tokens = request.num_tokens - request.num_computed_tokens
-            num_new_tokens = min(num_new_tokens, token_budget)
+            # spec tokens ride along with the decode token (reference
+            # v1/core/scheduler.py:194-203)
+            num_real = request.num_tokens - request.num_computed_tokens
+            num_new_tokens = num_real + len(request.spec_token_ids)
+            num_new_tokens = min(num_new_tokens, token_budget,
+                                 self.max_model_len -
+                                 request.num_computed_tokens)
             assert num_new_tokens > 0, (
                 "running request with nothing to compute")
+            num_spec = max(0, num_new_tokens - num_real)
 
             new_blocks = None
             while True:
@@ -152,10 +160,16 @@ class Scheduler:
             output.num_scheduled_tokens[request.request_id] = num_new_tokens
             output.total_num_scheduled_tokens += num_new_tokens
             token_budget -= num_new_tokens
+            if num_spec:
+                output.scheduled_spec_decode_tokens[request.request_id] = \
+                    request.spec_token_ids[:num_spec]
             output.scheduled_cached_reqs.append(
                 CachedRequestData(
                     req_id=request.request_id,
                     resumed_from_preemption=False,
+                    # drafts are not in all_token_ids; the slice naturally
+                    # truncates to the real tokens (drafts travel via
+                    # scheduled_spec_decode_tokens)
                     new_token_ids=request.all_token_ids[
                         request.num_computed_tokens:
                         request.num_computed_tokens + num_new_tokens],
@@ -247,7 +261,21 @@ class Scheduler:
             if num_scheduled is None:
                 new_running.append(request)
                 continue
-            request.num_computed_tokens += num_scheduled
+            num_draft = len(scheduler_output.scheduled_spec_decode_tokens
+                            .get(req_id, ()))
+            if num_draft:
+                # rejected drafts were computed but their KV is invalid:
+                # roll num_computed back by (num_draft + 1 - num_generated)
+                # (reference v1/core/scheduler.py:517-523)
+                num_generated = len(
+                    runner_output.sampled_token_ids.get(req_id, ()))
+                request.num_computed_tokens += (
+                    num_scheduled - (num_draft + 1 - num_generated))
+                self.spec_stats_proposed += num_draft
+                self.spec_stats_accepted += num_generated - 1
+            else:
+                request.num_computed_tokens += num_scheduled
+            request.spec_token_ids = []
 
             if request.num_computed_tokens < request.num_tokens:
                 # partial prefill: sampled token is not valid yet
@@ -322,4 +350,6 @@ class Scheduler:
             "prefix_cache_queries": pool.query_count,
             "prefix_cache_hits": pool.hit_count,
             "num_preemptions": self.num_preemptions,
+            "spec_tokens_proposed": self.spec_stats_proposed,
+            "spec_tokens_accepted": self.spec_stats_accepted,
         }

@@ -43,6 +43,11 @@ class SchedulerOutput:
     num_scheduled_tokens: Dict[str, int] = field(default_factory=dict)
     total_num_scheduled_tokens: int = 0
     finished_req_ids: Set[str] = field(default_factory=set)
+    # req_id -> draft tokens scheduled for verification this step (their
+    # count is included in num_scheduled_tokens; reference
+    # scheduler_output.py:89-113).
+    scheduled_spec_decode_tokens: Dict[str, List[int]] = field(
+        default_factory=dict)
     # prefix-cache stats for metrics
     num_cached_tokens: int = 0
 

@@ -8,7 +8,7 @@ from typing import Any, Dict, Optional
 from vllm_pq_tpu.config import (CacheConfig, CompilationConfig, DeviceConfig,
                                 EngineConfig, ModelConfig,
                                 ObservabilityConfig, ParallelConfig,
-                                SchedulerConfig)
+                                SchedulerConfig, SpeculativeConfig)
 
 
 @dataclass
@@ -37,6 +37,12 @@ class EngineArgs:
     device: str = "auto"
     disable_log_stats: bool = False
 
+    # speculative decoding (ngram prompt-lookup)
+    speculative_method: Optional[str] = None
+    num_speculative_tokens: int = 0
+    prompt_lookup_min: int = 2
+    prompt_lookup_max: int = 4
+
     def create_engine_config(self) -> EngineConfig:
         return EngineConfig(
             model=ModelConfig(
@@ -62,12 +68,18 @@ class EngineArgs:
             device=DeviceConfig(device=self.device),
             observability=ObservabilityConfig(
                 collect_metrics=not self.disable_log_stats),
+            speculative=SpeculativeConfig(
+                method=self.speculative_method,
+                num_spec_tokens=self.num_speculative_tokens,
+                prompt_lookup_min=self.prompt_lookup_min,
+                prompt_lookup_max=self.prompt_lookup_max),
         )
 
     # explicit types for Optional[...] fields (defaults of None carry no
     # type information for argparse)
     _OPTIONAL_TYPES = {"num_kv_blocks": int, "tokenizer": str,
-                       "quantization": str, "revision": str}
+                       "quantization": str, "revision": str,
+                       "speculative_method": str}
 
     @staticmethod
     def add_cli_args(parser: argparse.ArgumentParser

@@ -25,6 +25,14 @@ class EngineCore:
                                    num_blocks)
         # eos metadata for requests not yet sent to the runner
         self._pending_meta: Dict[str, tuple] = {}
+        # speculative decoding: host-side draft proposer
+        self.proposer = None
+        if config.speculative.enabled:
+            from vllm_pq_tpu.spec_decode import NgramProposer
+            sc = config.speculative
+            self.proposer = NgramProposer(sc.prompt_lookup_min,
+                                          sc.prompt_lookup_max,
+                                          sc.num_spec_tokens)
 
     # ------------------------------------------------------------------
 
@@ -57,7 +65,30 @@ class EngineCore:
                     req_id=rid, new_token_ids=[],
                     finish_reason="length", stop_reason="kv_capacity"))
             self.scheduler.ignored_req_ids.clear()
+        if self.proposer is not None:
+            self._propose_drafts()
         return outputs
+
+    def _propose_drafts(self) -> None:
+        """Attach ngram drafts to decode-phase requests for the next step.
+
+        Drafting is restricted to exact-verifiable rows: greedy, no
+        logprobs, no penalties, past min_tokens (the verification sampler
+        applies none of those transforms to positions > 0)."""
+        for req in self.scheduler.running:
+            req.spec_token_ids = []
+            if req.num_computed_tokens != req.num_tokens - 1:
+                continue  # still prefilling
+            sp = req.sampling_params
+            if (sp.temperature > 0 or sp.logprobs is not None
+                    or sp.presence_penalty != 0
+                    or sp.frequency_penalty != 0
+                    or sp.repetition_penalty != 1.0
+                    or req.num_output_tokens < sp.min_tokens):
+                continue
+            drafts = self.proposer.propose(req.all_token_ids)
+            if drafts:
+                req.spec_token_ids = drafts
 
     # -- utility RPCs (role of reference EngineCore utility methods) ----
 

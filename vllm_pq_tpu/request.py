@@ -65,6 +65,9 @@ class Request:
         self.num_computed_tokens = 0
         # Number of times this request was preempted (recompute).
         self.num_preemptions = 0
+        # Draft tokens proposed for the next step (speculative decoding);
+        # transient — consumed by the scheduler, verified by the runner.
+        self.spec_token_ids: List[int] = []
         # Cumulative logprob of generated tokens (None unless requested).
         self.cumulative_logprob: Optional[float] = (
             0.0 if sampling_params.logprobs is not None else None)

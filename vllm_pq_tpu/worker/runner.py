@@ -91,6 +91,9 @@ class ModelRunner:
         self._sample_general = None
         self._step_count = 0
         self._rng_key = jax.random.PRNGKey(config.model.seed)
+        # speculative decoding: verify K drafts + 1 bonus token per row
+        self.spec_k = (config.speculative.num_spec_tokens
+                       if config.speculative.enabled else 0)
 
         # scratch host arrays reused across steps
         self._tok = np.zeros(self.token_buckets[-1], np.int32)
@@ -151,6 +154,33 @@ class ModelRunner:
             self._samplers[key] = fn
         return fn
 
+    def _get_spec_sampler(self, greedy: bool, num_logprobs: int):
+        key = ("spec", greedy, num_logprobs)
+        if not hasattr(self, "_samplers"):
+            self._samplers = {}
+        fn = self._samplers.get(key)
+        if fn is None:
+            from vllm_pq_tpu.layers.rejection import verify_and_sample
+            s = self.max_num_reqs
+            k1 = self.spec_k + 1
+
+            @jax.jit
+            def run(logits, drafts, num_drafts, state, step_key):
+                l3 = logits.reshape(s, k1, -1)
+                toks, gens = verify_and_sample(
+                    l3, drafts, num_drafts, state, step_key,
+                    all_greedy=greedy)
+                if num_logprobs > 0:
+                    # logprob rows never carry drafts, so their position-0
+                    # logits/token are exact
+                    ids, vals, rank = compute_logprobs(
+                        l3[:, 0], toks[:, 0], num_logprobs)
+                    return toks, gens, ids, vals, rank
+                return toks, gens, None, None, None
+            fn = run
+            self._samplers[key] = fn
+        return fn
+
     # ------------------------------------------------------------------
     # per-step host logic
 
@@ -193,7 +223,11 @@ class ModelRunner:
 
         kv_lens = np.zeros(s, np.int32)
         cu = np.zeros(s + 1, np.int32)
-        logits_idx = np.zeros(s, np.int32)
+        k1 = self.spec_k + 1
+        logits_idx = np.zeros(s * k1 if self.spec_k else s, np.int32)
+        drafts_arr = (np.zeros((s, self.spec_k), np.int32)
+                      if self.spec_k else None)
+        num_drafts = np.zeros(s, np.int32) if self.spec_k else None
         row_req_ids: List[Optional[str]] = [None] * s
 
         off = 0
@@ -208,7 +242,14 @@ class ModelRunner:
             row_req_ids[row] = rid
             start = ib.num_computed_tokens[row]
             end = start + nt
-            tok[off:off + nt] = ib.token_ids[row, start:end]
+            dr = so.scheduled_spec_decode_tokens.get(rid, ())
+            dn = len(dr)
+            n_real = nt - dn
+            tok[off:off + n_real] = ib.token_ids[row, start:start + n_real]
+            if dn:
+                # draft tokens are not in the persistent batch; they are
+                # appended to the query and verified against the target
+                tok[off + n_real:off + nt] = dr
             pos[off:off + nt] = np.arange(start, end, dtype=np.int32)
             # slot mapping from the block table
             blk = ib.block_table[row, start // self.block_size:
@@ -218,7 +259,16 @@ class ModelRunner:
                                        // self.block_size]
                                    * self.block_size + idx % self.block_size)
             kv_lens[row] = end
-            logits_idx[row] = off + nt - 1
+            if self.spec_k:
+                # position 0 = last real token's logits; j>dn padded to it
+                base = off + nt - 1 - dn
+                j = np.arange(k1)
+                logits_idx[row * k1:(row + 1) * k1] = \
+                    base + np.minimum(j, dn)
+                drafts_arr[row, :dn] = dr
+                num_drafts[row] = dn
+            else:
+                logits_idx[row] = off + nt - 1
             off += nt
         cu[ib.num_reqs + 1:] = cu[ib.num_reqs]
 
@@ -233,7 +283,9 @@ class ModelRunner:
             "num_seqs": jnp.asarray([ib.num_reqs], np.int32),
             "logits_indices": jnp.asarray(logits_idx),
         }
-        return t_bucket, inputs, row_req_ids
+        spec = ((jnp.asarray(drafts_arr), jnp.asarray(num_drafts))
+                if self.spec_k else None)
+        return t_bucket, inputs, row_req_ids, spec
 
     def _sampling_state(self) -> SamplingState:
         ib = self.input_batch
@@ -261,20 +313,27 @@ class ModelRunner:
         if so.total_num_scheduled_tokens == 0:
             return out
 
-        t_bucket, inputs, row_req_ids = self.prepare_inputs(so)
+        t_bucket, inputs, row_req_ids, spec = self.prepare_inputs(so)
         fwd = self._get_forward(t_bucket)
         logits, self.kv_caches = fwd(self.params, self.kv_caches,
                                      self.rope_cache, inputs)
 
         ib = self.input_batch
         num_logprobs = ib.max_num_logprobs
-        sampler = self._get_sampler(ib.all_greedy, num_logprobs)
         self._step_count += 1
         step_key = jax.random.fold_in(self._rng_key, self._step_count)
-        toks, lp_ids, lp_vals, lp_rank = sampler(
-            logits, self._sampling_state(), step_key)
 
-        toks_np = np.asarray(jax.device_get(toks))
+        if self.spec_k:
+            sampler = self._get_spec_sampler(ib.all_greedy, num_logprobs)
+            toks, gens, lp_ids, lp_vals, lp_rank = sampler(
+                logits, spec[0], spec[1], self._sampling_state(), step_key)
+            toks_np = np.asarray(jax.device_get(toks))    # [S, K+1]
+            gens_np = np.asarray(jax.device_get(gens))    # [S]
+        else:
+            sampler = self._get_sampler(ib.all_greedy, num_logprobs)
+            toks, lp_ids, lp_vals, lp_rank = sampler(
+                logits, self._sampling_state(), step_key)
+            toks_np = np.asarray(jax.device_get(toks))
         if num_logprobs > 0:
             lp_ids = np.asarray(jax.device_get(lp_ids))
             lp_vals = np.asarray(jax.device_get(lp_vals))
@@ -284,7 +343,12 @@ class ModelRunner:
             if rid is None:
                 continue
             out.req_ids.append(rid)
-            out.sampled_token_ids[rid] = [int(toks_np[row])]
+            if self.spec_k:
+                g = int(gens_np[row])
+                out.sampled_token_ids[rid] = \
+                    [int(t) for t in toks_np[row, :g]]
+            else:
+                out.sampled_token_ids[rid] = [int(toks_np[row])]
             if num_logprobs > 0 and rid in ib.logprobs_reqs:
                 out.logprobs[rid] = (lp_ids[row], lp_vals[row],
                                      int(lp_rank[row]))
