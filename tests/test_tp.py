@@ -10,9 +10,7 @@ def run_tp(tp_size):
     import __graft_entry__ as g
     config, model, runner = g._build(tp_size=tp_size, tiny=True)
     t_bucket, inputs = g._example_inputs(runner, num_seqs=3, q_len=8)
-    fwd = runner._get_forward(t_bucket)
-    logits, _ = fwd(runner.params, runner.kv_caches, runner.rope_cache,
-                    inputs)
+    logits = runner.debug_forward(inputs)
     return np.asarray(logits[:3])
 
 

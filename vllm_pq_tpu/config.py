@@ -108,6 +108,14 @@ class SchedulerConfig:
     # Enable chunked prefill (inherent in the token-budget scheduler; this
     # only gates whether a single prompt may exceed the budget).
     chunked_prefill: bool = True
+    # Multi-step decoding: when every running request is in steady decode
+    # (and nothing is waiting), schedule N tokens per request and run N
+    # forward+sample iterations in ONE device dispatch (lax.scan). This
+    # amortizes per-step dispatch/transfer latency — the reason the
+    # reference TPU backend caches multi-step outputs
+    # (worker/tpu_model_runner.py:603-632) and V0 has
+    # --num-scheduler-steps. 1 disables.
+    num_scheduler_steps: int = 1
 
     def __post_init__(self):
         if self.max_num_batched_tokens < self.max_num_seqs:
@@ -212,6 +220,11 @@ class EngineConfig:
 
     def __post_init__(self):
         self.compilation.derive(self.scheduler)
+        if (self.speculative.enabled
+                and self.scheduler.num_scheduler_steps > 1):
+            logger.warning("speculative decoding and multi-step decoding "
+                           "are mutually exclusive; disabling multi-step")
+            self.scheduler.num_scheduler_steps = 1
 
     @property
     def max_blocks_per_req(self) -> int:

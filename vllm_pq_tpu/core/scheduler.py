@@ -113,6 +113,9 @@ class Scheduler:
     # scheduling
 
     def schedule(self) -> SchedulerOutput:
+        ms = self._schedule_multistep()
+        if ms is not None:
+            return ms
         output = SchedulerOutput()
         token_budget = self.max_num_batched_tokens
 
@@ -235,6 +238,47 @@ class Scheduler:
                         num_computed_tokens=num_computed,
                     ))
 
+        output.finished_req_ids = self.finished_req_ids
+        self.finished_req_ids = set()
+        return output
+
+    def _schedule_multistep(self) -> Optional[SchedulerOutput]:
+        """Schedule N decode tokens per request for one fused device
+        dispatch (runner runs a lax.scan). Only when the whole batch is
+        in steady decode: nothing waiting, every running request has
+        exactly one token to compute, none needs logprobs or carries
+        drafts, and all have N tokens of model-length headroom."""
+        n = self.config.num_scheduler_steps
+        if n <= 1 or self.waiting or not self.running:
+            return None
+        if n * len(self.running) > self.max_num_batched_tokens:
+            return None
+        for r in self.running:
+            if (r.num_computed_tokens != r.num_tokens - 1
+                    or r.spec_token_ids
+                    or r.sampling_params.logprobs is not None
+                    or r.num_tokens + n > self.max_model_len):
+                return None
+
+        output = SchedulerOutput()
+        output.num_scheduler_steps = n
+        for request in list(self.running):
+            new_blocks = self.kv_cache_manager.allocate_slots(request, n)
+            if new_blocks is None:
+                # pool pressure: fall back to the regular path (which can
+                # preempt); blocks allocated so far are consistent state
+                return None
+            output.num_scheduled_tokens[request.request_id] = n
+            output.total_num_scheduled_tokens += n
+            output.scheduled_cached_reqs.append(
+                CachedRequestData(
+                    req_id=request.request_id,
+                    resumed_from_preemption=False,
+                    new_token_ids=request.all_token_ids[
+                        request.num_computed_tokens:],
+                    new_block_ids=[b.block_id for b in new_blocks],
+                    num_computed_tokens=request.num_computed_tokens,
+                ))
         output.finished_req_ids = self.finished_req_ids
         self.finished_req_ids = set()
         return output

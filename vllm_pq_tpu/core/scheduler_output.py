@@ -48,6 +48,10 @@ class SchedulerOutput:
     # scheduler_output.py:89-113).
     scheduled_spec_decode_tokens: Dict[str, List[int]] = field(
         default_factory=dict)
+    # Multi-step decoding: >1 means every scheduled request is a decode
+    # that was granted this many tokens, to be generated in one device
+    # dispatch (the runner runs a lax.scan of this length).
+    num_scheduler_steps: int = 1
     # prefix-cache stats for metrics
     num_cached_tokens: int = 0
 

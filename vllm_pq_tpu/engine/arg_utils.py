@@ -34,6 +34,7 @@ class EngineArgs:
 
     max_num_seqs: int = 64
     max_num_batched_tokens: int = 1024
+    num_scheduler_steps: int = 1
     device: str = "auto"
     disable_log_stats: bool = False
 
@@ -64,7 +65,8 @@ class EngineArgs:
             scheduler=SchedulerConfig(
                 max_num_seqs=self.max_num_seqs,
                 max_num_batched_tokens=self.max_num_batched_tokens,
-                max_model_len=self.max_model_len),
+                max_model_len=self.max_model_len,
+                num_scheduler_steps=self.num_scheduler_steps),
             device=DeviceConfig(device=self.device),
             observability=ObservabilityConfig(
                 collect_metrics=not self.disable_log_stats),

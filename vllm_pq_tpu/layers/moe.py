@@ -1,0 +1,137 @@
+"""Fused mixture-of-experts layer (role of reference
+``model_executor/layers/fused_moe/`` — FusedMoE ``layer.py:297``, triton
+kernels ``fused_moe.py``, Pallas gmm ``moe_pallas.py:8-40``), rebuilt
+TPU-first:
+
+- routing: dense top-k over softmaxed router logits (the XLA analog of
+  ``topk_softmax_kernels.cu``);
+- expert compute: tokens sorted by expert id feed ``jax.lax.ragged_dot``
+  (TPU grouped matmul — the gmm the reference's Pallas MoE path uses);
+- sharding: expert weights are sharded on the INTERMEDIATE dim
+  ("expert-tensor parallelism"): every shard processes all assignments
+  against its 1/tp slice of every expert, then psums — exact and
+  load-balanced regardless of routing skew, with no token all-to-all.
+  Classic expert-partition EP (reference ``determine_expert_map``,
+  ``fused_moe/layer.py:253-290``) maps onto the data-parallel axis where
+  routing locality pays for the comm; see parallel/ for the mesh plan.
+
+Weights: ``w1 [E, H, I]`` (gate), ``w3 [E, H, I]`` (up), ``w2
+[E, I, H]``. Gate and up are separate tensors so each shards cleanly on
+the intermediate dim (the MergedColumnParallelLinear lesson, reference
+``linear.py:445``: a naive gate‖up concat would hand shards gate-only /
+up-only slices).
+"""
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from vllm_pq_tpu.quantization.methods import TP_AXIS
+
+
+class FusedMoE:
+    """Stateless functional MoE block."""
+
+    def __init__(self, hidden_size: int, intermediate_size: int,
+                 num_experts: int, top_k: int, renormalize: bool = True):
+        self.hidden_size = hidden_size
+        self.intermediate_size = intermediate_size
+        self.num_experts = num_experts
+        self.top_k = top_k
+        self.renormalize = renormalize
+
+    def param_shapes(self, dtype) -> Dict:
+        h, i, e = self.hidden_size, self.intermediate_size, self.num_experts
+        return {
+            "router": {"weight": ((h, e), dtype)},
+            "experts": {
+                "w1": ((e, h, i), dtype),
+                "w3": ((e, h, i), dtype),
+                "w2": ((e, i, h), dtype),
+            },
+        }
+
+    def partition_specs(self) -> Dict:
+        return {
+            "router": {"weight": P(None, None)},
+            "experts": {
+                # intermediate-dim sharding: column-parallel w1/w3,
+                # row-parallel w2 (psum after)
+                "w1": P(None, None, TP_AXIS),
+                "w3": P(None, None, TP_AXIS),
+                "w2": P(None, TP_AXIS, None),
+            },
+        }
+
+    def __call__(self, params: Dict, x: jax.Array,
+                 tp_axis: Optional[str] = TP_AXIS) -> jax.Array:
+        """x [T, H] -> [T, H] (caller adds residual)."""
+        t, h = x.shape
+        e, k = self.num_experts, self.top_k
+        w1 = params["experts"]["w1"]
+        w3 = params["experts"]["w3"]
+        w2 = params["experts"]["w2"]
+
+        router_logits = jnp.dot(
+            x, params["router"]["weight"],
+            preferred_element_type=jnp.float32)         # [T, E]
+        probs = jax.nn.softmax(router_logits, axis=-1)
+        topw, topi = jax.lax.top_k(probs, k)            # [T, K]
+        if self.renormalize:
+            topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
+
+        # flatten assignments and sort by expert so ragged_dot sees
+        # contiguous groups
+        tok_ids = jnp.repeat(jnp.arange(t, dtype=jnp.int32), k)   # [T*K]
+        exp_ids = topi.reshape(-1).astype(jnp.int32)
+        weights = topw.reshape(-1).astype(jnp.float32)
+        order = jnp.argsort(exp_ids)
+        tok_s = tok_ids[order]
+        w_s = weights[order]
+        group_sizes = jnp.bincount(exp_ids, length=e).astype(jnp.int32)
+
+        xs = x[tok_s]                                     # [T*K, H]
+        h1 = jax.lax.ragged_dot(
+            xs, w1.astype(x.dtype), group_sizes,
+            preferred_element_type=jnp.float32)           # [T*K, I_loc]
+        h3 = jax.lax.ragged_dot(
+            xs, w3.astype(x.dtype), group_sizes,
+            preferred_element_type=jnp.float32)
+        act = jax.nn.silu(h1) * h3
+        out = jax.lax.ragged_dot(
+            act.astype(x.dtype), w2.astype(x.dtype), group_sizes,
+            preferred_element_type=jnp.float32)           # [T*K, H]
+
+        y = jnp.zeros((t, h), jnp.float32)
+        y = y.at[tok_s].add(out * w_s[:, None])
+        if tp_axis:
+            y = jax.lax.psum(y, tp_axis)
+        return y.astype(x.dtype)
+
+
+def moe_ref(params: Dict, x: jax.Array, top_k: int,
+            renormalize: bool = True) -> jax.Array:
+    """Per-token loop oracle for tests (numpy semantics, no grouping)."""
+    xf = np.asarray(x, np.float32)
+    wr = np.asarray(params["router"]["weight"], np.float32)
+    w1 = np.asarray(params["experts"]["w1"], np.float32)
+    w3 = np.asarray(params["experts"]["w3"], np.float32)
+    w2 = np.asarray(params["experts"]["w2"], np.float32)
+    logits = xf @ wr
+    probs = np.exp(logits - logits.max(-1, keepdims=True))
+    probs /= probs.sum(-1, keepdims=True)
+    out = np.zeros_like(xf)
+    for ti in range(xf.shape[0]):
+        idx = np.argsort(-probs[ti])[:top_k]
+        w = probs[ti, idx]
+        if renormalize:
+            w = w / w.sum()
+        for ei, wi in zip(idx, w):
+            gate = xf[ti] @ w1[ei]
+            up = xf[ti] @ w3[ei]
+            act = gate / (1 + np.exp(-gate)) * up
+            out[ti] += wi * (act @ w2[ei])
+    return out

@@ -215,19 +215,23 @@ class LlamaModel:
                 o = jax.lax.psum(o, tp_axis)
             x = x + o
 
-            # mlp
+            # mlp (overridable: Mixtral swaps in a routed MoE block)
             h = rms_norm(x, lp["post_attention_layernorm"]["weight"],
                          cfg.rms_norm_eps)
-            gate = self.linear_method.apply(lp["gate_proj"], h)
-            up = self.linear_method.apply(lp["up_proj"], h)
-            act = jax.nn.silu(gate) * up
-            down = self.linear_method.apply(lp["down_proj"], act)
-            if tp_axis:
-                down = jax.lax.psum(down, tp_axis)
-            x = x + down
+            x = x + self._mlp(lp, h, tp_axis)
 
         x = rms_norm(x, params["norm"]["weight"], cfg.rms_norm_eps)
         return x, new_caches
+
+    def _mlp(self, lp: Dict, h: jax.Array,
+             tp_axis: Optional[str]) -> jax.Array:
+        gate = self.linear_method.apply(lp["gate_proj"], h)
+        up = self.linear_method.apply(lp["up_proj"], h)
+        act = jax.nn.silu(gate) * up
+        down = self.linear_method.apply(lp["down_proj"], act)
+        if tp_axis:
+            down = jax.lax.psum(down, tp_axis)
+        return down
 
     def _embed(self, ep: Dict, input_ids: jax.Array,
                tp_axis: Optional[str]) -> jax.Array:

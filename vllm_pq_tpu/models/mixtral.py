@@ -1,0 +1,92 @@
+"""Mixtral (sparse MoE Llama) — role of reference
+``model_executor/models/mixtral.py``. Attention stack is inherited from
+the Llama decoder; the dense MLP is replaced by a routed FusedMoE block
+(``layers/moe.py``). Qwen2-MoE/DeepSeek-style shared experts are not in
+scope yet.
+"""
+
+from dataclasses import dataclass
+from typing import Dict, Optional
+
+import jax
+from jax.sharding import PartitionSpec as P
+
+from vllm_pq_tpu.layers.moe import FusedMoE
+from vllm_pq_tpu.models.llama import LlamaConfig, LlamaModel, _linear_defs
+from vllm_pq_tpu.quantization.methods import LinearMethod
+
+
+@dataclass
+class MixtralConfig(LlamaConfig):
+    num_local_experts: int = 8
+    num_experts_per_tok: int = 2
+
+    @classmethod
+    def from_hf_config(cls, hf) -> "MixtralConfig":
+        base = LlamaConfig.from_hf_config(hf)
+        return cls(**base.__dict__,
+                   num_local_experts=getattr(hf, "num_local_experts", 8),
+                   num_experts_per_tok=getattr(hf, "num_experts_per_tok", 2))
+
+
+class MixtralModel(LlamaModel):
+
+    def __init__(self, cfg: MixtralConfig, linear_method: LinearMethod,
+                 lm_head_method: Optional[LinearMethod] = None):
+        super().__init__(cfg, linear_method, lm_head_method)
+        self.moe = FusedMoE(cfg.hidden_size, cfg.intermediate_size,
+                            cfg.num_local_experts, cfg.num_experts_per_tok)
+
+    # attention projections stay (possibly quantized) linears; the MoE
+    # block is bf16 for now (quantized MoE is follow-up work, reference
+    # marlin_moe / moe_wna16 analogs)
+    def _attn_linear_defs(self):
+        return [d for d in _linear_defs(self.cfg)
+                if d[0] in ("q_proj", "k_proj", "v_proj", "o_proj")]
+
+    def param_shapes(self) -> Dict:
+        cfg = self.cfg
+        layer = {}
+        for name, i, o, _kind in self._attn_linear_defs():
+            layer[name] = self.linear_method.param_shapes(i, o, cfg.dtype)
+            if cfg.attention_bias and name in ("q_proj", "k_proj", "v_proj"):
+                layer[name + "_bias"] = {"bias": ((o,), cfg.dtype)}
+        layer["moe"] = self.moe.param_shapes(cfg.dtype)
+        layer["input_layernorm"] = {"weight": ((cfg.hidden_size,), cfg.dtype)}
+        layer["post_attention_layernorm"] = {
+            "weight": ((cfg.hidden_size,), cfg.dtype)}
+        shapes = {
+            "embed_tokens": {"weight": ((cfg.vocab_size, cfg.hidden_size),
+                                        cfg.dtype)},
+            "layers": [dict(layer) for _ in range(cfg.num_hidden_layers)],
+            "norm": {"weight": ((cfg.hidden_size,), cfg.dtype)},
+        }
+        if not cfg.tie_word_embeddings:
+            shapes["lm_head"] = self.lm_head_method.param_shapes(
+                cfg.hidden_size, cfg.vocab_size, cfg.dtype)
+        return shapes
+
+    def param_specs(self) -> Dict:
+        cfg = self.cfg
+        layer = {}
+        for name, _i, _o, kind in self._attn_linear_defs():
+            layer[name] = self.linear_method.partition_specs(kind)
+            if cfg.attention_bias and name in ("q_proj", "k_proj", "v_proj"):
+                from vllm_pq_tpu.quantization.methods import TP_AXIS
+                layer[name + "_bias"] = {"bias": P(TP_AXIS)}
+        layer["moe"] = self.moe.partition_specs()
+        layer["input_layernorm"] = {"weight": P(None)}
+        layer["post_attention_layernorm"] = {"weight": P(None)}
+        from vllm_pq_tpu.quantization.methods import TP_AXIS
+        specs = {
+            "embed_tokens": {"weight": P(TP_AXIS, None)},
+            "layers": [dict(layer) for _ in range(cfg.num_hidden_layers)],
+            "norm": {"weight": P(None)},
+        }
+        if not cfg.tie_word_embeddings:
+            specs["lm_head"] = self.lm_head_method.partition_specs("column")
+        return specs
+
+    def _mlp(self, lp: Dict, h: jax.Array,
+             tp_axis: Optional[str]) -> jax.Array:
+        return self.moe(lp["moe"], h, tp_axis)

@@ -63,6 +63,17 @@ def _build_llama(hf_config, config: EngineConfig, linear_method):
     return LlamaModel(mc, linear_method)
 
 
+@register_model("MixtralForCausalLM")
+def _build_mixtral(hf_config, config: EngineConfig, linear_method):
+    from vllm_pq_tpu.models.mixtral import MixtralConfig, MixtralModel
+    if hf_config is not None:
+        mc = MixtralConfig.from_hf_config(hf_config)
+    else:
+        mc = MixtralConfig()
+    mc.dtype = config.model.jax_dtype
+    return MixtralModel(mc, linear_method)
+
+
 def build_model(config: EngineConfig, linear_method) -> Tuple:
     """Returns (model, linear_method). Quantization overrides declared in
     the checkpoint's quantization_config take precedence."""

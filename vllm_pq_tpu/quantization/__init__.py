@@ -9,7 +9,9 @@ converter produces final artifacts offline or at load time.
 
 from typing import Callable, Dict, Optional, Type
 
-from vllm_pq_tpu.quantization.methods import (Int8LinearMethod,
+from vllm_pq_tpu.quantization.methods import (Int4LinearMethod,
+                                              Int8LinearMethod,
+                                              Int8W8A8LinearMethod,
                                               LinearMethod, PQLinearMethod,
                                               UnquantizedLinearMethod)
 
@@ -18,6 +20,13 @@ _REGISTRY: Dict[str, Callable[[Optional[dict]], LinearMethod]] = {
     "aqlm": lambda cfg: PQLinearMethod.from_config(cfg or {}),
     "int8": lambda cfg: Int8LinearMethod(),
     "tpu_int8": lambda cfg: Int8LinearMethod(),
+    # weight-only 4-bit group quant: the TPU equivalent of the
+    # gptq/awq/marlin/machete kernel family
+    "int4": lambda cfg: Int4LinearMethod.from_config(cfg or {}),
+    "gptq": lambda cfg: Int4LinearMethod.from_config(cfg or {}),
+    "awq": lambda cfg: Int4LinearMethod.from_config(cfg or {}),
+    # int8 activations x int8 weights (compressed-tensors w8a8 role)
+    "w8a8": lambda cfg: Int8W8A8LinearMethod(),
 }
 
 
@@ -40,6 +49,6 @@ def get_linear_method(quantization: Optional[str],
 
 __all__ = [
     "LinearMethod", "UnquantizedLinearMethod", "PQLinearMethod",
-    "Int8LinearMethod", "get_linear_method",
-    "register_quantization_method",
+    "Int8LinearMethod", "Int4LinearMethod", "Int8W8A8LinearMethod",
+    "get_linear_method", "register_quantization_method",
 ]

@@ -100,6 +100,116 @@ class Int8LinearMethod(LinearMethod):
         return {"weight": q, "scale": scale.astype(np.float32)}
 
 
+class Int4LinearMethod(LinearMethod):
+    """Weight-only 4-bit with per-group scales + zero points (the role of
+    the reference's GPTQ/AWQ/Marlin/Machete kernel family,
+    ``csrc/quantization/{gptq,awq,marlin,machete}`` — one dequant-matmul
+    covers them all on TPU; packed nibbles stream at 0.5 byte/weight).
+
+    Layout: ``qweight [in/2, out] uint8`` (two input-dim nibbles per
+    byte: even rows in the low nibble), ``scales [in/g, out]``,
+    ``zeros [in/g, out]`` (float zero point, AWQ-style asymmetric).
+    """
+
+    def __init__(self, group_size: int = 128):
+        self.group_size = group_size
+
+    @classmethod
+    def from_config(cls, d: dict) -> "Int4LinearMethod":
+        return cls(group_size=d.get("group_size", 128))
+
+    def param_shapes(self, in_features, out_features, dtype):
+        g = min(self.group_size, in_features)
+        assert in_features % 2 == 0
+        assert in_features % g == 0
+        return {
+            "qweight": ((in_features // 2, out_features), jnp.uint8),
+            "scales": ((in_features // g, out_features), jnp.float32),
+            "zeros": ((in_features // g, out_features), jnp.float32),
+        }
+
+    def partition_specs(self, shard):
+        if shard == "column":
+            return {"qweight": P(None, TP_AXIS), "scales": P(None, TP_AXIS),
+                    "zeros": P(None, TP_AXIS)}
+        if shard == "row":
+            return {"qweight": P(TP_AXIS, None), "scales": P(TP_AXIS, None),
+                    "zeros": P(TP_AXIS, None)}
+        return {"qweight": P(None, None), "scales": P(None, None),
+                "zeros": P(None, None)}
+
+    def _dequant(self, params, dtype):
+        qw = params["qweight"]
+        i2, o = qw.shape
+        lo = (qw & 0x0F).astype(jnp.int32)
+        hi = (qw >> 4).astype(jnp.int32)
+        # interleave back to [in, out]
+        q = jnp.stack([lo, hi], axis=1).reshape(i2 * 2, o)
+        g = (i2 * 2) // params["scales"].shape[0]
+        qf = q.astype(jnp.float32).reshape(-1, g, o)
+        w = (qf - params["zeros"][:, None, :]) * params["scales"][:, None, :]
+        return w.reshape(i2 * 2, o).astype(dtype)
+
+    def apply(self, params, x):
+        w = self._dequant(params, x.dtype)
+        return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(
+            x.dtype)
+
+    def quantize(self, w, dtype):
+        w = np.asarray(w, np.float32)
+        i, o = w.shape
+        g = min(self.group_size, i)
+        wg = w.reshape(i // g, g, o)
+        wmin = wg.min(axis=1)
+        wmax = wg.max(axis=1)
+        scale = (wmax - wmin) / 15.0 + 1e-8
+        zero = -wmin / scale
+        q = np.clip(np.round(wg / scale[:, None, :] + zero[:, None, :]),
+                    0, 15).astype(np.uint8).reshape(i, o)
+        packed = (q[0::2] | (q[1::2] << 4)).astype(np.uint8)
+        return {"qweight": packed, "scales": scale.astype(np.float32),
+                "zeros": zero.astype(np.float32)}
+
+
+class Int8W8A8LinearMethod(LinearMethod):
+    """Dynamic per-token int8 activations x per-channel int8 weights
+    (role of reference compressed-tensors w8a8,
+    ``csrc/quantization/compressed_tensors/int8_quant_kernels.cu`` +
+    cutlass w8a8 — on TPU the int8xint8->int32 dot is MXU-native)."""
+
+    def param_shapes(self, in_features, out_features, dtype):
+        return {
+            "weight": ((in_features, out_features), jnp.int8),
+            "scale": ((out_features,), jnp.float32),
+        }
+
+    def partition_specs(self, shard):
+        if shard == "column":
+            return {"weight": P(None, TP_AXIS), "scale": P(TP_AXIS)}
+        if shard == "row":
+            return {"weight": P(TP_AXIS, None), "scale": P(None)}
+        return {"weight": P(None, None), "scale": P(None)}
+
+    def apply(self, params, x):
+        # dynamic per-token absmax quantization of activations
+        absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+        sx = (absmax / 127.0 + 1e-8).astype(jnp.float32)
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx),
+                      -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            xq, params["weight"],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        y = acc.astype(jnp.float32) * sx * params["scale"][None, :]
+        return y.astype(x.dtype)
+
+    def quantize(self, w, dtype):
+        w = np.asarray(w, np.float32)
+        scale = np.abs(w).max(axis=0) / 127.0 + 1e-8
+        q = np.clip(np.round(w / scale[None, :]), -127, 127).astype(np.int8)
+        return {"weight": q, "scale": scale.astype(np.float32)}
+
+
 class PQLinearMethod(LinearMethod):
     """Product-quantized linear. Fast paths live in
     ``vllm_pq_tpu.ops.pq_matmul`` (Pallas); this applies them with an XLA

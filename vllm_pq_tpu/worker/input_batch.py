@@ -129,13 +129,14 @@ class InputBatch:
             self.block_table[idx, nb:nb + n_new] = data.new_block_ids
             self.num_blocks[idx] = nb + n_new
         self.num_computed_tokens[idx] = data.num_computed_tokens
-        # append tokens not yet known to this batch (generated elsewhere
-        # or resumed): scheduler sends exactly the scheduled chunk
+        # write the scheduled chunk unconditionally: tokens generated in a
+        # multi-step scan never passed through this batch, so a resumed
+        # request must be able to overwrite the whole span
         start = data.num_computed_tokens
         end = start + len(data.new_token_ids)
-        if end > self.num_tokens[idx]:
+        if data.new_token_ids:
             self.token_ids[idx, start:end] = data.new_token_ids
-            self.num_tokens[idx] = end
+            self.num_tokens[idx] = max(self.num_tokens[idx], end)
         return idx
 
     def append_token(self, req_id: str, token: int) -> None:

@@ -1,22 +1,27 @@
-"""Model runner: persistent batch + bucketed jitted step functions.
+"""Model runner: persistent batch + bucketed fused step functions.
 
 Role of the reference's ``v1/worker/tpu_model_runner.py`` redesigned for
 JAX:
 - static-shape discipline: the flat token axis is padded to a bucket
   (pow-2 ladder, reference pads to x16 at ``:419-440``); the sequence
   axis is fixed at ``max_num_seqs`` so only one axis varies;
-- the model forward + logits run as ONE jitted function per token
-  bucket under ``shard_map`` over the ("data","model") mesh, with the
-  paged KV caches donated so updates are in-place;
-- sampling runs as a second small jitted function (greedy fast path and
-  general path, reference all-greedy detection ``gpu_input_batch.py``);
+- ONE jitted function per bucket runs model forward + logits + sampling
+  (+ draft verification) — the V0-TPU precedent of sampling inside the
+  compiled graph (``worker/tpu_model_runner.py:676-684``) taken further;
+- ALL per-step host metadata travels in ONE packed int32 buffer (floats
+  bitcast), so a step costs exactly one host->device transfer and one
+  small device->host fetch of the sampled tokens. Per-transfer latency
+  dominates decode on tunneled/remote TPUs (measured ~3ms h2d / ~20ms
+  d2h here), and is non-trivial even locally — the same reason the
+  reference's TPU backend caches multi-step outputs
+  (``worker/tpu_model_runner.py:603-632``);
 - host side is numpy-first (reference ``_prepare_inputs``,
   ``gpu_model_runner.py:447``): the scheduler<->runner protocol never
   touches device memory.
 """
 
 import functools
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -39,6 +44,56 @@ logger = init_logger(__name__)
 def _shard_map(fn, mesh, in_specs, out_specs):
     return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
                          out_specs=out_specs, check_vma=False)
+
+
+class _PackedLayout:
+    """Offsets of the per-step metadata fields inside the single int32
+    transfer buffer. Float fields are bitcast to int32."""
+
+    I32_FIELDS = ("token_ids", "positions", "slot_mapping", "kv_lens",
+                  "cu_q_lens", "num_seqs", "logits_indices", "page_indices",
+                  "drafts", "num_drafts", "top_k", "seed", "has_seed",
+                  "eos_token_id", "min_tokens", "output_len")
+    F32_FIELDS = ("temperature", "top_p", "min_p", "presence_penalty",
+                  "frequency_penalty", "repetition_penalty")
+
+    def __init__(self, t_bucket: int, s: int, k1: int, max_blocks: int,
+                 spec_k: int):
+        sizes = {
+            "token_ids": t_bucket, "positions": t_bucket,
+            "slot_mapping": t_bucket,
+            "kv_lens": s, "cu_q_lens": s + 1, "num_seqs": 1,
+            "logits_indices": s * k1, "page_indices": s * max_blocks,
+            "drafts": s * spec_k, "num_drafts": s,
+            "top_k": s, "seed": s, "has_seed": s, "eos_token_id": s,
+            "min_tokens": s, "output_len": s,
+        }
+        sizes.update({f: s for f in self.F32_FIELDS})
+        self.offsets: Dict[str, Tuple[int, int]] = {}
+        off = 0
+        for f in self.I32_FIELDS + self.F32_FIELDS:
+            self.offsets[f] = (off, sizes[f])
+            off += sizes[f]
+        self.total = off
+
+    def view(self, buf: np.ndarray, field: str) -> np.ndarray:
+        off, n = self.offsets[field]
+        return buf[off:off + n]
+
+    def fview(self, buf: np.ndarray, field: str) -> np.ndarray:
+        return self.view(buf, field).view(np.float32)
+
+    def unpack(self, packed: jax.Array) -> Dict[str, jax.Array]:
+        """In-graph unpack (static offsets -> free slices)."""
+        out = {}
+        for f in self.I32_FIELDS:
+            off, n = self.offsets[f]
+            out[f] = packed[off:off + n]
+        for f in self.F32_FIELDS:
+            off, n = self.offsets[f]
+            out[f] = jax.lax.bitcast_convert_type(packed[off:off + n],
+                                                  jnp.float32)
+        return out
 
 
 class ModelRunner:
@@ -66,6 +121,9 @@ class ModelRunner:
                                       model.cfg.vocab_size)
 
         self.tp_size = config.parallel.tensor_parallel_size
+        # speculative decoding: verify K drafts + 1 bonus token per row
+        self.spec_k = (config.speculative.num_spec_tokens
+                       if config.speculative.enabled else 0)
         # device state
         self.rope_cache = jax.device_put(
             model.rope_cache(),
@@ -86,32 +144,41 @@ class ModelRunner:
                     np.prod(kv_shape) * len(self.kv_caches) *
                     (2 if kv_dtype == jnp.bfloat16 else 4) / 2**30)
 
-        self._forward_fns: Dict[int, Any] = {}
-        self._sample_greedy = None
-        self._sample_general = None
+        self._step_fns: Dict[tuple, Any] = {}
+        self._layouts: Dict[int, _PackedLayout] = {}
+        self._packed_bufs: Dict[int, np.ndarray] = {}
         self._step_count = 0
         self._rng_key = jax.random.PRNGKey(config.model.seed)
-        # speculative decoding: verify K drafts + 1 bonus token per row
-        self.spec_k = (config.speculative.num_spec_tokens
-                       if config.speculative.enabled else 0)
-
-        # scratch host arrays reused across steps
-        self._tok = np.zeros(self.token_buckets[-1], np.int32)
-        self._pos = np.zeros(self.token_buckets[-1], np.int32)
-        self._slots = np.zeros(self.token_buckets[-1], np.int32)
 
     # ------------------------------------------------------------------
-    # jitted step functions
+    # packed-buffer plumbing
 
-    def _build_forward(self, t_bucket: int):
+    def _layout(self, t_bucket: int) -> _PackedLayout:
+        lay = self._layouts.get(t_bucket)
+        if lay is None:
+            lay = _PackedLayout(t_bucket, self.max_num_reqs,
+                                self.spec_k + 1, self.max_blocks_per_req,
+                                self.spec_k)
+            self._layouts[t_bucket] = lay
+            self._packed_bufs[t_bucket] = np.zeros(lay.total, np.int32)
+        return lay
+
+    # ------------------------------------------------------------------
+    # fused step function: forward + logits + sample, one dispatch
+
+    def _build_step(self, t_bucket: int, greedy: bool, num_logprobs: int):
         model = self.model
         mesh = self.mesh
+        lay = self._layout(t_bucket)
         param_specs = model.param_specs()
         n_layers = model.cfg.num_hidden_layers
-        input_specs = {k: P() for k in
-                       ("token_ids", "positions", "slot_mapping", "kv_lens",
-                        "page_indices", "cu_q_lens", "num_seqs",
-                        "logits_indices")}
+        s = self.max_num_reqs
+        spec_k = self.spec_k
+        k1 = spec_k + 1
+        attn_keys = ("token_ids", "positions", "slot_mapping", "kv_lens",
+                     "page_indices", "cu_q_lens", "num_seqs",
+                     "logits_indices")
+        input_specs = {k: P() for k in attn_keys}
 
         def fwd(params, kv_caches, rope, inputs):
             hidden, new_caches = model(
@@ -127,58 +194,177 @@ class ModelRunner:
                       input_specs),
             out_specs=(P(), [self.kv_spec] * n_layers),
         )
-        return jax.jit(sharded, donate_argnums=(1,))
 
-    def _get_forward(self, t_bucket: int):
-        fn = self._forward_fns.get(t_bucket)
-        if fn is None:
-            fn = self._build_forward(t_bucket)
-            self._forward_fns[t_bucket] = fn
-        return fn
+        def step(params, kv_caches, rope, packed, step_key):
+            f = lay.unpack(packed)
+            inputs = {k: f[k] for k in attn_keys}
+            inputs["page_indices"] = f["page_indices"].reshape(
+                s, self.max_blocks_per_req)
+            logits, new_caches = sharded(params, kv_caches, rope, inputs)
 
-    def _get_sampler(self, greedy: bool, num_logprobs: int):
-        key = (greedy, num_logprobs)
-        if not hasattr(self, "_samplers"):
-            self._samplers = {}
-        fn = self._samplers.get(key)
-        if fn is None:
-            @functools.partial(jax.jit, static_argnames=())
-            def run(logits, state, step_key):
-                toks = sample(logits, state, step_key, all_greedy=greedy)
-                if num_logprobs > 0:
-                    ids, vals, rank = compute_logprobs(
-                        logits, toks, num_logprobs)
-                    return toks, ids, vals, rank
-                return toks, None, None, None
-            fn = run
-            self._samplers[key] = fn
-        return fn
+            state = SamplingState(
+                temperature=f["temperature"], top_k=f["top_k"],
+                top_p=f["top_p"], min_p=f["min_p"],
+                presence_penalty=f["presence_penalty"],
+                frequency_penalty=f["frequency_penalty"],
+                repetition_penalty=f["repetition_penalty"],
+                seed=f["seed"].astype(jnp.uint32),
+                has_seed=f["has_seed"].astype(bool),
+                eos_token_id=f["eos_token_id"],
+                min_tokens=f["min_tokens"], output_len=f["output_len"])
 
-    def _get_spec_sampler(self, greedy: bool, num_logprobs: int):
-        key = ("spec", greedy, num_logprobs)
-        if not hasattr(self, "_samplers"):
-            self._samplers = {}
-        fn = self._samplers.get(key)
-        if fn is None:
-            from vllm_pq_tpu.layers.rejection import verify_and_sample
-            s = self.max_num_reqs
-            k1 = self.spec_k + 1
-
-            @jax.jit
-            def run(logits, drafts, num_drafts, state, step_key):
+            if spec_k:
+                from vllm_pq_tpu.layers.rejection import verify_and_sample
                 l3 = logits.reshape(s, k1, -1)
                 toks, gens = verify_and_sample(
-                    l3, drafts, num_drafts, state, step_key,
-                    all_greedy=greedy)
-                if num_logprobs > 0:
-                    # logprob rows never carry drafts, so their position-0
-                    # logits/token are exact
-                    ids, vals, rank = compute_logprobs(
-                        l3[:, 0], toks[:, 0], num_logprobs)
-                    return toks, gens, ids, vals, rank
-                return toks, gens, None, None, None
-            fn = run
-            self._samplers[key] = fn
+                    l3, f["drafts"].reshape(s, spec_k), f["num_drafts"],
+                    state, step_key, all_greedy=greedy)
+                lp_src, lp_tok = l3[:, 0], toks[:, 0]
+            else:
+                toks = sample(logits, state, step_key, all_greedy=greedy)
+                gens = None
+                lp_src, lp_tok = logits, toks
+            if num_logprobs > 0:
+                lp = compute_logprobs(lp_src, lp_tok, num_logprobs)
+            else:
+                lp = None
+            return toks, gens, lp, new_caches
+
+        return jax.jit(step, donate_argnums=(1,))
+
+    def debug_forward(self, inputs: Dict[str, jax.Array]):
+        """Non-donating forward returning logits — tests/debug only."""
+        model = self.model
+        n_layers = model.cfg.num_hidden_layers
+        attn_keys = ("token_ids", "positions", "slot_mapping", "kv_lens",
+                     "page_indices", "cu_q_lens", "num_seqs",
+                     "logits_indices")
+
+        def fwd(params, kv_caches, rope, inputs):
+            hidden, new_caches = model(
+                params, inputs["token_ids"], inputs["positions"],
+                kv_caches, inputs, rope)
+            sel = hidden[inputs["logits_indices"]]
+            return model.compute_logits(params, sel)
+
+        sharded = _shard_map(
+            fwd, self.mesh,
+            in_specs=(model.param_specs(), [self.kv_spec] * n_layers,
+                      P(None, None), {k: P() for k in attn_keys}),
+            out_specs=P(),
+        )
+        return jax.jit(sharded)(self.params, self.kv_caches,
+                                self.rope_cache,
+                                {k: inputs[k] for k in attn_keys})
+
+    def _get_step(self, t_bucket: int, greedy: bool, num_logprobs: int):
+        key = (t_bucket, greedy, num_logprobs)
+        fn = self._step_fns.get(key)
+        if fn is None:
+            fn = self._build_step(t_bucket, greedy, num_logprobs)
+            self._step_fns[key] = fn
+        return fn
+
+    # ------------------------------------------------------------------
+    # multi-step decode: N forward+sample iterations in one dispatch
+
+    def _build_multistep(self, n_steps: int, greedy: bool, t_bucket: int):
+        """lax.scan of n_steps decode iterations. Token/position/slot
+        metadata for iterations > 0 is DERIVED ON DEVICE from the paged
+        layout (pos+1; slot from the block table), so the host transfers
+        one packed buffer and fetches one [N, S] token matrix per N
+        generated tokens."""
+        model = self.model
+        mesh = self.mesh
+        s = self.max_num_reqs
+        lay = self._layout(t_bucket)
+        param_specs = model.param_specs()
+        n_layers = model.cfg.num_hidden_layers
+        bs = self.block_size
+        attn_keys = ("token_ids", "positions", "slot_mapping", "kv_lens",
+                     "page_indices", "cu_q_lens", "num_seqs",
+                     "logits_indices")
+        input_specs = {k: P() for k in attn_keys}
+
+        def fwd(params, kv_caches, rope, inputs):
+            hidden, new_caches = model(
+                params, inputs["token_ids"], inputs["positions"],
+                kv_caches, inputs, rope)
+            sel = hidden[inputs["logits_indices"]]
+            logits = model.compute_logits(params, sel)
+            return logits, new_caches
+
+        sharded = _shard_map(
+            fwd, mesh,
+            in_specs=(param_specs, [self.kv_spec] * n_layers, P(None, None),
+                      input_specs),
+            out_specs=(P(), [self.kv_spec] * n_layers),
+        )
+
+        def run(params, kv_caches, rope, packed, step_key):
+            f = lay.unpack(packed)
+            page_indices = f["page_indices"].reshape(
+                s, self.max_blocks_per_req)
+            active = f["kv_lens"] > 0  # padded rows have kv_len 0
+            base_state = SamplingState(
+                temperature=f["temperature"], top_k=f["top_k"],
+                top_p=f["top_p"], min_p=f["min_p"],
+                presence_penalty=f["presence_penalty"],
+                frequency_penalty=f["frequency_penalty"],
+                repetition_penalty=f["repetition_penalty"],
+                seed=f["seed"].astype(jnp.uint32),
+                has_seed=f["has_seed"].astype(bool),
+                eos_token_id=f["eos_token_id"],
+                min_tokens=f["min_tokens"], output_len=f["output_len"])
+
+            m0 = min(s, t_bucket)
+            last0 = jnp.zeros(s, jnp.int32).at[:m0].set(
+                f["token_ids"][:m0])
+            pos0 = jnp.maximum(f["kv_lens"] - 1, 0)
+
+            m = min(s, t_bucket)  # rows in flight never exceed the bucket
+
+            def body(carry, i):
+                kv_caches, last, pos, out_len = carry
+                slot = (jnp.take_along_axis(
+                    page_indices, (pos // bs)[:, None], axis=1)[:, 0] * bs
+                    + pos % bs)
+                slot = jnp.where(active, slot, 0)
+                tok_flat = jnp.zeros(t_bucket, jnp.int32).at[:m].set(
+                    last[:m])
+                pos_flat = jnp.zeros(t_bucket, jnp.int32).at[:m].set(
+                    jnp.where(active, pos, 0)[:m])
+                slot_flat = jnp.zeros(t_bucket, jnp.int32).at[:m].set(
+                    slot[:m])
+                inputs = {
+                    "token_ids": tok_flat,
+                    "positions": pos_flat,
+                    "slot_mapping": slot_flat,
+                    "kv_lens": jnp.where(active, pos + 1, 0),
+                    "page_indices": page_indices,
+                    "cu_q_lens": f["cu_q_lens"],
+                    "num_seqs": f["num_seqs"],
+                    "logits_indices": f["logits_indices"],
+                }
+                logits, kv_caches = sharded(params, kv_caches, rope, inputs)
+                state = base_state._replace(output_len=out_len)
+                toks = sample(logits, state, jax.random.fold_in(step_key, i),
+                              all_greedy=greedy)
+                return (kv_caches, toks, pos + 1, out_len + 1), toks
+
+            carry0 = (kv_caches, last0, pos0, f["output_len"])
+            (kv_caches, _, _, _), all_toks = jax.lax.scan(
+                body, carry0, jnp.arange(n_steps))
+            return all_toks, kv_caches  # [N, S]
+
+        return jax.jit(run, donate_argnums=(1,))
+
+    def _get_multistep(self, n_steps: int, greedy: bool, t_bucket: int):
+        key = ("ms", n_steps, greedy, t_bucket)
+        fn = self._step_fns.get(key)
+        if fn is None:
+            fn = self._build_multistep(n_steps, greedy, t_bucket)
+            self._step_fns[key] = fn
         return fn
 
     # ------------------------------------------------------------------
@@ -208,37 +394,44 @@ class ModelRunner:
         raise ValueError(f"{t} tokens exceed the largest bucket "
                          f"{self.token_buckets[-1]}")
 
-    def prepare_inputs(self, so: SchedulerOutput):
-        """Flatten the scheduled work into static-shape arrays."""
+    def prepare_inputs(self, so: SchedulerOutput, one_per_row: bool = False):
+        """Flatten the scheduled work into the packed transfer buffer.
+
+        ``one_per_row``: multi-step mode — pack only the first (last real)
+        token of each scheduled row; the scan derives the rest on device.
+        """
         ib = self.input_batch
         s = self.max_num_reqs
-        t_bucket = self._pick_bucket(max(so.total_num_scheduled_tokens, 1))
+        if one_per_row:
+            total = sum(1 for v in so.num_scheduled_tokens.values() if v)
+        else:
+            total = so.total_num_scheduled_tokens
+        t_bucket = self._pick_bucket(max(total, 1))
+        lay = self._layout(t_bucket)
+        buf = self._packed_bufs[t_bucket]
+        buf[:] = 0
 
-        tok = self._tok[:t_bucket]
-        pos = self._pos[:t_bucket]
-        slots = self._slots[:t_bucket]
-        tok[:] = 0
-        pos[:] = 0
-        slots[:] = 0  # null page
-
-        kv_lens = np.zeros(s, np.int32)
-        cu = np.zeros(s + 1, np.int32)
+        tok = lay.view(buf, "token_ids")
+        pos = lay.view(buf, "positions")
+        slots = lay.view(buf, "slot_mapping")
+        kv_lens = lay.view(buf, "kv_lens")
+        cu = lay.view(buf, "cu_q_lens")
+        logits_idx = lay.view(buf, "logits_indices")
         k1 = self.spec_k + 1
-        logits_idx = np.zeros(s * k1 if self.spec_k else s, np.int32)
-        drafts_arr = (np.zeros((s, self.spec_k), np.int32)
-                      if self.spec_k else None)
-        num_drafts = np.zeros(s, np.int32) if self.spec_k else None
+        drafts_v = lay.view(buf, "drafts").reshape(s, max(self.spec_k, 1)) \
+            if self.spec_k else None
+        num_drafts = lay.view(buf, "num_drafts")
         row_req_ids: List[Optional[str]] = [None] * s
 
         off = 0
-        n_sched = 0
         for row in range(ib.num_reqs):
             rid = ib.req_ids[row]
             nt = so.num_scheduled_tokens.get(rid, 0)
+            if one_per_row and nt:
+                nt = 1
             cu[row + 1] = cu[row] + nt
             if nt == 0:
                 continue
-            n_sched += 1
             row_req_ids[row] = rid
             start = ib.num_computed_tokens[row]
             end = start + nt
@@ -265,45 +458,35 @@ class ModelRunner:
                 j = np.arange(k1)
                 logits_idx[row * k1:(row + 1) * k1] = \
                     base + np.minimum(j, dn)
-                drafts_arr[row, :dn] = dr
+                drafts_v[row, :dn] = dr
                 num_drafts[row] = dn
             else:
                 logits_idx[row] = off + nt - 1
             off += nt
         cu[ib.num_reqs + 1:] = cu[ib.num_reqs]
+        lay.view(buf, "num_seqs")[0] = ib.num_reqs
+        lay.view(buf, "page_indices").reshape(s, -1)[:, :] = \
+            ib.block_table[:, :self.max_blocks_per_req]
 
-        page_indices = ib.block_table[:, :self.max_blocks_per_req]
-        inputs = {
-            "token_ids": jnp.asarray(tok),
-            "positions": jnp.asarray(pos),
-            "slot_mapping": jnp.asarray(slots),
-            "kv_lens": jnp.asarray(kv_lens),
-            "page_indices": jnp.asarray(page_indices),
-            "cu_q_lens": jnp.asarray(cu),
-            "num_seqs": jnp.asarray([ib.num_reqs], np.int32),
-            "logits_indices": jnp.asarray(logits_idx),
-        }
-        spec = ((jnp.asarray(drafts_arr), jnp.asarray(num_drafts))
-                if self.spec_k else None)
-        return t_bucket, inputs, row_req_ids, spec
-
-    def _sampling_state(self) -> SamplingState:
-        ib = self.input_batch
-        out_len = (ib.num_tokens - ib.num_prompt_tokens).astype(np.int32)
-        return SamplingState(
-            temperature=jnp.asarray(ib.temperature),
-            top_k=jnp.asarray(ib.top_k),
-            top_p=jnp.asarray(ib.top_p),
-            min_p=jnp.asarray(ib.min_p),
-            presence_penalty=jnp.asarray(ib.presence_penalty),
-            frequency_penalty=jnp.asarray(ib.frequency_penalty),
-            repetition_penalty=jnp.asarray(ib.repetition_penalty),
-            seed=jnp.asarray(ib.seed),
-            has_seed=jnp.asarray(ib.has_seed),
-            eos_token_id=jnp.asarray(ib.eos_token_id),
-            min_tokens=jnp.asarray(ib.min_tokens),
-            output_len=jnp.asarray(out_len),
-        )
+        # sampling vectors (part of the same single transfer)
+        n = ib.num_reqs
+        lay.view(buf, "top_k")[:n] = ib.top_k[:n]
+        lay.view(buf, "seed")[:n] = ib.seed[:n].view(np.int32)
+        lay.view(buf, "has_seed")[:n] = ib.has_seed[:n]
+        lay.view(buf, "eos_token_id")[:] = -1
+        lay.view(buf, "eos_token_id")[:n] = ib.eos_token_id[:n]
+        lay.view(buf, "min_tokens")[:n] = ib.min_tokens[:n]
+        lay.view(buf, "output_len")[:n] = (ib.num_tokens[:n] -
+                                           ib.num_prompt_tokens[:n])
+        lay.fview(buf, "temperature")[:n] = ib.temperature[:n]
+        lay.fview(buf, "top_p")[:] = 1.0
+        lay.fview(buf, "top_p")[:n] = ib.top_p[:n]
+        lay.fview(buf, "min_p")[:n] = ib.min_p[:n]
+        lay.fview(buf, "presence_penalty")[:n] = ib.presence_penalty[:n]
+        lay.fview(buf, "frequency_penalty")[:n] = ib.frequency_penalty[:n]
+        lay.fview(buf, "repetition_penalty")[:] = 1.0
+        lay.fview(buf, "repetition_penalty")[:n] = ib.repetition_penalty[:n]
+        return t_bucket, buf, row_req_ids
 
     def execute_model(self, so: SchedulerOutput,
                       request_meta: Optional[Dict] = None
@@ -312,32 +495,35 @@ class ModelRunner:
         out = ModelRunnerOutput()
         if so.total_num_scheduled_tokens == 0:
             return out
+        if so.num_scheduler_steps > 1:
+            return self._execute_multistep(so, out)
 
-        t_bucket, inputs, row_req_ids, spec = self.prepare_inputs(so)
-        fwd = self._get_forward(t_bucket)
-        logits, self.kv_caches = fwd(self.params, self.kv_caches,
-                                     self.rope_cache, inputs)
-
+        t_bucket, buf, row_req_ids = self.prepare_inputs(so)
         ib = self.input_batch
         num_logprobs = ib.max_num_logprobs
+        fn = self._get_step(t_bucket, ib.all_greedy, num_logprobs)
         self._step_count += 1
         step_key = jax.random.fold_in(self._rng_key, self._step_count)
 
-        if self.spec_k:
-            sampler = self._get_spec_sampler(ib.all_greedy, num_logprobs)
-            toks, gens, lp_ids, lp_vals, lp_rank = sampler(
-                logits, spec[0], spec[1], self._sampling_state(), step_key)
-            toks_np = np.asarray(jax.device_get(toks))    # [S, K+1]
-            gens_np = np.asarray(jax.device_get(gens))    # [S]
-        else:
-            sampler = self._get_sampler(ib.all_greedy, num_logprobs)
-            toks, lp_ids, lp_vals, lp_rank = sampler(
-                logits, self._sampling_state(), step_key)
-            toks_np = np.asarray(jax.device_get(toks))
-        if num_logprobs > 0:
-            lp_ids = np.asarray(jax.device_get(lp_ids))
-            lp_vals = np.asarray(jax.device_get(lp_vals))
-            lp_rank = np.asarray(jax.device_get(lp_rank))
+        packed = jnp.asarray(buf)  # ONE host->device transfer
+        toks, gens, lp, self.kv_caches = fn(
+            self.params, self.kv_caches, self.rope_cache, packed, step_key)
+
+        # start the device->host copies before doing host-side work
+        for a in (toks, gens) + (tuple(lp) if lp else ()):
+            if a is not None:
+                try:
+                    a.copy_to_host_async()
+                except Exception:
+                    pass
+
+        toks_np = np.asarray(jax.device_get(toks))
+        gens_np = (np.asarray(jax.device_get(gens))
+                   if gens is not None else None)
+        if lp is not None:
+            lp_ids = np.asarray(jax.device_get(lp[0]))
+            lp_vals = np.asarray(jax.device_get(lp[1]))
+            lp_rank = np.asarray(jax.device_get(lp[2]))
 
         for row, rid in enumerate(row_req_ids):
             if rid is None:
@@ -352,4 +538,28 @@ class ModelRunner:
             if num_logprobs > 0 and rid in ib.logprobs_reqs:
                 out.logprobs[rid] = (lp_ids[row], lp_vals[row],
                                      int(lp_rank[row]))
+        return out
+
+    def _execute_multistep(self, so: SchedulerOutput,
+                           out: ModelRunnerOutput) -> ModelRunnerOutput:
+        n = so.num_scheduler_steps
+        t_bucket, buf, row_req_ids = self.prepare_inputs(so,
+                                                         one_per_row=True)
+        ib = self.input_batch
+        fn = self._get_multistep(n, ib.all_greedy, t_bucket)
+        self._step_count += 1
+        step_key = jax.random.fold_in(self._rng_key, self._step_count)
+        packed = jnp.asarray(buf)
+        all_toks, self.kv_caches = fn(self.params, self.kv_caches,
+                                      self.rope_cache, packed, step_key)
+        try:
+            all_toks.copy_to_host_async()
+        except Exception:
+            pass
+        toks_np = np.asarray(jax.device_get(all_toks))  # [N, S]
+        for row, rid in enumerate(row_req_ids):
+            if rid is None:
+                continue
+            out.req_ids.append(rid)
+            out.sampled_token_ids[rid] = [int(t) for t in toks_np[:, row]]
         return out
