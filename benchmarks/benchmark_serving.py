@@ -1,0 +1,141 @@
+"""Online serving benchmark (role of reference
+``benchmarks/benchmark_serving.py``; metric definitions mirror its
+``:66-93``): drives a running OpenAI-compatible server at a target QPS
+(or inf) and reports TTFT / TPOT / ITL / E2EL percentiles plus
+request/output/total throughput.
+
+  python -m vllm_pq_tpu.entrypoints.openai.api_server --model <dir> \
+      --load-format dummy --port 8011 &
+  python benchmarks/benchmark_serving.py --base-url \
+      http://127.0.0.1:8011 --num-prompts 100 --request-rate 4
+"""
+
+import argparse
+import asyncio
+import json
+import time
+
+import numpy as np
+
+
+async def one_request(session, base_url, model, prompt_ids, output_len,
+                      results):
+    payload = {
+        "model": model,
+        "prompt": prompt_ids,
+        "max_tokens": output_len,
+        "temperature": 0.0,
+        "ignore_eos": True,
+        "stream": True,
+    }
+    t_start = time.perf_counter()
+    token_times = []
+    try:
+        async with session.post(f"{base_url}/v1/completions",
+                                json=payload) as resp:
+            if resp.status != 200:
+                results.append({"ok": False})
+                return
+            async for raw in resp.content:
+                line = raw.decode().strip()
+                if not line.startswith("data:"):
+                    continue
+                data = line[5:].strip()
+                if data == "[DONE]":
+                    break
+                token_times.append(time.perf_counter())
+    except Exception:  # noqa: BLE001
+        results.append({"ok": False})
+        return
+    if not token_times:
+        results.append({"ok": False})
+        return
+    t_end = token_times[-1]
+    ttft = token_times[0] - t_start
+    itl = np.diff(token_times).tolist()
+    results.append({
+        "ok": True,
+        "ttft": ttft,
+        "tpot": ((t_end - token_times[0]) / max(len(token_times) - 1, 1)),
+        "itl": itl,
+        "e2el": t_end - t_start,
+        "num_tokens": len(token_times),
+    })
+
+
+async def run(args):
+    import aiohttp
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(10, 1000, args.input_len).tolist()
+               for _ in range(args.num_prompts)]
+
+    async with aiohttp.ClientSession(
+            timeout=aiohttp.ClientTimeout(total=6 * 3600)) as session:
+        # resolve model name
+        async with session.get(f"{args.base_url}/v1/models") as r:
+            model = (await r.json())["data"][0]["id"]
+        results: list = []
+        tasks = []
+        t_bench0 = time.perf_counter()
+        for p in prompts:
+            tasks.append(asyncio.create_task(one_request(
+                session, args.base_url, model, p, args.output_len,
+                results)))
+            if args.request_rate != float("inf"):
+                await asyncio.sleep(
+                    rng.exponential(1.0 / args.request_rate))
+        await asyncio.gather(*tasks)
+        wall = time.perf_counter() - t_bench0
+
+    ok = [r for r in results if r.get("ok")]
+    if not ok:
+        print(json.dumps({"error": "no successful requests"}))
+        return
+
+    def pct(key, q):
+        vals = [r[key] for r in ok]
+        return float(np.percentile(vals, q))
+
+    out_tokens = sum(r["num_tokens"] for r in ok)
+    itls = [x for r in ok for x in r["itl"]]
+    summary = {
+        "completed": len(ok),
+        "duration_s": wall,
+        "request_throughput": len(ok) / wall,
+        "output_throughput_tok_s": out_tokens / wall,
+        "total_token_throughput_tok_s":
+            (out_tokens + len(ok) * args.input_len) / wall,
+        "mean_ttft_ms": 1e3 * float(np.mean([r["ttft"] for r in ok])),
+        "median_ttft_ms": 1e3 * pct("ttft", 50),
+        "p99_ttft_ms": 1e3 * pct("ttft", 99),
+        "mean_tpot_ms": 1e3 * float(np.mean([r["tpot"] for r in ok])),
+        "median_tpot_ms": 1e3 * pct("tpot", 50),
+        "p99_tpot_ms": 1e3 * pct("tpot", 99),
+        "mean_itl_ms": 1e3 * float(np.mean(itls)) if itls else None,
+        "p99_itl_ms": (1e3 * float(np.percentile(itls, 99))
+                       if itls else None),
+        "median_e2el_ms": 1e3 * pct("e2el", 50),
+        "p99_e2el_ms": 1e3 * pct("e2el", 99),
+    }
+    print(json.dumps(summary, indent=2))
+    if args.output_json:
+        with open(args.output_json, "w") as f:
+            json.dump(summary, f)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--base-url", default="http://127.0.0.1:8011")
+    parser.add_argument("--num-prompts", type=int, default=100)
+    parser.add_argument("--input-len", type=int, default=128)
+    parser.add_argument("--output-len", type=int, default=128)
+    parser.add_argument("--request-rate", type=float,
+                        default=float("inf"),
+                        help="QPS (poisson arrivals); inf = all at once")
+    parser.add_argument("--output-json", type=str, default=None)
+    args = parser.parse_args()
+    asyncio.run(run(args))
+
+
+if __name__ == "__main__":
+    main()

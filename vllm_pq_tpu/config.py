@@ -86,6 +86,10 @@ class ParallelConfig:
     # Pipeline parallelism is expressed as stage sharding over the same
     # mesh; >1 enables layer-range partitioning.
     pipeline_parallel_size: int = 1
+    # Run the EngineCore busy loop in a background process over ZMQ
+    # (reference VLLM_ENABLE_V1_MULTIPROCESSING / EngineCoreProc) so
+    # frontend work never stalls device dispatch.
+    engine_multiprocessing: bool = False
 
     @property
     def world_size(self) -> int:

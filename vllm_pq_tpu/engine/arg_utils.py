@@ -31,6 +31,8 @@ class EngineArgs:
 
     tensor_parallel_size: int = 1
     data_parallel_size: int = 1
+    # run the EngineCore loop in a background process (ZMQ)
+    enable_engine_multiprocessing: bool = False
 
     max_num_seqs: int = 64
     max_num_batched_tokens: int = 1024
@@ -61,7 +63,8 @@ class EngineArgs:
                 enable_prefix_caching=self.enable_prefix_caching),
             parallel=ParallelConfig(
                 tensor_parallel_size=self.tensor_parallel_size,
-                data_parallel_size=self.data_parallel_size),
+                data_parallel_size=self.data_parallel_size,
+                engine_multiprocessing=self.enable_engine_multiprocessing),
             scheduler=SchedulerConfig(
                 max_num_seqs=self.max_num_seqs,
                 max_num_batched_tokens=self.max_num_batched_tokens,

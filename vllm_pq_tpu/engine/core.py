@@ -105,3 +105,6 @@ class EngineCore:
     def profile_stop(self) -> None:
         import jax
         jax.profiler.stop_trace()
+
+    def shutdown(self) -> None:  # symmetry with MPEngineCoreClient
+        pass

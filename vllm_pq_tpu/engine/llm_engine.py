@@ -27,8 +27,14 @@ class LLMEngine:
             revision=config.model.revision)
         self.processor = Processor(config, self.tokenizer)
         self.output_processor = OutputProcessor(self.tokenizer)
-        self.engine_core = EngineCore(config)
+        if config.parallel.engine_multiprocessing:
+            from vllm_pq_tpu.engine.core_proc import MPEngineCoreClient
+            self.engine_core = MPEngineCoreClient(config)
+        else:
+            self.engine_core = EngineCore(config)
         self.stats = StatsLogger(config)
+        self._cached_stats: Dict = {}
+        self._last_stats_t = 0.0
 
     @classmethod
     def from_engine_args(cls, **kwargs) -> "LLMEngine":
@@ -65,14 +71,20 @@ class LLMEngine:
         if to_abort:
             self.engine_core.abort_requests(to_abort)
             # mark those outputs finished for the client
-        self.stats.on_step(core_outputs, time.monotonic() - t0,
-                           self.engine_core.make_stats())
+        now = time.monotonic()
+        if now - self._last_stats_t >= 1.0:  # throttle (RPC in MP mode)
+            self._cached_stats = self.engine_core.make_stats()
+            self._last_stats_t = now
+        self.stats.on_step(core_outputs, now - t0, self._cached_stats)
         return outputs
 
     # -- admin (parity with reference LLM/api admin surface) ------------
 
     def reset_prefix_cache(self) -> bool:
         return self.engine_core.reset_prefix_cache()
+
+    def shutdown(self) -> None:
+        self.engine_core.shutdown()
 
     def get_stats(self) -> dict:
         return self.engine_core.make_stats()

@@ -17,6 +17,8 @@ class Processor:
         self.tokenizer = tokenizer
         self.max_model_len = config.scheduler.max_model_len
         self.eos_token_id = getattr(tokenizer, "eos_token_id", None)
+        # for synthetic-token workloads (benchmarks); conservative floor
+        self.vocab_size = getattr(tokenizer, "vocab_size", None) or 256
 
     def process_inputs(
         self,

@@ -352,10 +352,17 @@ class ModelRunner:
                               all_greedy=greedy)
                 return (kv_caches, toks, pos + 1, out_len + 1), toks
 
-            carry0 = (kv_caches, last0, pos0, f["output_len"])
-            (kv_caches, _, _, _), all_toks = jax.lax.scan(
-                body, carry0, jnp.arange(n_steps))
-            return all_toks, kv_caches  # [N, S]
+            # Unrolled rather than lax.scan: the graph is identical per
+            # iteration, XLA can overlap across iterations, and the
+            # current TPU runtime miscompiles the pallas-in-scan carry
+            # (observed INTERNAL backend errors).
+            carry = (kv_caches, last0, pos0, f["output_len"])
+            toks_list = []
+            for i in range(n_steps):
+                carry, toks = body(carry, i)
+                toks_list.append(toks)
+            kv_caches = carry[0]
+            return jnp.stack(toks_list), kv_caches  # [N, S]
 
         return jax.jit(run, donate_argnums=(1,))
 
