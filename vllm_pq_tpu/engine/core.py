@@ -106,5 +106,17 @@ class EngineCore:
         import jax
         jax.profiler.stop_trace()
 
+    def sleep(self, level: int = 1) -> None:
+        """Free device memory (level 1: KV cache; level 2: + weights) —
+        role of reference sleep mode (cumem.py:172-224), used for RLHF
+        weight refresh and idle pools. Requests must be drained first."""
+        assert not self.scheduler.has_unfinished_requests(), \
+            "drain requests before sleeping"
+        self.runner.sleep(level)
+
+    def wake_up(self) -> None:
+        self.runner.wake_up()
+        self.scheduler.reset_prefix_cache()
+
     def shutdown(self) -> None:  # symmetry with MPEngineCoreClient
         pass

@@ -234,6 +234,12 @@ class MPEngineCoreClient:
     def make_stats(self) -> dict:
         return self.call("make_stats")
 
+    def sleep(self, level: int = 1) -> None:
+        self.call("sleep", level)
+
+    def wake_up(self) -> None:
+        self.call("wake_up")
+
     def profile_start(self, path: str) -> None:
         self.call("profile_start", path)
 

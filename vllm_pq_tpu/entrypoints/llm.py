@@ -96,7 +96,105 @@ class LLM:
         ]
         return self.generate(prompts, sampling_params, use_tqdm)
 
+    def beam_search(self, prompts: Sequence[PromptType],
+                    params: "BeamSearchParams") -> List[RequestOutput]:
+        """Client-side beam search (the V1 design: beam search moved out
+        of the engine into the entrypoint, reference ``llm.py:510`` /
+        ``beam_search_params``; prefix caching makes per-step beam
+        re-extension cheap)."""
+        from vllm_pq_tpu.outputs import CompletionOutput
+        if isinstance(prompts, (str, dict)):
+            prompts = [prompts]
+        tok = self.get_tokenizer()
+        width = params.beam_width
+        lp_k = min(2 * width, 20)
+        step_sp = SamplingParams(temperature=0.0, max_tokens=1,
+                                 logprobs=lp_k, ignore_eos=True)
+        eos_id = getattr(tok, "eos_token_id", None)
+
+        results = []
+        for prompt in prompts:
+            if isinstance(prompt, dict):
+                base_ids = list(prompt.get("prompt_token_ids")
+                                or tok.encode(prompt["prompt"]))
+            else:
+                base_ids = tok.encode(prompt)
+            beams = [(0.0, list(base_ids))]   # (cum_logprob, tokens)
+            done: List[tuple] = []
+            for _ in range(params.max_tokens):
+                if not beams:
+                    break
+                outs = self.generate(
+                    [{"prompt_token_ids": t} for _, t in beams],
+                    step_sp)
+                cand = []
+                for (cum, toks), out in zip(beams, outs):
+                    lps = out.outputs[0].logprobs
+                    if not lps:
+                        continue
+                    for tid, lp in lps[0].items():
+                        new = (cum + lp.logprob, toks + [int(tid)])
+                        if (eos_id is not None and tid == eos_id
+                                and not params.ignore_eos):
+                            done.append(new)
+                        else:
+                            cand.append(new)
+                cand.sort(key=lambda b: -b[0])
+                beams = cand[:width]
+            done.extend(beams)
+
+            def score(b):
+                n_new = len(b[1]) - len(base_ids)
+                return b[0] / max(n_new, 1) ** params.length_penalty
+            done.sort(key=lambda b: -score(b))
+            top = done[:width]
+            results.append(RequestOutput(
+                request_id=random_uuid(),
+                prompt=None,
+                prompt_token_ids=base_ids,
+                outputs=[
+                    CompletionOutput(
+                        index=i,
+                        text=tok.decode(t[len(base_ids):]),
+                        token_ids=t[len(base_ids):],
+                        cumulative_logprob=c,
+                        finish_reason="stop" if (
+                            t and eos_id is not None and t[-1] == eos_id)
+                        else "length")
+                    for i, (c, t) in enumerate(top)],
+                finished=True,
+            ))
+        return results
+
     # -- admin parity ----------------------------------------------------
+
+    def sleep(self, level: int = 1) -> None:
+        """Free device memory between serving bursts (role of reference
+        sleep mode, ``device_allocator/cumem.py:172-224``; on TPU this is
+        buffer deletion + realloc, no VMM tricks needed)."""
+        self.llm_engine.engine_core.sleep(level)
+
+    def wake_up(self) -> None:
+        self.llm_engine.engine_core.wake_up()
+
+    def collective_rpc(self, method: str, *args, **kwargs):
+        """Run a method on the worker (reference ``llm.py:472``)."""
+        core = self.llm_engine.engine_core
+        worker = getattr(core, "worker", None)
+        if worker is None:
+            raise RuntimeError("collective_rpc requires the in-process "
+                               "engine (engine_multiprocessing=False)")
+        return [getattr(worker, method)(*args, **kwargs)]
+
+    def apply_model(self, fn):
+        """Apply fn to the underlying model object (reference
+        ``llm.py:502``)."""
+        core = self.llm_engine.engine_core
+        runner = getattr(core, "runner", None)
+        if runner is None:
+            raise RuntimeError("apply_model requires the in-process "
+                               "engine (engine_multiprocessing=False)")
+        return [fn(runner.model)]
 
     def reset_prefix_cache(self) -> bool:
         return self.llm_engine.reset_prefix_cache()

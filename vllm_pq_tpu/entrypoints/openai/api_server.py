@@ -137,6 +137,28 @@ async def load_stats(request: web.Request) -> web.Response:
     return web.json_response(await request.app[ENGINE_KEY].get_stats())
 
 
+async def sleep_ep(request: web.Request) -> web.Response:
+    level = int(request.rel_url.query.get("level", "1"))
+    try:
+        request.app[ENGINE_KEY].engine.engine_core.sleep(level)
+    except AssertionError as e:
+        return _error(409, str(e))
+    return web.json_response({"success": True})
+
+
+async def wake_up_ep(request: web.Request) -> web.Response:
+    request.app[ENGINE_KEY].engine.engine_core.wake_up()
+    return web.json_response({"success": True})
+
+
+async def is_sleeping_ep(request: web.Request) -> web.Response:
+    core = request.app[ENGINE_KEY].engine.engine_core
+    runner = getattr(core, "runner", None)
+    asleep = bool(runner is not None
+                  and getattr(runner, "_asleep_level", 0))
+    return web.json_response({"is_sleeping": asleep})
+
+
 # -- completions -------------------------------------------------------------
 
 
@@ -400,6 +422,9 @@ def build_app(engine: AsyncLLM, model_name: str, max_model_len: int,
     app.router.add_get("/metrics", metrics)
     app.router.add_get("/load", load_stats)
     app.router.add_post("/reset_prefix_cache", reset_prefix_cache)
+    app.router.add_post("/sleep", sleep_ep)
+    app.router.add_post("/wake_up", wake_up_ep)
+    app.router.add_get("/is_sleeping", is_sleeping_ep)
     app.router.add_post("/start_profile", start_profile)
     app.router.add_post("/stop_profile", stop_profile)
     app.router.add_post("/invocations", invocations)

@@ -42,6 +42,8 @@ _HF_LAYER_MAP = {
     "mlp.down_proj": "down_proj",
     "input_layernorm": "input_layernorm",
     "post_attention_layernorm": "post_attention_layernorm",
+    "pre_feedforward_layernorm": "pre_feedforward_layernorm",
+    "post_feedforward_layernorm": "post_feedforward_layernorm",
 }
 
 
@@ -145,6 +147,33 @@ def load_hf(model, mesh: Mesh, model_dir: str,
             li = int(parts[2])
             rest = ".".join(parts[3:-1])
             leaf = parts[-1]
+            # Phi-3 style fused projections: split into our per-proj
+            # params (reference handles this via packed weight_loaders,
+            # linear.py:445,719)
+            if leaf == "weight" and rest == "self_attn.qkv_proj":
+                d = cfg.head_dim
+                nq = cfg.num_attention_heads * d
+                nkv = cfg.num_key_value_heads * d
+                splits = {"q_proj": tensor[:nq],
+                          "k_proj": tensor[nq:nq + nkv],
+                          "v_proj": tensor[nq + nkv:nq + 2 * nkv]}
+                for ours2, w in splits.items():
+                    tree["layers"][li][ours2] = (
+                        linear_method.quantize(w.T, np.float32)
+                        if not isinstance(linear_method,
+                                          UnquantizedLinearMethod)
+                        else {"weight": w.T})
+                continue
+            if leaf == "weight" and rest == "mlp.gate_up_proj":
+                half = tensor.shape[0] // 2
+                for ours2, w in (("gate_proj", tensor[:half]),
+                                 ("up_proj", tensor[half:])):
+                    tree["layers"][li][ours2] = (
+                        linear_method.quantize(w.T, np.float32)
+                        if not isinstance(linear_method,
+                                          UnquantizedLinearMethod)
+                        else {"weight": w.T})
+                continue
             ours = _HF_LAYER_MAP.get(rest)
             if ours is None:
                 logger.warning("unmapped weight %s", name)

@@ -45,6 +45,18 @@ class LlamaConfig:
     attention_bias: bool = False
     sliding_window: Optional[int] = None
     dtype: Any = jnp.bfloat16
+    # family knobs (Gemma/Gemma2 variants of the decoder; reference
+    # models/gemma.py, gemma2.py)
+    hidden_act: str = "silu"
+    embed_scale: Optional[float] = None       # Gemma: sqrt(hidden_size)
+    gemma_norm: bool = False                  # RMSNorm scales by (1 + w)
+    use_post_norms: bool = False              # Gemma2 post-attn/ffw norms
+    final_logit_softcap: Optional[float] = None
+    attn_logit_softcap: Optional[float] = None
+    query_pre_attn_scalar: Optional[float] = None
+    # Gemma2: sliding window on every 2nd layer (pattern=2); None = all
+    # layers follow `sliding_window` uniformly
+    sliding_window_pattern: Optional[int] = None
 
     def __post_init__(self):
         if self.head_dim is None:
@@ -69,6 +81,7 @@ class LlamaConfig:
             tie_word_embeddings=getattr(hf, "tie_word_embeddings", False),
             attention_bias=getattr(hf, "attention_bias", False),
             sliding_window=getattr(hf, "sliding_window", None),
+            hidden_act=getattr(hf, "hidden_act", "silu") or "silu",
         )
 
 
@@ -112,6 +125,11 @@ class LlamaModel:
         layer["input_layernorm"] = {"weight": ((cfg.hidden_size,), cfg.dtype)}
         layer["post_attention_layernorm"] = {
             "weight": ((cfg.hidden_size,), cfg.dtype)}
+        if cfg.use_post_norms:
+            layer["pre_feedforward_layernorm"] = {
+                "weight": ((cfg.hidden_size,), cfg.dtype)}
+            layer["post_feedforward_layernorm"] = {
+                "weight": ((cfg.hidden_size,), cfg.dtype)}
         shapes = {
             "embed_tokens": {"weight": ((cfg.vocab_size, cfg.hidden_size),
                                         cfg.dtype)},
@@ -132,6 +150,9 @@ class LlamaModel:
                 layer[name + "_bias"] = {"bias": P(TP_AXIS)}
         layer["input_layernorm"] = {"weight": P(None)}
         layer["post_attention_layernorm"] = {"weight": P(None)}
+        if cfg.use_post_norms:
+            layer["pre_feedforward_layernorm"] = {"weight": P(None)}
+            layer["post_feedforward_layernorm"] = {"weight": P(None)}
         specs = {
             "embed_tokens": {"weight": P(TP_AXIS, None)},  # vocab-parallel
             "layers": [dict(layer) for _ in range(cfg.num_hidden_layers)],
@@ -180,15 +201,29 @@ class LlamaModel:
         heads = cfg.num_attention_heads // tp
         kv_heads = cfg.num_key_value_heads // tp
         d = cfg.head_dim
-        sm_scale = 1.0 / (d**0.5)
+        sm_scale = 1.0 / ((cfg.query_pre_attn_scalar or d)**0.5)
+        norm = (lambda x, w: rms_norm(
+            x, w.astype(jnp.float32) + 1.0, cfg.rms_norm_eps)) \
+            if cfg.gemma_norm else (
+            lambda x, w: rms_norm(x, w, cfg.rms_norm_eps))
 
         x = self._embed(params["embed_tokens"], input_ids, tp_axis)
+        if cfg.embed_scale is not None:
+            # Gemma scales embeddings by sqrt(hidden) in the input dtype
+            x = x * jnp.asarray(cfg.embed_scale, x.dtype)
         new_caches = []
         for li in range(cfg.num_hidden_layers):
             lp = params["layers"][li]
+            # Gemma2 alternates sliding-window and global layers
+            if cfg.sliding_window_pattern:
+                layer_window = (cfg.sliding_window
+                                if (li % cfg.sliding_window_pattern
+                                    != cfg.sliding_window_pattern - 1)
+                                else None)
+            else:
+                layer_window = cfg.sliding_window
             # self-attention
-            h = rms_norm(x, lp["input_layernorm"]["weight"],
-                         cfg.rms_norm_eps)
+            h = norm(x, lp["input_layernorm"]["weight"])
             q = self.linear_method.apply(lp["q_proj"], h)
             k = self.linear_method.apply(lp["k_proj"], h)
             v = self.linear_method.apply(lp["v_proj"], h)
@@ -208,26 +243,36 @@ class LlamaModel:
             attn = ragged_paged_attention(
                 q, cache, attn_md["kv_lens"], attn_md["page_indices"],
                 attn_md["cu_q_lens"], attn_md["num_seqs"],
-                sm_scale=sm_scale, sliding_window=cfg.sliding_window)
+                sm_scale=sm_scale, sliding_window=layer_window,
+                soft_cap=cfg.attn_logit_softcap)
             attn = attn.reshape(t, heads * d)
             o = self.linear_method.apply(lp["o_proj"], attn)
             if tp_axis:
                 o = jax.lax.psum(o, tp_axis)
+            if cfg.use_post_norms:  # Gemma2: norm the branch pre-residual
+                o = norm(o, lp["post_attention_layernorm"]["weight"])
             x = x + o
 
             # mlp (overridable: Mixtral swaps in a routed MoE block)
-            h = rms_norm(x, lp["post_attention_layernorm"]["weight"],
-                         cfg.rms_norm_eps)
-            x = x + self._mlp(lp, h, tp_axis)
+            if cfg.use_post_norms:
+                h = norm(x, lp["pre_feedforward_layernorm"]["weight"])
+                mlp = self._mlp(lp, h, tp_axis)
+                mlp = norm(mlp, lp["post_feedforward_layernorm"]["weight"])
+            else:
+                h = norm(x, lp["post_attention_layernorm"]["weight"])
+                mlp = self._mlp(lp, h, tp_axis)
+            x = x + mlp
 
-        x = rms_norm(x, params["norm"]["weight"], cfg.rms_norm_eps)
+        x = norm(x, params["norm"]["weight"])
         return x, new_caches
 
     def _mlp(self, lp: Dict, h: jax.Array,
              tp_axis: Optional[str]) -> jax.Array:
+        from vllm_pq_tpu.layers.activation import ACT2FN
+        act_fn = ACT2FN[self.cfg.hidden_act]
         gate = self.linear_method.apply(lp["gate_proj"], h)
         up = self.linear_method.apply(lp["up_proj"], h)
-        act = jax.nn.silu(gate) * up
+        act = act_fn(gate) * up
         down = self.linear_method.apply(lp["down_proj"], act)
         if tp_axis:
             down = jax.lax.psum(down, tp_axis)
@@ -265,4 +310,8 @@ class LlamaModel:
         if tp_axis:
             logits = jax.lax.all_gather(logits, tp_axis, axis=1,
                                         tiled=True)
-        return logits.astype(jnp.float32)
+        logits = logits.astype(jnp.float32)
+        if self.cfg.final_logit_softcap:
+            c = self.cfg.final_logit_softcap
+            logits = jnp.tanh(logits / c) * c
+        return logits

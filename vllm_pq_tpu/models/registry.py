@@ -47,8 +47,20 @@ def _load_hf_config(model_path: str, config: EngineConfig):
         return None
 
 
+@register_model("Qwen2ForCausalLM")
+def _build_qwen2(hf_config, config: EngineConfig, linear_method):
+    # Qwen2 = llama math + always-on qkv bias (its HF config carries no
+    # attention_bias field; reference models/qwen2.py)
+    from vllm_pq_tpu.models.llama import LlamaConfig, LlamaModel
+    mc = (LlamaConfig.from_hf_config(hf_config) if hf_config is not None
+          else LlamaConfig())
+    mc.attention_bias = True
+    mc.dtype = config.model.jax_dtype
+    return LlamaModel(mc, linear_method)
+
+
 @register_model("LlamaForCausalLM", "MistralForCausalLM",
-                "Qwen2ForCausalLM", "TinyLlamaForCausalLM")
+                "TinyLlamaForCausalLM")
 def _build_llama(hf_config, config: EngineConfig, linear_method):
     from vllm_pq_tpu.models.llama import LlamaConfig, LlamaModel
     if hf_config is not None:
@@ -60,6 +72,51 @@ def _build_llama(hf_config, config: EngineConfig, linear_method):
         logger.warning(
             "max_model_len %d > model max_position_embeddings %d",
             config.scheduler.max_model_len, mc.max_position_embeddings)
+    return LlamaModel(mc, linear_method)
+
+
+@register_model("GemmaForCausalLM")
+def _build_gemma(hf_config, config: EngineConfig, linear_method):
+    from vllm_pq_tpu.models.llama import LlamaConfig, LlamaModel
+    mc = LlamaConfig.from_hf_config(hf_config)
+    mc.hidden_act = (getattr(hf_config, "hidden_activation", None)
+                     or getattr(hf_config, "hidden_act", None)
+                     or "gelu_pytorch_tanh")
+    mc.embed_scale = mc.hidden_size ** 0.5
+    mc.gemma_norm = True
+    mc.tie_word_embeddings = True
+    mc.dtype = config.model.jax_dtype
+    return LlamaModel(mc, linear_method)
+
+
+@register_model("Gemma2ForCausalLM")
+def _build_gemma2(hf_config, config: EngineConfig, linear_method):
+    from vllm_pq_tpu.models.llama import LlamaConfig, LlamaModel
+    mc = LlamaConfig.from_hf_config(hf_config)
+    mc.hidden_act = (getattr(hf_config, "hidden_activation", None)
+                     or "gelu_pytorch_tanh")
+    mc.embed_scale = mc.hidden_size ** 0.5
+    mc.gemma_norm = True
+    mc.tie_word_embeddings = True
+    mc.use_post_norms = True
+    mc.final_logit_softcap = getattr(hf_config,
+                                     "final_logit_softcapping", 30.0)
+    mc.attn_logit_softcap = getattr(hf_config,
+                                    "attn_logit_softcapping", 50.0)
+    mc.query_pre_attn_scalar = getattr(hf_config,
+                                       "query_pre_attn_scalar", None)
+    mc.sliding_window_pattern = 2
+    mc.dtype = config.model.jax_dtype
+    return LlamaModel(mc, linear_method)
+
+
+@register_model("Phi3ForCausalLM")
+def _build_phi3(hf_config, config: EngineConfig, linear_method):
+    # Phi-3 is llama-math with fused qkv/gate_up checkpoint tensors; the
+    # loader splits them (model_loader/loader.py)
+    from vllm_pq_tpu.models.llama import LlamaConfig, LlamaModel
+    mc = LlamaConfig.from_hf_config(hf_config)
+    mc.dtype = config.model.jax_dtype
     return LlamaModel(mc, linear_method)
 
 

@@ -82,12 +82,15 @@ def _rpa_kernel(
     kv_blk_len = page_size * pages_per_blk
 
     def _page_copy(s, kv_blk_idx, slot, i):
+        # one shared semaphore per slot (waited once per page): hardware
+        # DMA semaphores are a scarce per-program resource and multi-step
+        # graphs instantiate this kernel dozens of times
         pidx = page_indices_ref[s * pages_per_seq +
                                 kv_blk_idx * pages_per_blk + i]
         return pltpu.make_async_copy(
             kv_hbm_ref.at[pidx],
             kv_buf.at[slot, pl.ds(i * page_size, page_size)],
-            sems.at[slot, i],
+            sems.at[slot],
         )
 
     def kv_dma(s, kv_blk_idx, slot):
@@ -278,7 +281,7 @@ def ragged_paged_attention_pallas(
             pltpu.VMEM((kvh, tile_q * rep, lanes), jnp.float32),
             pltpu.VMEM((kvh, tile_q * rep, 128), jnp.float32),
             pltpu.VMEM((kvh, tile_q * rep, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, ppb)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(

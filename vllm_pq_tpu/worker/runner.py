@@ -547,6 +547,45 @@ class ModelRunner:
                                      int(lp_rank[row]))
         return out
 
+    # ------------------------------------------------------------------
+    # sleep mode (role of reference CuMemAllocator.sleep/wake_up)
+
+    def sleep(self, level: int = 1) -> None:
+        """Delete device buffers: KV (level>=1) and weights (level>=2).
+        The KV content is discarded (callers reset the prefix cache);
+        weights are stashed on host and restored on wake."""
+        for c in self.kv_caches:
+            c.delete()
+        self.kv_caches = []
+        self._asleep_level = level
+        if level >= 2:
+            self._host_params = jax.tree.map(
+                lambda a: np.asarray(jax.device_get(a)), self.params)
+            jax.tree.map(lambda a: a.delete(), self.params)
+            self.params = None
+        logger.info("runner asleep (level %d)", level)
+
+    def wake_up(self) -> None:
+        kv_shape = self.model.kv_cache_shape(self.num_kv_blocks,
+                                             self.block_size, tp_size=1)
+        kv_dtype = (jnp.bfloat16 if self.config.model.dtype == "bfloat16"
+                    else jnp.float32)
+        self.kv_caches = [
+            jax.device_put(jnp.zeros(kv_shape, kv_dtype),
+                           NamedSharding(self.mesh, self.kv_spec))
+            for _ in range(self.model.cfg.num_hidden_layers)
+        ]
+        if getattr(self, "_asleep_level", 1) >= 2 and self.params is None:
+            specs = self.model.param_specs()
+            self.params = jax.tree.map(
+                lambda a, sp: jax.device_put(
+                    a, NamedSharding(self.mesh,
+                                     sp if isinstance(sp, P) else P())),
+                self._host_params, specs)
+            self._host_params = None
+        self._asleep_level = 0
+        logger.info("runner awake")
+
     def _execute_multistep(self, so: SchedulerOutput,
                            out: ModelRunnerOutput) -> ModelRunnerOutput:
         n = so.num_scheduler_steps
