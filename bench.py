@@ -49,14 +49,16 @@ def main():
     with open(os.path.join(d, "config.json"), "w") as f:
         json.dump(model_cfg, f)
 
-    batch = 32
-    prompt_len = 64
-    decode_steps = 128 if on_tpu else 16
+    # Large batch amortizes per-step dispatch/transfer latency (the
+    # dominant cost on tunneled TPUs); decode throughput is the metric.
+    batch = 256 if on_tpu else 8
+    prompt_len = 32
+    decode_steps = 96 if on_tpu else 16
 
     llm = LLM(model=d, load_format="dummy",
               dtype="bfloat16" if on_tpu else "float32",
               quantization="pq",
-              max_model_len=1024, max_num_seqs=batch,
+              max_model_len=256, max_num_seqs=batch,
               max_num_batched_tokens=2048, block_size=16,
               gpu_memory_utilization=0.8,
               enable_prefix_caching=True)

@@ -155,6 +155,21 @@ class SpeculativeConfig:
 
 
 @dataclass
+class LoRAConfig:
+    """Multi-LoRA serving (role of reference LoRAConfig,
+    ``config.py:2255``). Adapters are stacked on device; the per-token
+    slot index rides the packed transfer (see ``vllm_pq_tpu/lora``)."""
+
+    enable_lora: bool = False
+    max_loras: int = 4          # live adapter slots (excl. the 0 slot)
+    max_lora_rank: int = 16
+
+    def __post_init__(self):
+        if self.enable_lora and self.max_loras < 1:
+            raise ValueError("max_loras must be >= 1")
+
+
+@dataclass
 class DeviceConfig:
     """Which jax platform to run on. "auto" picks tpu when present."""
 
@@ -221,6 +236,7 @@ class EngineConfig:
         default_factory=ObservabilityConfig)
     compilation: CompilationConfig = field(default_factory=CompilationConfig)
     speculative: SpeculativeConfig = field(default_factory=SpeculativeConfig)
+    lora: LoRAConfig = field(default_factory=LoRAConfig)
 
     def __post_init__(self):
         self.compilation.derive(self.scheduler)

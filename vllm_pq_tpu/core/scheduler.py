@@ -49,8 +49,12 @@ class EngineCoreOutput:
 class Scheduler:
 
     def __init__(self, scheduler_config: SchedulerConfig,
-                 cache_config: CacheConfig, num_kv_blocks: int):
+                 cache_config: CacheConfig, num_kv_blocks: int,
+                 vocab_size: Optional[int] = None):
         self.config = scheduler_config
+        # model vocab (for constraint-mask sizing); None => masks keep
+        # their tokenizer-sized length
+        self.vocab_size = vocab_size
         self.max_num_seqs = scheduler_config.max_num_seqs
         self.max_num_batched_tokens = scheduler_config.max_num_batched_tokens
         self.max_model_len = scheduler_config.max_model_len
@@ -236,11 +240,67 @@ class Scheduler:
                         sampling_params=request.sampling_params,
                         block_ids=all_block_ids,
                         num_computed_tokens=num_computed,
+                        lora_slot=getattr(request, "lora_slot", 0),
                     ))
+
+        # constrained decoding payloads for rows that sample this step
+        for rid, nt in output.num_scheduled_tokens.items():
+            request = self.requests.get(rid)
+            if request is None or not request.needs_constraints:
+                continue
+            if request.num_computed_tokens + nt < request.num_tokens:
+                continue  # mid-prefill: no token sampled
+            mask = self._constraint_mask(request)
+            if mask is not None:
+                output.guided_masks[rid] = mask
+            if request.sampling_params.logit_bias:
+                output.logit_bias[rid] = request.sampling_params.logit_bias
 
         output.finished_req_ids = self.finished_req_ids
         self.finished_req_ids = set()
         return output
+
+    def _constraint_mask(self, request: Request):
+        """AND of guided-FSM / allowed_token_ids masks minus bad-words
+        bans (host-side; shipped as a vocab bitmask)."""
+        import numpy as np
+
+        def pad(m: np.ndarray, fill: bool) -> np.ndarray:
+            v = self.vocab_size
+            if v is None or len(m) == v:
+                return m
+            out = np.full(v, fill, bool)
+            out[:min(len(m), v)] = m[:v]
+            return out
+
+        mask = None
+        if request.guided_fsm is not None:
+            m = request.guided_fsm.allowed_mask()
+            if m is not None:
+                # tokens beyond the tokenizer vocab are undecodable ->
+                # never allowed under a grammar
+                mask = pad(m.copy(), fill=False)
+        if request.allowed_mask is not None:
+            am = pad(request.allowed_mask, fill=False)
+            mask = am.copy() if mask is None else (mask & am)
+        if request.bad_words_ids:
+            banned = []
+            toks = request.all_token_ids
+            for seq in request.bad_words_ids:
+                pre = seq[:-1]
+                if len(pre) == 0 or (len(toks) >= len(pre)
+                                     and toks[-len(pre):] == pre):
+                    banned.append(seq[-1])
+            if banned:
+                if mask is None:
+                    size = (self.vocab_size
+                            or max(max(s) for s in
+                                   request.bad_words_ids) + 1)
+                    mask = np.ones(size, bool)
+                for b in banned:
+                    if b < len(mask):
+                        mask[b] = False
+        return mask
 
     def _schedule_multistep(self) -> Optional[SchedulerOutput]:
         """Schedule N decode tokens per request for one fused device
@@ -257,6 +317,8 @@ class Scheduler:
             if (r.num_computed_tokens != r.num_tokens - 1
                     or r.spec_token_ids
                     or r.sampling_params.logprobs is not None
+                    or r.needs_constraints
+                    or getattr(r, "lora_slot", 0)
                     or r.num_tokens + n > self.max_model_len):
                 return None
 
@@ -332,7 +394,12 @@ class Scheduler:
             for tok in sampled:
                 request.append_output_token_ids(tok)
                 new_token_ids.append(tok)
-                finish = self._check_stop(request, tok)
+                if request.guided_fsm is not None:
+                    request.guided_fsm.advance(tok)
+                    if request.guided_fsm.is_terminated:
+                        request.status = RequestStatus.FINISHED_STOPPED
+                        finish = request.status
+                finish = finish or self._check_stop(request, tok)
                 if finish is not None:
                     break
             if request.logprobs is not None:

@@ -20,6 +20,8 @@ class NewRequestData:
     sampling_params: SamplingParams
     block_ids: List[int]
     num_computed_tokens: int
+    # LoRA adapter slot (0 = base model)
+    lora_slot: int = 0
 
 
 @dataclass
@@ -48,6 +50,12 @@ class SchedulerOutput:
     # scheduler_output.py:89-113).
     scheduled_spec_decode_tokens: Dict[str, List[int]] = field(
         default_factory=dict)
+    # Constrained decoding: req_id -> allowed-token bool mask (guided
+    # FSM and/or allowed_token_ids and/or bad-words bans, pre-combined
+    # host-side) for requests sampling a token this step.
+    guided_masks: Dict[str, object] = field(default_factory=dict)
+    # req_id -> {token_id: bias} (OpenAI logit_bias)
+    logit_bias: Dict[str, Dict[int, float]] = field(default_factory=dict)
     # Multi-step decoding: >1 means every scheduled request is a decode
     # that was granted this many tokens, to be generated in one device
     # dispatch (the runner runs a lax.scan of this length).

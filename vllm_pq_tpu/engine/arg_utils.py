@@ -6,7 +6,7 @@ from dataclasses import dataclass, field, fields
 from typing import Any, Dict, Optional
 
 from vllm_pq_tpu.config import (CacheConfig, CompilationConfig, DeviceConfig,
-                                EngineConfig, ModelConfig,
+                                EngineConfig, LoRAConfig, ModelConfig,
                                 ObservabilityConfig, ParallelConfig,
                                 SchedulerConfig, SpeculativeConfig)
 
@@ -39,6 +39,11 @@ class EngineArgs:
     num_scheduler_steps: int = 1
     device: str = "auto"
     disable_log_stats: bool = False
+
+    # multi-LoRA serving
+    enable_lora: bool = False
+    max_loras: int = 4
+    max_lora_rank: int = 16
 
     # speculative decoding (ngram prompt-lookup)
     speculative_method: Optional[str] = None
@@ -73,6 +78,10 @@ class EngineArgs:
             device=DeviceConfig(device=self.device),
             observability=ObservabilityConfig(
                 collect_metrics=not self.disable_log_stats),
+            lora=LoRAConfig(
+                enable_lora=self.enable_lora,
+                max_loras=self.max_loras,
+                max_lora_rank=self.max_lora_rank),
             speculative=SpeculativeConfig(
                 method=self.speculative_method,
                 num_spec_tokens=self.num_speculative_tokens,

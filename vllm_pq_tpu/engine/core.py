@@ -22,7 +22,9 @@ class EngineCore:
         num_blocks = self.worker.determine_num_kv_blocks()
         self.runner = self.worker.init_runner(num_blocks)
         self.scheduler = Scheduler(config.scheduler, config.cache,
-                                   num_blocks)
+                                   num_blocks,
+                                   vocab_size=self.runner.model
+                                   .cfg.vocab_size)
         # eos metadata for requests not yet sent to the runner
         self._pending_meta: Dict[str, tuple] = {}
         # speculative decoding: host-side draft proposer
@@ -37,6 +39,8 @@ class EngineCore:
     # ------------------------------------------------------------------
 
     def add_request(self, request: Request) -> None:
+        if request.lora_request is not None:
+            request.lora_slot = self._ensure_lora(request.lora_request)
         self.scheduler.add_request(request)
         self._pending_meta[request.request_id] = (
             request.eos_token_id, request.sampling_params.ignore_eos)
@@ -84,6 +88,7 @@ class EngineCore:
                     or sp.presence_penalty != 0
                     or sp.frequency_penalty != 0
                     or sp.repetition_penalty != 1.0
+                    or req.needs_constraints
                     or req.num_output_tokens < sp.min_tokens):
                 continue
             drafts = self.proposer.propose(req.all_token_ids)
@@ -105,6 +110,25 @@ class EngineCore:
     def profile_stop(self) -> None:
         import jax
         jax.profiler.stop_trace()
+
+    def _ensure_lora(self, lora_request) -> int:
+        """Resolve a LoRARequest to a device slot, loading the adapter
+        from disk on first use (role of reference LRUCacheWorkerLoRA
+        manager; no eviction — max_loras is the live cap)."""
+        slot = self.runner.lora_slot_of(lora_request.lora_name)
+        if slot is not None:
+            return slot
+        from vllm_pq_tpu.lora.models import LoRAModel
+        lora = LoRAModel.from_local_checkpoint(lora_request.lora_path,
+                                               lora_request.lora_name)
+        return self.runner.add_lora(lora)
+
+    def add_lora(self, lora_model) -> int:
+        """Install an in-memory adapter (tests / RLHF weight pushes)."""
+        return self.runner.add_lora(lora_model)
+
+    def remove_lora(self, name: str) -> bool:
+        return self.runner.remove_lora(name)
 
     def sleep(self, level: int = 1) -> None:
         """Free device memory (level 1: KV cache; level 2: + weights) —

@@ -45,9 +45,11 @@ class LLMEngine:
 
     def add_request(self, request_id: Optional[str],
                     prompt: Union[str, dict],
-                    sampling_params: SamplingParams) -> str:
+                    sampling_params: SamplingParams,
+                    lora_request=None) -> str:
         request = self.processor.process_inputs(prompt, sampling_params,
-                                                request_id)
+                                                request_id,
+                                                lora_request=lora_request)
         self.output_processor.add_request(request)
         self.engine_core.add_request(request)
         self.stats.on_request_arrival(request)

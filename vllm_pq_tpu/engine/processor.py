@@ -27,6 +27,7 @@ class Processor:
         request_id: Optional[str] = None,
         arrival_time: Optional[float] = None,
         priority: int = 0,
+        lora_request=None,
     ) -> Request:
         request_id = request_id or random_uuid()
         if isinstance(prompt, dict):
@@ -56,7 +57,7 @@ class Processor:
             sp = sp.clone()
             sp.max_tokens = budget
 
-        return Request(
+        request = Request(
             request_id=request_id,
             prompt_token_ids=token_ids,
             sampling_params=sp,
@@ -65,3 +66,42 @@ class Processor:
             prompt=text,
             priority=priority,
         )
+        request.lora_request = lora_request
+        self._attach_constraints(request, sp)
+        return request
+
+    def _attach_constraints(self, request: Request, sp) -> None:
+        """Compile guided decoding / allowed ids / bad words into host
+        state carried on the request (reference: per-request logits
+        processors; here constraint masks ride the packed transfer)."""
+        import numpy as np
+        if sp.guided_decoding is not None:
+            from vllm_pq_tpu.guided import build_guided_fsm
+            request.guided_fsm = build_guided_fsm(sp.guided_decoding,
+                                                  self.tokenizer)
+        if sp.allowed_token_ids:
+            mask = np.zeros(self.vocab_size, bool)
+            ids = [t for t in sp.allowed_token_ids
+                   if 0 <= t < self.vocab_size]
+            if not ids:
+                raise ValueError("allowed_token_ids has no valid ids")
+            mask[ids] = True
+            if self.eos_token_id is not None:
+                mask[self.eos_token_id] = True
+            request.allowed_mask = mask
+        if sp.bad_words:
+            seqs = []
+            for w in sp.bad_words:
+                for variant in (w, " " + w):
+                    try:
+                        toks = self.tokenizer.encode(
+                            variant, add_special_tokens=False)
+                    except TypeError:
+                        toks = self.tokenizer.encode(variant)
+                    # strip a leading BOS if the tokenizer insists
+                    bos = getattr(self.tokenizer, "bos_token_id", None)
+                    if toks and bos is not None and toks[0] == bos:
+                        toks = toks[1:]
+                    if toks:
+                        seqs.append(list(toks))
+            request.bad_words_ids = seqs

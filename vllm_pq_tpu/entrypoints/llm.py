@@ -34,6 +34,7 @@ class LLM:
         sampling_params: Optional[Union[SamplingParams,
                                         Sequence[SamplingParams]]] = None,
         use_tqdm: bool = False,
+        lora_request=None,
     ) -> List[RequestOutput]:
         if isinstance(prompts, (str, dict)):
             prompts = [prompts]
@@ -54,7 +55,8 @@ class LLM:
                 if sp.n > 1 and sp.seed is not None:
                     child_sp.seed = sp.seed + i
                 rid = parent_id if sp.n == 1 else f"{parent_id}_{i}"
-                self.llm_engine.add_request(rid, prompt, child_sp)
+                self.llm_engine.add_request(rid, prompt, child_sp,
+                                            lora_request=lora_request)
                 children[rid] = (parent_id, i)
 
         finished: Dict[str, RequestOutput] = {}

@@ -61,7 +61,31 @@ def _sampling_from_request(body: dict, defaults_max: int = 16,
         include_stop_str_in_output=body.get(
             "include_stop_str_in_output", False),
         output_kind=RequestOutputKind.CUMULATIVE,
+        logit_bias={int(k): float(v) for k, v in
+                    (body.get("logit_bias") or {}).items()} or None,
+        allowed_token_ids=body.get("allowed_token_ids"),
+        bad_words=body.get("bad_words"),
+        guided_decoding=_guided_from_request(body),
     )
+
+
+def _guided_from_request(body: dict):
+    """Map OpenAI guided_* extensions + response_format to
+    GuidedDecodingParams (reference protocol fields)."""
+    from vllm_pq_tpu.sampling_params import GuidedDecodingParams
+    if body.get("guided_choice"):
+        return GuidedDecodingParams(choice=body["guided_choice"])
+    if body.get("guided_regex"):
+        return GuidedDecodingParams(regex=body["guided_regex"])
+    if body.get("guided_json"):
+        return GuidedDecodingParams(json=body["guided_json"])
+    rf = body.get("response_format") or {}
+    if rf.get("type") == "json_object":
+        return GuidedDecodingParams(json=True)
+    if rf.get("type") == "json_schema":
+        schema = (rf.get("json_schema") or {}).get("schema")
+        return GuidedDecodingParams(json=schema or True)
+    return None
 
 
 # ---------------------------------------------------------------------------

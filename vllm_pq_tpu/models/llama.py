@@ -162,6 +162,10 @@ class LlamaModel:
             specs["lm_head"] = self.lm_head_method.partition_specs("column")
         return specs
 
+    def lora_linear_defs(self):
+        """Linear sublayers eligible for LoRA: (name, in, out, kind)."""
+        return _linear_defs(self.cfg)
+
     def kv_cache_shape(self, num_pages: int, page_size: int,
                        tp_size: int = 1) -> Tuple:
         cfg = self.cfg
@@ -188,6 +192,7 @@ class LlamaModel:
         rope_cache: jax.Array,
         *,
         tp_axis: Optional[str] = TP_AXIS,
+        lora: Optional[Dict] = None,
     ) -> Tuple[jax.Array, List[jax.Array]]:
         """Returns (hidden [T, H], updated kv_caches)."""
         cfg = self.cfg
@@ -222,11 +227,15 @@ class LlamaModel:
                                 else None)
             else:
                 layer_window = cfg.sliding_window
+            lora_layer = lora["layers"][li] if lora is not None else None
+            lora_md = ({"sorted_tok": lora["sorted_tok"],
+                        "group_sizes": lora["group_sizes"]}
+                       if lora is not None else None)
             # self-attention
             h = norm(x, lp["input_layernorm"]["weight"])
-            q = self.linear_method.apply(lp["q_proj"], h)
-            k = self.linear_method.apply(lp["k_proj"], h)
-            v = self.linear_method.apply(lp["v_proj"], h)
+            q = self._lin(lp, "q_proj", h, lora_layer, lora_md)
+            k = self._lin(lp, "k_proj", h, lora_layer, lora_md)
+            v = self._lin(lp, "v_proj", h, lora_layer, lora_md)
             if cfg.attention_bias:
                 q = q + lp["q_proj_bias"]["bias"]
                 k = k + lp["k_proj_bias"]["bias"]
@@ -246,7 +255,7 @@ class LlamaModel:
                 sm_scale=sm_scale, sliding_window=layer_window,
                 soft_cap=cfg.attn_logit_softcap)
             attn = attn.reshape(t, heads * d)
-            o = self.linear_method.apply(lp["o_proj"], attn)
+            o = self._lin(lp, "o_proj", attn, lora_layer, lora_md)
             if tp_axis:
                 o = jax.lax.psum(o, tp_axis)
             if cfg.use_post_norms:  # Gemma2: norm the branch pre-residual
@@ -256,24 +265,39 @@ class LlamaModel:
             # mlp (overridable: Mixtral swaps in a routed MoE block)
             if cfg.use_post_norms:
                 h = norm(x, lp["pre_feedforward_layernorm"]["weight"])
-                mlp = self._mlp(lp, h, tp_axis)
+                mlp = self._mlp(lp, h, tp_axis, lora_layer, lora_md)
                 mlp = norm(mlp, lp["post_feedforward_layernorm"]["weight"])
             else:
                 h = norm(x, lp["post_attention_layernorm"]["weight"])
-                mlp = self._mlp(lp, h, tp_axis)
+                mlp = self._mlp(lp, h, tp_axis, lora_layer, lora_md)
             x = x + mlp
 
         x = norm(x, params["norm"]["weight"])
         return x, new_caches
 
-    def _mlp(self, lp: Dict, h: jax.Array,
-             tp_axis: Optional[str]) -> jax.Array:
+    def _lin(self, lp: Dict, name: str, h: jax.Array,
+             lora_layer: Optional[Dict],
+             lora_md: Optional[Dict]) -> jax.Array:
+        """Base linear + optional batched-LoRA delta. Row-parallel
+        deltas are partial sums added before the caller's psum (the
+        fully-sharded-LoRA layout, reference fully_sharded_layers.py)."""
+        y = self.linear_method.apply(lp[name], h)
+        if lora_layer is not None and name in lora_layer:
+            from vllm_pq_tpu.lora.models import lora_apply
+            d = lora_layer[name]
+            y = y + lora_apply(h, d["a"], d["b"], lora_md["sorted_tok"],
+                               lora_md["group_sizes"])
+        return y
+
+    def _mlp(self, lp: Dict, h: jax.Array, tp_axis: Optional[str],
+             lora_layer: Optional[Dict] = None,
+             lora_md: Optional[Dict] = None) -> jax.Array:
         from vllm_pq_tpu.layers.activation import ACT2FN
         act_fn = ACT2FN[self.cfg.hidden_act]
-        gate = self.linear_method.apply(lp["gate_proj"], h)
-        up = self.linear_method.apply(lp["up_proj"], h)
+        gate = self._lin(lp, "gate_proj", h, lora_layer, lora_md)
+        up = self._lin(lp, "up_proj", h, lora_layer, lora_md)
         act = act_fn(gate) * up
-        down = self.linear_method.apply(lp["down_proj"], act)
+        down = self._lin(lp, "down_proj", act, lora_layer, lora_md)
         if tp_axis:
             down = jax.lax.psum(down, tp_axis)
         return down

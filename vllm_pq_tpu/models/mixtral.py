@@ -87,6 +87,12 @@ class MixtralModel(LlamaModel):
             specs["lm_head"] = self.lm_head_method.partition_specs("column")
         return specs
 
-    def _mlp(self, lp: Dict, h: jax.Array,
-             tp_axis: Optional[str]) -> jax.Array:
+    def lora_linear_defs(self):
+        return self._attn_linear_defs()
+
+    def _mlp(self, lp: Dict, h: jax.Array, tp_axis: Optional[str],
+             lora_layer: Optional[Dict] = None,
+             lora_md: Optional[Dict] = None) -> jax.Array:
+        # LoRA on MoE expert weights is out of scope (attention-side
+        # LoRA still applies via the inherited _lin path)
         return self.moe(lp["moe"], h, tp_axis)

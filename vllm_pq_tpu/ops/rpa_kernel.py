@@ -102,98 +102,117 @@ def _rpa_kernel(
         for i in range(pages_per_blk):
             _page_copy(s, kv_blk_idx, slot, i).wait()
 
-    def process_seq(s, _):
+    def n_blks(s):
+        return pl.cdiv(kv_lens_ref[s], kv_blk_len)
+
+    def next_item(s, i):
+        """Linearized (seq, kv_block) successor. Every seq in
+        [first_seq, end_seq) has >= 1 q row hence >= 1 kv block."""
+        last_of_seq = i + 1 >= n_blks(s)
+        s2 = jnp.where(last_of_seq, s + 1, s)
+        i2 = jnp.where(last_of_seq, 0, i + 1)
+        return s2, i2
+
+    def compute_item(s, kv_i, slot):
+        """One (seq, kv-block) flash-attention step; decode batches are
+        DMA-latency-bound, so the NEXT item's DMA was already started
+        before this is called (cross-sequence software pipelining — the
+        reason this loop is linearized rather than nested per-seq)."""
         q_start = cu_q_lens_ref[s]
         q_end = cu_q_lens_ref[s + 1]
         kv_len = kv_lens_ref[s]
-        n_kv_blks = pl.cdiv(kv_len, kv_blk_len)
-
-        # rows of this q block belonging to seq s: [lo, hi)
         row_ids = jax.lax.broadcasted_iota(
             jnp.int32, (tile_q * rep, 1), 0) // rep + q_blk_start
         row_valid = (row_ids >= q_start) & (row_ids < q_end)
-        # query position in the sequence's KV timeline
-        qpos = kv_len - (q_end - q_start) + (row_ids - q_start)  # [TQ*rep,1]
+        qpos = kv_len - (q_end - q_start) + (row_ids - q_start)
 
-        # reset flash state
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-        m_ref[:] = jnp.full_like(m_ref, MASK_VALUE)
-        l_ref[:] = jnp.zeros_like(l_ref)
+        @pl.when(kv_i == 0)
+        def _():  # new sequence: reset flash state
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+            m_ref[:] = jnp.full_like(m_ref, MASK_VALUE)
+            l_ref[:] = jnp.zeros_like(l_ref)
 
-        kv_dma(s, 0, 0)
+        col_base = kv_i * kv_blk_len
+        col_ids = col_base + jax.lax.broadcasted_iota(
+            jnp.int32, (1, kv_blk_len), 1)  # [1, L]
+        mask = (col_ids < kv_len) & (col_ids <= qpos) & row_valid
+        if sliding_window is not None:
+            mask &= col_ids > (qpos - sliding_window)
 
-        def kv_step(kv_i, _):
-            slot = jax.lax.rem(kv_i, 2)
-
-            @pl.when(kv_i + 1 < n_kv_blks)
-            def _():
-                kv_dma(s, kv_i + 1, 1 - slot)
-
-            kv_wait(s, kv_i, slot)
-
-            col_base = kv_i * kv_blk_len
-            col_ids = col_base + jax.lax.broadcasted_iota(
-                jnp.int32, (1, kv_blk_len), 1)  # [1, L]
-            mask = (col_ids < kv_len) & (col_ids <= qpos) & row_valid
-            if sliding_window is not None:
-                mask &= col_ids > (qpos - sliding_window)
-
-            for h in range(num_kv_heads):
-                # q rows for this head group: [TQ, rep, D|128] ->
-                # [TQ*rep, D|128] (pack>1: q pre-padded into the K lanes)
-                qh = q_ref[:, h * rep:(h + 1) * rep, :].reshape(
-                    tile_q * rep, -1)
-                if pack == 1:
-                    k = kv_buf[slot, :, 2 * h, :]      # [L, D]
-                    v = kv_buf[slot, :, 2 * h + 1, :]  # [L, D]
-                else:
-                    # packed: one [L, 128] tile holds this head's K and V
-                    # lanes; zero q-lanes cancel the V columns in scores.
-                    k = kv_buf[slot, :, (2 * h * head_dim) // 128, :]
-                    v = k
-                scores = jax.lax.dot_general(
-                    qh.astype(jnp.float32) * sm_scale,
-                    k.astype(jnp.float32),
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)  # [TQ*rep, L]
-                if soft_cap is not None:
-                    scores = jnp.tanh(scores / soft_cap) * soft_cap
-                scores = jnp.where(mask, scores, MASK_VALUE)
-
-                m_prev = m_ref[h, :, 0:1]                  # [R,1]
-                m_cur = jnp.max(scores, axis=1, keepdims=True)
-                m_new = jnp.maximum(m_prev, m_cur)
-                alpha = jnp.exp(m_prev - m_new)            # [R,1]
-                p = jnp.exp(scores - m_new)                # [R,L]
-                p = jnp.where(mask, p, 0.0)
-                l_new = l_ref[h, :, 0:1] * alpha + jnp.sum(
-                    p, axis=1, keepdims=True)
-                pv = jax.lax.dot_general(
-                    p.astype(v.dtype), v,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)    # [R,D]
-                acc_ref[h] = acc_ref[h] * alpha + pv
-                m_ref[h] = jnp.broadcast_to(m_new, m_ref.shape[1:])
-                l_ref[h] = jnp.broadcast_to(l_new, l_ref.shape[1:])
-            return 0
-
-        jax.lax.fori_loop(0, n_kv_blks, kv_step, 0)
-
-        # write masked rows of this sequence to the output block
         for h in range(num_kv_heads):
-            l = l_ref[h, :, 0:1]
-            res = acc_ref[h] / jnp.where(l == 0.0, 1.0, l)  # [TQ*rep, D|128]
-            if pack > 1:
-                # extract this head's V lanes from the packed accumulator
-                off_v = ((2 * h + 1) * head_dim) % 128
-                res = res[:, off_v:off_v + head_dim]
-            res = res.reshape(tile_q, rep, -1).astype(out_ref.dtype)
-            rv = row_valid.reshape(tile_q, rep, 1)
-            cur = out_ref[:, h * rep:(h + 1) * rep, :]
-            out_ref[:, h * rep:(h + 1) * rep, :] = jnp.where(rv, res, cur)
-        return 0
+            # q rows for this head group: [TQ, rep, D|128] ->
+            # [TQ*rep, D|128] (pack>1: q pre-padded into the K lanes)
+            qh = q_ref[:, h * rep:(h + 1) * rep, :].reshape(
+                tile_q * rep, -1)
+            if pack == 1:
+                k = kv_buf[slot, :, 2 * h, :]      # [L, D]
+                v = kv_buf[slot, :, 2 * h + 1, :]  # [L, D]
+            else:
+                # packed: one [L, 128] tile holds this head's K and V
+                # lanes; zero q-lanes cancel the V columns in scores.
+                k = kv_buf[slot, :, (2 * h * head_dim) // 128, :]
+                v = k
+            scores = jax.lax.dot_general(
+                qh.astype(jnp.float32) * sm_scale,
+                k.astype(jnp.float32),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [TQ*rep, L]
+            if soft_cap is not None:
+                scores = jnp.tanh(scores / soft_cap) * soft_cap
+            scores = jnp.where(mask, scores, MASK_VALUE)
 
-    jax.lax.fori_loop(first_seq, end_seq, process_seq, 0)
+            m_prev = m_ref[h, :, 0:1]                  # [R,1]
+            m_cur = jnp.max(scores, axis=1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_new)            # [R,1]
+            p = jnp.exp(scores - m_new)                # [R,L]
+            p = jnp.where(mask, p, 0.0)
+            l_new = l_ref[h, :, 0:1] * alpha + jnp.sum(
+                p, axis=1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p.astype(v.dtype), v,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)    # [R,D]
+            acc_ref[h] = acc_ref[h] * alpha + pv
+            m_ref[h] = jnp.broadcast_to(m_new, m_ref.shape[1:])
+            l_ref[h] = jnp.broadcast_to(l_new, l_ref.shape[1:])
+
+        @pl.when(kv_i + 1 >= n_blks(s))
+        def _():  # last block: finalize and write this seq's rows
+            for h in range(num_kv_heads):
+                l = l_ref[h, :, 0:1]
+                res = acc_ref[h] / jnp.where(l == 0.0, 1.0, l)
+                if pack > 1:
+                    off_v = ((2 * h + 1) * head_dim) % 128
+                    res = res[:, off_v:off_v + head_dim]
+                res = res.reshape(tile_q, rep, -1).astype(out_ref.dtype)
+                rv = row_valid.reshape(tile_q, rep, 1)
+                cur = out_ref[:, h * rep:(h + 1) * rep, :]
+                out_ref[:, h * rep:(h + 1) * rep, :] = jnp.where(
+                    rv, res, cur)
+
+    @pl.when(first_seq < end_seq)
+    def _():
+        kv_dma(first_seq, 0, 0)
+
+        def cond(carry):
+            s, i, slot = carry
+            return s < end_seq
+
+        def body(carry):
+            s, i, slot = carry
+            s2, i2 = next_item(s, i)
+
+            @pl.when(s2 < end_seq)
+            def _():  # prefetch the next item into the other slot
+                kv_dma(s2, i2, 1 - slot)
+
+            kv_wait(s, i, slot)
+            compute_item(s, i, slot)
+            return (s2, i2, 1 - slot)
+
+        jax.lax.while_loop(cond, body, (first_seq, jnp.int32(0),
+                                        jnp.int32(0)))
 
 
 @functools.partial(

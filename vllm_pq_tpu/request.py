@@ -68,6 +68,14 @@ class Request:
         # Draft tokens proposed for the next step (speculative decoding);
         # transient — consumed by the scheduler, verified by the runner.
         self.spec_token_ids: List[int] = []
+        # Constrained decoding state (host-side): guided FSM, static
+        # allowed-token mask, tokenized bad-words sequences.
+        self.guided_fsm = None
+        self.allowed_mask = None          # np.bool_[vocab] or None
+        self.bad_words_ids: List[List[int]] = []
+        # LoRA: request descriptor + resolved device slot (0 = base)
+        self.lora_request = None
+        self.lora_slot = 0
         # Cumulative logprob of generated tokens (None unless requested).
         self.cumulative_logprob: Optional[float] = (
             0.0 if sampling_params.logprobs is not None else None)
@@ -79,6 +87,14 @@ class Request:
         self.max_tokens = mt if mt is not None else 2**31
 
     # ---- token accounting -------------------------------------------------
+
+    @property
+    def needs_constraints(self) -> bool:
+        sp = self.sampling_params
+        return (self.guided_fsm is not None
+                or self.allowed_mask is not None
+                or bool(self.bad_words_ids)
+                or bool(sp.logit_bias))
 
     @property
     def all_token_ids(self) -> List[int]:

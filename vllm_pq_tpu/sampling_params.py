@@ -25,6 +25,29 @@ class SamplingType(enum.IntEnum):
 
 
 @dataclass
+class GuidedDecodingParams:
+    """Constrained decoding spec (role of reference GuidedDecodingParams,
+    ``sampling_params.py:31-38``: json/regex/choice/grammar). Constraints
+    are compiled to host-side FSMs (``vllm_pq_tpu/guided``) whose
+    per-step allowed-token sets ride the packed transfer as bitmasks."""
+
+    json: Optional[Any] = None        # JSON schema dict (subset) or True
+    regex: Optional[str] = None
+    choice: Optional[List[str]] = None
+    grammar: Optional[str] = None     # unsupported at this snapshot
+
+    def __post_init__(self):
+        given = [x is not None for x in
+                 (self.json, self.regex, self.choice, self.grammar)]
+        if sum(given) != 1:
+            raise ValueError(
+                "exactly one of json/regex/choice/grammar required")
+        if self.grammar is not None:
+            raise ValueError("grammar-guided decoding is not supported "
+                             "yet (use regex/choice/json)")
+
+
+@dataclass
 class SamplingParams:
     n: int = 1
     presence_penalty: float = 0.0
@@ -51,6 +74,7 @@ class SamplingParams:
     output_kind: RequestOutputKind = RequestOutputKind.CUMULATIVE
     logit_bias: Optional[Dict[int, float]] = None
     allowed_token_ids: Optional[List[int]] = None
+    guided_decoding: Optional[GuidedDecodingParams] = None
     extra_args: Dict[str, Any] = field(default_factory=dict)
 
     def __post_init__(self):

@@ -49,6 +49,8 @@ class InputBatch:
         self.has_seed = np.zeros(max_num_reqs, bool)
         self.eos_token_id = np.full(max_num_reqs, -1, np.int32)
         self.min_tokens = np.zeros(max_num_reqs, np.int32)
+        # LoRA adapter slot per row (0 = base model)
+        self.lora_slot = np.zeros(max_num_reqs, np.int32)
 
         # fast-path bookkeeping (reference keeps req-id sets per param,
         # gpu_input_batch.py:100-160)
@@ -99,6 +101,7 @@ class InputBatch:
         self.seed[idx] = np.uint32(sp.seed if sp.seed is not None else 0)
         self.has_seed[idx] = sp.seed is not None
         self.min_tokens[idx] = sp.min_tokens
+        self.lora_slot[idx] = getattr(data, "lora_slot", 0)
 
         rid = data.req_id
         if sp.temperature > 0:
@@ -189,5 +192,5 @@ class InputBatch:
                     self.presence_penalty, self.frequency_penalty,
                     self.repetition_penalty, self.seed, self.has_seed,
                     self.eos_token_id,
-                    self.min_tokens):
+                    self.min_tokens, self.lora_slot):
             arr[dst] = arr[src]

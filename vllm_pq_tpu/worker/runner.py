@@ -53,13 +53,23 @@ class _PackedLayout:
     I32_FIELDS = ("token_ids", "positions", "slot_mapping", "kv_lens",
                   "cu_q_lens", "num_seqs", "logits_indices", "page_indices",
                   "drafts", "num_drafts", "top_k", "seed", "has_seed",
-                  "eos_token_id", "min_tokens", "output_len")
+                  "eos_token_id", "min_tokens", "output_len",
+                  "logits_mask", "bias_rows", "bias_toks",
+                  "lora_sorted_tok", "lora_groups")
     F32_FIELDS = ("temperature", "top_p", "min_p", "presence_penalty",
-                  "frequency_penalty", "repetition_penalty")
+                  "frequency_penalty", "repetition_penalty", "bias_vals")
+
+    MAX_BIAS = 256  # total logit-bias entries per step
 
     def __init__(self, t_bucket: int, s: int, k1: int, max_blocks: int,
-                 spec_k: int):
+                 spec_k: int, mask_words: int = 0, lora_slots: int = 0):
+        self.mask_words = mask_words
+        self.lora_slots = lora_slots
         sizes = {
+            "lora_sorted_tok": t_bucket if lora_slots else 0,
+            "lora_groups": lora_slots,
+        }
+        sizes |= {
             "token_ids": t_bucket, "positions": t_bucket,
             "slot_mapping": t_bucket,
             "kv_lens": s, "cu_q_lens": s + 1, "num_seqs": 1,
@@ -67,8 +77,13 @@ class _PackedLayout:
             "drafts": s * spec_k, "num_drafts": s,
             "top_k": s, "seed": s, "has_seed": s, "eos_token_id": s,
             "min_tokens": s, "output_len": s,
+            # constrained-decoding payloads (zero-sized when disabled)
+            "logits_mask": s * mask_words,
+            "bias_rows": self.MAX_BIAS if mask_words else 0,
+            "bias_toks": self.MAX_BIAS if mask_words else 0,
         }
         sizes.update({f: s for f in self.F32_FIELDS})
+        sizes["bias_vals"] = self.MAX_BIAS if mask_words else 0
         self.offsets: Dict[str, Tuple[int, int]] = {}
         off = 0
         for f in self.I32_FIELDS + self.F32_FIELDS:
@@ -145,45 +160,103 @@ class ModelRunner:
                     (2 if kv_dtype == jnp.bfloat16 else 4) / 2**30)
 
         self._step_fns: Dict[tuple, Any] = {}
-        self._layouts: Dict[int, _PackedLayout] = {}
-        self._packed_bufs: Dict[int, np.ndarray] = {}
+        self._layouts: Dict[tuple, _PackedLayout] = {}
+        self._packed_bufs: Dict[tuple, np.ndarray] = {}
         self._step_count = 0
         self._rng_key = jax.random.PRNGKey(config.model.seed)
+
+        # multi-LoRA stacks (role of reference LoRAModelManager + Punica)
+        self.lora_stacks = None
+        if config.lora.enable_lora:
+            from vllm_pq_tpu.lora.models import LoRAStacks
+            self.lora_stacks = LoRAStacks(
+                model.cfg, model.lora_linear_defs(),
+                config.lora.max_loras, config.lora.max_lora_rank,
+                kv_dtype)
 
     # ------------------------------------------------------------------
     # packed-buffer plumbing
 
-    def _layout(self, t_bucket: int) -> _PackedLayout:
-        lay = self._layouts.get(t_bucket)
+    def _layout(self, t_bucket: int,
+                constrained: bool = False) -> _PackedLayout:
+        key = (t_bucket, constrained)
+        lay = self._layouts.get(key)
         if lay is None:
+            mask_words = cdiv(self.model.cfg.vocab_size, 32) \
+                if constrained else 0
+            lora_slots = (self.config.lora.max_loras + 1
+                          if self.lora_stacks is not None else 0)
             lay = _PackedLayout(t_bucket, self.max_num_reqs,
                                 self.spec_k + 1, self.max_blocks_per_req,
-                                self.spec_k)
-            self._layouts[t_bucket] = lay
-            self._packed_bufs[t_bucket] = np.zeros(lay.total, np.int32)
+                                self.spec_k, mask_words, lora_slots)
+            self._layouts[key] = lay
+            self._packed_bufs[key] = np.zeros(lay.total, np.int32)
         return lay
+
+    # ------------------------------------------------------------------
+    # LoRA plumbing
+
+    def _lora_specs(self):
+        """PartitionSpec tree for the stacked adapters: column-parallel
+        projs shard B's out dim; row-parallel shard A's in dim (delta
+        added before the caller's psum)."""
+        from vllm_pq_tpu.quantization.methods import TP_AXIS
+        per_layer = {}
+        for name, _i, _o, kind in self.model.lora_linear_defs():
+            if kind == "column":
+                per_layer[name] = {"a": P(None, None, None),
+                                   "b": P(None, None, TP_AXIS)}
+            else:
+                per_layer[name] = {"a": P(None, TP_AXIS, None),
+                                   "b": P(None, None, None)}
+        return {"layers": [dict(per_layer)
+                           for _ in range(self.model.cfg.num_hidden_layers)],
+                "sorted_tok": P(), "group_sizes": P()}
+
+    def _lora_weights(self):
+        st = self.lora_stacks
+        return {"layers": [
+            {name: {"a": st.a[(li, name)], "b": st.b[(li, name)]}
+             for name in st.defs}
+            for li in range(st.num_layers)]}
+
+    def add_lora(self, lora_model) -> int:
+        assert self.lora_stacks is not None, "enable_lora=False"
+        return self.lora_stacks.add(lora_model)
+
+    def remove_lora(self, name: str) -> bool:
+        assert self.lora_stacks is not None, "enable_lora=False"
+        return self.lora_stacks.remove(name)
+
+    def lora_slot_of(self, name: str):
+        return (self.lora_stacks.slot_of(name)
+                if self.lora_stacks is not None else None)
 
     # ------------------------------------------------------------------
     # fused step function: forward + logits + sample, one dispatch
 
-    def _build_step(self, t_bucket: int, greedy: bool, num_logprobs: int):
+    def _build_step(self, t_bucket: int, greedy: bool, num_logprobs: int,
+                    constrained: bool = False):
         model = self.model
         mesh = self.mesh
-        lay = self._layout(t_bucket)
+        lay = self._layout(t_bucket, constrained)
+        vocab = model.cfg.vocab_size
+        mask_words = lay.mask_words
         param_specs = model.param_specs()
         n_layers = model.cfg.num_hidden_layers
         s = self.max_num_reqs
         spec_k = self.spec_k
         k1 = spec_k + 1
+        lora_on = self.lora_stacks is not None
         attn_keys = ("token_ids", "positions", "slot_mapping", "kv_lens",
                      "page_indices", "cu_q_lens", "num_seqs",
                      "logits_indices")
         input_specs = {k: P() for k in attn_keys}
 
-        def fwd(params, kv_caches, rope, inputs):
+        def fwd(params, kv_caches, rope, inputs, lora):
             hidden, new_caches = model(
                 params, inputs["token_ids"], inputs["positions"],
-                kv_caches, inputs, rope)
+                kv_caches, inputs, rope, lora=lora)
             sel = hidden[inputs["logits_indices"]]
             logits = model.compute_logits(params, sel)
             return logits, new_caches
@@ -191,16 +264,38 @@ class ModelRunner:
         sharded = _shard_map(
             fwd, mesh,
             in_specs=(param_specs, [self.kv_spec] * n_layers, P(None, None),
-                      input_specs),
+                      input_specs,
+                      self._lora_specs() if lora_on else None),
             out_specs=(P(), [self.kv_spec] * n_layers),
         )
 
-        def step(params, kv_caches, rope, packed, step_key):
+        def step(params, kv_caches, rope, packed, step_key, lora_w):
             f = lay.unpack(packed)
             inputs = {k: f[k] for k in attn_keys}
             inputs["page_indices"] = f["page_indices"].reshape(
                 s, self.max_blocks_per_req)
-            logits, new_caches = sharded(params, kv_caches, rope, inputs)
+            lora = None
+            if lora_on:
+                lora = dict(lora_w)
+                lora["sorted_tok"] = f["lora_sorted_tok"]
+                lora["group_sizes"] = f["lora_groups"]
+            logits, new_caches = sharded(params, kv_caches, rope, inputs,
+                                         lora)
+
+            if constrained:
+                # allowed-token bitmask + additive logit bias (guided
+                # decoding / allowed_token_ids / bad_words / logit_bias)
+                bits = f["logits_mask"].astype(jnp.uint32).reshape(
+                    s, mask_words)
+                mask = ((bits[:, :, None] >>
+                         jnp.arange(32, dtype=jnp.uint32)) & 1)
+                mask = mask.reshape(s, mask_words * 32)[:, :vocab] == 1
+                bias = jnp.zeros((s, vocab), jnp.float32).at[
+                    f["bias_rows"], f["bias_toks"]].add(f["bias_vals"])
+                l3 = logits.reshape(s, k1, vocab)
+                l3 = jnp.where(mask[:, None, :], l3, -1e30)
+                l3 = l3 + bias[:, None, :]
+                logits = l3.reshape(s * k1, vocab) if spec_k else l3[:, 0]
 
             state = SamplingState(
                 temperature=f["temperature"], top_k=f["top_k"],
@@ -257,11 +352,13 @@ class ModelRunner:
                                 self.rope_cache,
                                 {k: inputs[k] for k in attn_keys})
 
-    def _get_step(self, t_bucket: int, greedy: bool, num_logprobs: int):
-        key = (t_bucket, greedy, num_logprobs)
+    def _get_step(self, t_bucket: int, greedy: bool, num_logprobs: int,
+                  constrained: bool = False):
+        key = (t_bucket, greedy, num_logprobs, constrained)
         fn = self._step_fns.get(key)
         if fn is None:
-            fn = self._build_step(t_bucket, greedy, num_logprobs)
+            fn = self._build_step(t_bucket, greedy, num_logprobs,
+                                  constrained)
             self._step_fns[key] = fn
         return fn
 
@@ -414,8 +511,9 @@ class ModelRunner:
         else:
             total = so.total_num_scheduled_tokens
         t_bucket = self._pick_bucket(max(total, 1))
-        lay = self._layout(t_bucket)
-        buf = self._packed_bufs[t_bucket]
+        constrained = bool(so.guided_masks or so.logit_bias)
+        lay = self._layout(t_bucket, constrained)
+        buf = self._packed_bufs[(t_bucket, constrained)]
         buf[:] = 0
 
         tok = lay.view(buf, "token_ids")
@@ -429,6 +527,8 @@ class ModelRunner:
             if self.spec_k else None
         num_drafts = lay.view(buf, "num_drafts")
         row_req_ids: List[Optional[str]] = [None] * s
+        lora_on = self.lora_stacks is not None
+        tok_slot = np.zeros(t_bucket, np.int32) if lora_on else None
 
         off = 0
         for row in range(ib.num_reqs):
@@ -469,8 +569,15 @@ class ModelRunner:
                 num_drafts[row] = dn
             else:
                 logits_idx[row] = off + nt - 1
+            if lora_on:
+                tok_slot[off:off + nt] = ib.lora_slot[row]
             off += nt
         cu[ib.num_reqs + 1:] = cu[ib.num_reqs]
+        if lora_on:
+            order = np.argsort(tok_slot, kind="stable").astype(np.int32)
+            lay.view(buf, "lora_sorted_tok")[:] = order
+            lay.view(buf, "lora_groups")[:] = np.bincount(
+                tok_slot, minlength=lay.lora_slots)[:lay.lora_slots]
         lay.view(buf, "num_seqs")[0] = ib.num_reqs
         lay.view(buf, "page_indices").reshape(s, -1)[:, :] = \
             ib.block_table[:, :self.max_blocks_per_req]
@@ -493,7 +600,40 @@ class ModelRunner:
         lay.fview(buf, "frequency_penalty")[:n] = ib.frequency_penalty[:n]
         lay.fview(buf, "repetition_penalty")[:] = 1.0
         lay.fview(buf, "repetition_penalty")[:n] = ib.repetition_penalty[:n]
-        return t_bucket, buf, row_req_ids
+
+        if constrained:
+            w = lay.mask_words
+            mask_v = lay.view(buf, "logits_mask").view(np.uint32) \
+                .reshape(s, w)
+            mask_v[:, :] = 0xFFFFFFFF  # default: all tokens allowed
+            shifts = (1 << np.arange(32, dtype=np.uint64)).astype(
+                np.uint32)
+            for rid, m in so.guided_masks.items():
+                row = ib.req_id_to_index.get(rid)
+                if row is None:
+                    continue
+                mb = np.zeros(w * 32, bool)
+                mb[:min(len(m), w * 32)] = m[:w * 32]
+                mask_v[row] = (mb.reshape(w, 32) * shifts).sum(
+                    axis=1, dtype=np.uint64).astype(np.uint32)
+            bi = 0
+            br = lay.view(buf, "bias_rows")
+            bt = lay.view(buf, "bias_toks")
+            bv = lay.fview(buf, "bias_vals")
+            for rid, biases in so.logit_bias.items():
+                row = ib.req_id_to_index.get(rid)
+                if row is None:
+                    continue
+                for tok_id, val in biases.items():
+                    if bi >= lay.MAX_BIAS:
+                        logger.warning("logit_bias entries truncated at "
+                                       "%d", lay.MAX_BIAS)
+                        break
+                    br[bi] = row
+                    bt[bi] = int(tok_id)
+                    bv[bi] = float(val)
+                    bi += 1
+        return t_bucket, buf, row_req_ids, constrained
 
     def execute_model(self, so: SchedulerOutput,
                       request_meta: Optional[Dict] = None
@@ -505,16 +645,20 @@ class ModelRunner:
         if so.num_scheduler_steps > 1:
             return self._execute_multistep(so, out)
 
-        t_bucket, buf, row_req_ids = self.prepare_inputs(so)
+        t_bucket, buf, row_req_ids, constrained = self.prepare_inputs(so)
         ib = self.input_batch
         num_logprobs = ib.max_num_logprobs
-        fn = self._get_step(t_bucket, ib.all_greedy, num_logprobs)
+        fn = self._get_step(t_bucket, ib.all_greedy, num_logprobs,
+                            constrained)
         self._step_count += 1
         step_key = jax.random.fold_in(self._rng_key, self._step_count)
 
         packed = jnp.asarray(buf)  # ONE host->device transfer
+        lora_w = (self._lora_weights() if self.lora_stacks is not None
+                  else None)
         toks, gens, lp, self.kv_caches = fn(
-            self.params, self.kv_caches, self.rope_cache, packed, step_key)
+            self.params, self.kv_caches, self.rope_cache, packed, step_key,
+            lora_w)
 
         # start the device->host copies before doing host-side work
         for a in (toks, gens) + (tuple(lp) if lp else ()):
@@ -589,8 +733,8 @@ class ModelRunner:
     def _execute_multistep(self, so: SchedulerOutput,
                            out: ModelRunnerOutput) -> ModelRunnerOutput:
         n = so.num_scheduler_steps
-        t_bucket, buf, row_req_ids = self.prepare_inputs(so,
-                                                         one_per_row=True)
+        t_bucket, buf, row_req_ids, _ = self.prepare_inputs(
+            so, one_per_row=True)  # scheduler excludes constrained rows
         ib = self.input_batch
         fn = self._get_multistep(n, ib.all_greedy, t_bucket)
         self._step_count += 1
