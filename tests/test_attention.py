@@ -127,6 +127,21 @@ def test_pallas_gqa():
     np.testing.assert_allclose(got, oracle, rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.parametrize("d,hq,kvh,nseq", [(64, 32, 4, 12), (128, 8, 2, 5)])
+def test_pallas_decode_mode(d, hq, kvh, nseq):
+    """Decode kernel (1 query/seq, token index == seq index) matches the
+    oracle, including padded trailing rows."""
+    q_lens = [1] * nseq
+    kv_lens = (np.arange(nseq) * 7 % 120 + 1).tolist()
+    t_pad = -(-nseq // 16) * 16
+    args, oracle, t = build_case(7, q_lens, kv_lens, hq=hq, kvh=kvh, d=d,
+                                 t_pad=t_pad, s_pad=t_pad, num_pages=256,
+                                 pages_per_seq=8)
+    got = np.asarray(ragged_paged_attention_pallas(
+        *args, sm_scale=0.5, decode_mode=True, interpret=True))[:t]
+    np.testing.assert_allclose(got, oracle, rtol=2e-3, atol=2e-3)
+
+
 @pytest.mark.parametrize("d,hq,kvh", [(64, 8, 4), (64, 32, 4), (32, 8, 2)])
 def test_pallas_small_head_dim(d, hq, kvh):
     """head_dim < 128 uses the lane-packed KV view (TinyLlama d=64)."""

@@ -193,6 +193,7 @@ class LlamaModel:
         *,
         tp_axis: Optional[str] = TP_AXIS,
         lora: Optional[Dict] = None,
+        decode_mode: bool = False,
     ) -> Tuple[jax.Array, List[jax.Array]]:
         """Returns (hidden [T, H], updated kv_caches)."""
         cfg = self.cfg
@@ -253,7 +254,7 @@ class LlamaModel:
                 q, cache, attn_md["kv_lens"], attn_md["page_indices"],
                 attn_md["cu_q_lens"], attn_md["num_seqs"],
                 sm_scale=sm_scale, sliding_window=layer_window,
-                soft_cap=cfg.attn_logit_softcap)
+                soft_cap=cfg.attn_logit_softcap, decode_mode=decode_mode)
             attn = attn.reshape(t, heads * d)
             o = self._lin(lp, "o_proj", attn, lora_layer, lora_md)
             if tp_axis:

@@ -106,8 +106,13 @@ def ref_ragged_paged_attention(
 def ragged_paged_attention(q, kv_pages, kv_lens, page_indices, cu_q_lens,
                            num_seqs, *, sm_scale: float = 1.0,
                            sliding_window: Optional[int] = None,
-                           soft_cap: Optional[float] = None) -> jax.Array:
-    """Dispatch to the best implementation for the current device."""
+                           soft_cap: Optional[float] = None,
+                           decode_mode: bool = False) -> jax.Array:
+    """Dispatch to the best implementation for the current device.
+
+    ``decode_mode`` (static): every sequence has exactly one query token
+    at flat position == its row index; enables the small-tile decode
+    kernel."""
     backend = envs.VPQ_ATTENTION_BACKEND
     on_tpu = jax.default_backend() == "tpu"
     if backend == "ref" or (not on_tpu and backend != "pallas"):
@@ -119,4 +124,4 @@ def ragged_paged_attention(q, kv_pages, kv_lens, page_indices, cu_q_lens,
     return ragged_paged_attention_pallas(
         q, kv_pages, kv_lens, page_indices, cu_q_lens, num_seqs,
         sm_scale=sm_scale, sliding_window=sliding_window,
-        soft_cap=soft_cap)
+        soft_cap=soft_cap, decode_mode=decode_mode)

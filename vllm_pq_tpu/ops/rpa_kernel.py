@@ -215,11 +215,170 @@ def _rpa_kernel(
                                         jnp.int32(0)))
 
 
+def _rpa_decode_kernel(
+    # scalar prefetch
+    kv_lens_ref,        # i32[S]
+    page_indices_ref,   # i32[S * pages_per_seq]
+    # inputs
+    q_ref,              # [seqs_per_blk, HQ, LANES] VMEM (block)
+    kv_hbm_ref,         # [P, ps, C, LANES] HBM (full)
+    # outputs
+    out_ref,            # [seqs_per_blk, HQ, D] VMEM (block)
+    # scratch
+    kv_buf,             # [2, ps*ppb, C, LANES] VMEM
+    acc_ref,            # [KVH, REP_PAD, LANES] f32
+    m_ref,              # [KVH, REP_PAD, 128] f32
+    l_ref,              # [KVH, REP_PAD, 128] f32
+    sems,               # DMA sems [2]
+    *,
+    sm_scale: float,
+    num_kv_heads: int,
+    rep: int,
+    seqs_per_blk: int,
+    page_size: int,
+    pages_per_blk: int,
+    pages_per_seq: int,
+    head_dim: int,
+    pack: int,
+    sliding_window,
+    soft_cap,
+):
+    """Decode-only variant: every sequence has exactly ONE query token,
+    so each (seq, kv-block) item runs on a [rep, L] tile instead of
+    dragging the whole q block through the MXU (a 16-32x compute-waste
+    fix at large batch); DMA still pipelines across sequences."""
+    blk = pl.program_id(0)
+    base_seq = blk * seqs_per_blk
+    kv_blk_len = page_size * pages_per_blk
+    rep_pad = acc_ref.shape[1]
+
+    def _page_copy(s, kv_blk_idx, slot, i):
+        pidx = page_indices_ref[s * pages_per_seq +
+                                kv_blk_idx * pages_per_blk + i]
+        return pltpu.make_async_copy(
+            kv_hbm_ref.at[pidx],
+            kv_buf.at[slot, pl.ds(i * page_size, page_size)],
+            sems.at[slot],
+        )
+
+    def kv_dma(s, kv_blk_idx, slot):
+        for i in range(pages_per_blk):
+            _page_copy(s, kv_blk_idx, slot, i).start()
+
+    def kv_wait(s, kv_blk_idx, slot):
+        for i in range(pages_per_blk):
+            _page_copy(s, kv_blk_idx, slot, i).wait()
+
+    def n_blks(s):
+        return pl.cdiv(kv_lens_ref[s], kv_blk_len)
+
+    end_seq = base_seq + seqs_per_blk
+
+    def first_valid(s0):
+        """Smallest s >= s0 (within this block) with kv to process."""
+        return jax.lax.while_loop(
+            lambda s: (s < end_seq) & (kv_lens_ref[
+                jnp.minimum(s, end_seq - 1)] == 0),
+            lambda s: s + 1, s0)
+
+    def next_item(s, i):
+        last = i + 1 >= n_blks(s)
+        s2 = jnp.where(last, first_valid(s + 1), s)
+        i2 = jnp.where(last, 0, i + 1)
+        return s2, i2
+
+    def compute_item(s, kv_i, slot):
+        j = s - base_seq
+        kv_len = kv_lens_ref[s]
+        qpos = kv_len - 1
+
+        @pl.when(kv_i == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+            m_ref[:] = jnp.full_like(m_ref, MASK_VALUE)
+            l_ref[:] = jnp.zeros_like(l_ref)
+
+        col_base = kv_i * kv_blk_len
+        col_ids = col_base + jax.lax.broadcasted_iota(
+            jnp.int32, (1, kv_blk_len), 1)
+        mask = (col_ids < kv_len) & (col_ids <= qpos)
+        if sliding_window is not None:
+            mask &= col_ids > (qpos - sliding_window)
+
+        for h in range(num_kv_heads):
+            qh = q_ref[j, h * rep:(h + 1) * rep, :]  # [rep, LANES]
+            if pack == 1:
+                k = kv_buf[slot, :, 2 * h, :]
+                v = kv_buf[slot, :, 2 * h + 1, :]
+            else:
+                k = kv_buf[slot, :, (2 * h * head_dim) // 128, :]
+                v = k
+            scores = jax.lax.dot_general(
+                qh.astype(jnp.float32) * sm_scale,
+                k.astype(jnp.float32),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [rep, L]
+            if soft_cap is not None:
+                scores = jnp.tanh(scores / soft_cap) * soft_cap
+            scores = jnp.where(mask, scores, MASK_VALUE)
+
+            m_prev = m_ref[h, :rep, 0:1]
+            m_cur = jnp.max(scores, axis=1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(scores - m_new)
+            p = jnp.where(mask, p, 0.0)
+            l_new = l_ref[h, :rep, 0:1] * alpha + jnp.sum(
+                p, axis=1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p.astype(v.dtype), v,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc_ref[h, :rep] = acc_ref[h, :rep] * alpha + pv
+            m_ref[h, :rep] = jnp.broadcast_to(m_new, (rep, 128))
+            l_ref[h, :rep] = jnp.broadcast_to(l_new, (rep, 128))
+
+        @pl.when(kv_i + 1 >= n_blks(s))
+        def _():
+            for h in range(num_kv_heads):
+                l = l_ref[h, :rep, 0:1]
+                res = acc_ref[h, :rep] / jnp.where(l == 0.0, 1.0, l)
+                if pack > 1:
+                    off_v = ((2 * h + 1) * head_dim) % 128
+                    res = res[:, off_v:off_v + head_dim]
+                out_ref[j, h * rep:(h + 1) * rep, :] = res.astype(
+                    out_ref.dtype)
+
+    s0 = first_valid(base_seq)
+
+    @pl.when(s0 < end_seq)
+    def _():
+        kv_dma(s0, 0, 0)
+
+        def cond(carry):
+            s, i, slot = carry
+            return s < end_seq
+
+        def body(carry):
+            s, i, slot = carry
+            s2, i2 = next_item(s, i)
+
+            @pl.when(s2 < end_seq)
+            def _():
+                kv_dma(s2, i2, 1 - slot)
+
+            kv_wait(s, i, slot)
+            compute_item(s, i, slot)
+            return (s2, i2, 1 - slot)
+
+        jax.lax.while_loop(cond, body, (s0, jnp.int32(0), jnp.int32(0)))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("sm_scale", "sliding_window", "soft_cap",
                      "num_kv_pages_per_block", "num_queries_per_block",
-                     "interpret"))
+                     "decode_mode", "interpret"))
 def ragged_paged_attention_pallas(
     q: jax.Array,             # [T, HQ, D]
     kv_pages: jax.Array,      # [P, ps, 2*KVH, D]
@@ -233,6 +392,7 @@ def ragged_paged_attention_pallas(
     soft_cap: Optional[float] = None,
     num_kv_pages_per_block: int = 8,
     num_queries_per_block: int = 32,
+    decode_mode: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     t, hq, d = q.shape
@@ -285,6 +445,50 @@ def ragged_paged_attention_pallas(
     seq_range = jnp.stack([first, last1], axis=1).reshape(-1)
 
     lanes = d if pack == 1 else 128
+
+    if decode_mode:
+        # one query token per sequence (token index == seq index); use
+        # the per-seq small-tile kernel
+        spb = 8
+        s_eff = min(s, t)
+        n_blocks = cdiv(s_eff, spb)
+        q_rows = n_blocks * spb
+        rep_pad = max(rep, 8)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((spb, hq, lanes), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((spb, hq, d), lambda i, *_: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, ps * ppb, ckv // pack, lanes),
+                           kv_pages.dtype),
+                pltpu.VMEM((kvh, rep_pad, lanes), jnp.float32),
+                pltpu.VMEM((kvh, rep_pad, 128), jnp.float32),
+                pltpu.VMEM((kvh, rep_pad, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        kernel = functools.partial(
+            _rpa_decode_kernel,
+            sm_scale=sm_scale, num_kv_heads=kvh, rep=rep,
+            seqs_per_blk=spb, page_size=ps, pages_per_blk=ppb,
+            pages_per_seq=pages_per_seq, head_dim=d, pack=pack,
+            sliding_window=sliding_window, soft_cap=soft_cap)
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((q_rows, hq, d), q.dtype),
+            interpret=interpret,
+        )(kv_lens, page_indices.reshape(-1), q_in[:q_rows], kv_pages)
+        if q_rows < t:
+            out = jnp.pad(out, ((0, t - q_rows), (0, 0), (0, 0)))
+        return out
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(n_q_blks,),

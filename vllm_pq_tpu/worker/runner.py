@@ -236,7 +236,7 @@ class ModelRunner:
     # fused step function: forward + logits + sample, one dispatch
 
     def _build_step(self, t_bucket: int, greedy: bool, num_logprobs: int,
-                    constrained: bool = False):
+                    constrained: bool = False, decode_only: bool = False):
         model = self.model
         mesh = self.mesh
         lay = self._layout(t_bucket, constrained)
@@ -256,7 +256,8 @@ class ModelRunner:
         def fwd(params, kv_caches, rope, inputs, lora):
             hidden, new_caches = model(
                 params, inputs["token_ids"], inputs["positions"],
-                kv_caches, inputs, rope, lora=lora)
+                kv_caches, inputs, rope, lora=lora,
+                decode_mode=decode_only)
             sel = hidden[inputs["logits_indices"]]
             logits = model.compute_logits(params, sel)
             return logits, new_caches
@@ -353,12 +354,12 @@ class ModelRunner:
                                 {k: inputs[k] for k in attn_keys})
 
     def _get_step(self, t_bucket: int, greedy: bool, num_logprobs: int,
-                  constrained: bool = False):
-        key = (t_bucket, greedy, num_logprobs, constrained)
+                  constrained: bool = False, decode_only: bool = False):
+        key = (t_bucket, greedy, num_logprobs, constrained, decode_only)
         fn = self._step_fns.get(key)
         if fn is None:
             fn = self._build_step(t_bucket, greedy, num_logprobs,
-                                  constrained)
+                                  constrained, decode_only)
             self._step_fns[key] = fn
         return fn
 
@@ -386,7 +387,7 @@ class ModelRunner:
         def fwd(params, kv_caches, rope, inputs):
             hidden, new_caches = model(
                 params, inputs["token_ids"], inputs["positions"],
-                kv_caches, inputs, rope)
+                kv_caches, inputs, rope, decode_mode=True)
             sel = hidden[inputs["logits_indices"]]
             logits = model.compute_logits(params, sel)
             return logits, new_caches
@@ -648,8 +649,12 @@ class ModelRunner:
         t_bucket, buf, row_req_ids, constrained = self.prepare_inputs(so)
         ib = self.input_batch
         num_logprobs = ib.max_num_logprobs
+        # pure-decode steps (1 token per row, no drafts) use the
+        # small-tile decode attention kernel
+        decode_only = (not so.scheduled_spec_decode_tokens and all(
+            v == 1 for v in so.num_scheduled_tokens.values()))
         fn = self._get_step(t_bucket, ib.all_greedy, num_logprobs,
-                            constrained)
+                            constrained, decode_only)
         self._step_count += 1
         step_key = jax.random.fold_in(self._rng_key, self._step_count)
 
