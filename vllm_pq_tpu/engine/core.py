@@ -27,6 +27,18 @@ class EngineCore:
                                    .cfg.vocab_size)
         # eos metadata for requests not yet sent to the runner
         self._pending_meta: Dict[str, tuple] = {}
+        # multi-host: rank-0 broadcasts each step to follower hosts
+        self._broadcaster = None
+        import os
+        ep = os.environ.get("VPQ_STEP_BROADCAST_ENDPOINT")
+        try:
+            import jax
+            multihost = jax.process_count() > 1
+        except Exception:  # noqa: BLE001
+            multihost = False
+        if ep or multihost:
+            from vllm_pq_tpu.parallel.host_agent import StepBroadcaster
+            self._broadcaster = StepBroadcaster(ep or "tcp://*:5557")
         # speculative decoding: host-side draft proposer
         self.proposer = None
         if config.speculative.enabled:
@@ -56,6 +68,11 @@ class EngineCore:
 
     def step(self) -> List[EngineCoreOutput]:
         scheduler_output = self.scheduler.schedule()
+        if self._broadcaster is not None:
+            # multi-host lockstep: follower hosts execute the identical
+            # payload (parallel/host_agent.py)
+            self._broadcaster.publish(scheduler_output,
+                                      self._pending_meta)
         runner_output = self.runner.execute_model(scheduler_output,
                                                   self._pending_meta)
         for nr in scheduler_output.scheduled_new_reqs:
