@@ -61,7 +61,10 @@ def main():
               max_model_len=256, max_num_seqs=batch,
               max_num_batched_tokens=2048, block_size=16,
               gpu_memory_utilization=0.8,
-              enable_prefix_caching=True)
+              enable_prefix_caching=True,
+              # lag-1 async scheduling: dispatch step i+1 before fetching
+              # step i (hides dispatch + d2h latency)
+              async_scheduling=True)
 
     rng = np.random.default_rng(0)
     prompts = [{"prompt_token_ids":

@@ -120,6 +120,11 @@ class SchedulerConfig:
     # (worker/tpu_model_runner.py:603-632) and V0 has
     # --num-scheduler-steps. 1 disables.
     num_scheduler_steps: int = 1
+    # Async scheduling: dispatch step i+1 before fetching step i's
+    # sampled tokens (placeholder accounting + on-device prev-token
+    # routing). Hides dispatch/transfer latency without multi-step's
+    # output burstiness; stop checks lag one step.
+    async_scheduling: bool = False
 
     def __post_init__(self):
         if self.max_num_batched_tokens < self.max_num_seqs:
@@ -245,6 +250,12 @@ class EngineConfig:
             logger.warning("speculative decoding and multi-step decoding "
                            "are mutually exclusive; disabling multi-step")
             self.scheduler.num_scheduler_steps = 1
+        if (self.scheduler.async_scheduling
+                and (self.scheduler.num_scheduler_steps > 1
+                     or self.speculative.enabled)):
+            logger.warning("async scheduling is exclusive with multi-step"
+                           "/speculative decoding; disabling async")
+            self.scheduler.async_scheduling = False
 
     @property
     def max_blocks_per_req(self) -> int:

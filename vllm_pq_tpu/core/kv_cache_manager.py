@@ -39,6 +39,10 @@ class KVCacheManager:
         self.req_to_block_hashes: Dict[str, List[BlockHash]] = {}
         # request_id -> number of blocks already content-hashed/cached
         self.num_cached_block: Dict[str, int] = {}
+        # async scheduling: two-stage deferred freeing
+        self.deferred_free = False
+        self._limbo_new: List[List[KVCacheBlock]] = []
+        self._limbo_old: List[List[KVCacheBlock]] = []
 
     @property
     def usage(self) -> float:
@@ -152,10 +156,22 @@ class KVCacheManager:
 
     def free(self, request: Request) -> None:
         """Release all blocks. Freed in reverse order so tail blocks are
-        evicted before prefix blocks."""
+        evicted before prefix blocks. With ``deferred_free`` (async
+        scheduling), blocks sit in limbo for two finalize rounds so an
+        in-flight device step can never write into reallocated pages."""
         blocks = self.req_to_blocks.pop(request.request_id, [])
-        self.block_pool.free_blocks(list(reversed(blocks)))
         self.num_cached_block.pop(request.request_id, None)
+        if self.deferred_free:
+            self._limbo_new.append(blocks)
+        else:
+            self.block_pool.free_blocks(list(reversed(blocks)))
+
+    def flush_deferred(self) -> None:
+        """Promote limbo'd blocks one stage; the older stage is freed."""
+        for blocks in self._limbo_old:
+            self.block_pool.free_blocks(list(reversed(blocks)))
+        self._limbo_old = self._limbo_new
+        self._limbo_new = []
 
     def free_block_hashes(self, request: Request) -> None:
         """Forget the hash chain once the request leaves the engine."""

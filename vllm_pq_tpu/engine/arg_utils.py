@@ -37,6 +37,7 @@ class EngineArgs:
     max_num_seqs: int = 64
     max_num_batched_tokens: int = 1024
     num_scheduler_steps: int = 1
+    async_scheduling: bool = False
     device: str = "auto"
     disable_log_stats: bool = False
 
@@ -74,7 +75,8 @@ class EngineArgs:
                 max_num_seqs=self.max_num_seqs,
                 max_num_batched_tokens=self.max_num_batched_tokens,
                 max_model_len=self.max_model_len,
-                num_scheduler_steps=self.num_scheduler_steps),
+                num_scheduler_steps=self.num_scheduler_steps,
+                async_scheduling=self.async_scheduling),
             device=DeviceConfig(device=self.device),
             observability=ObservabilityConfig(
                 collect_metrics=not self.disable_log_stats),

@@ -64,9 +64,15 @@ class EngineCore:
             self._pending_meta.pop(rid, None)
 
     def has_unfinished_requests(self) -> bool:
-        return self.scheduler.has_unfinished_requests()
+        return (self.scheduler.has_unfinished_requests()
+                or getattr(self, "_inflight", None) is not None)
 
     def step(self) -> List[EngineCoreOutput]:
+        if self.config.scheduler.async_scheduling:
+            return self._step_async()
+        return self._step_sync()
+
+    def _step_sync(self) -> List[EngineCoreOutput]:
         scheduler_output = self.scheduler.schedule()
         if self._broadcaster is not None:
             # multi-host lockstep: follower hosts execute the identical
@@ -88,6 +94,141 @@ class EngineCore:
             self.scheduler.ignored_req_ids.clear()
         if self.proposer is not None:
             self._propose_drafts()
+        return outputs
+
+    # ------------------------------------------------------------------
+    # async scheduling (lag-1 pipeline): dispatch step i+1 before
+    # fetching step i. Placeholder tokens (-1) keep the scheduler's
+    # token accounting ahead; the runner resolves them ON DEVICE from
+    # the previous step's samples, so the host never blocks on tokens
+    # it only needs for stop checks (which lag one step).
+
+    PLACEHOLDER = -1
+
+    def _async_state(self):
+        if not hasattr(self, "_inflight"):
+            self._inflight = None
+            self.scheduler.kv_cache_manager.deferred_free = True
+        return self._inflight
+
+    def _step_async(self) -> List[EngineCoreOutput]:
+        self._async_state()
+        # constrained / spec work needs same-step tokens: drain and
+        # fall back to a sync step for this iteration
+        needs_sync = any(
+            r.needs_constraints or r.spec_token_ids
+            for r in list(self.scheduler.running) + list(
+                self.scheduler.waiting))
+        if needs_sync:
+            outputs = []
+            if self._inflight is not None:
+                outputs += self._finalize_async(*self._inflight)
+                self._inflight = None
+                self.scheduler.kv_cache_manager.flush_deferred()
+                self.scheduler.kv_cache_manager.flush_deferred()
+            return outputs + self._step_sync()
+
+        scheduler_output = self.scheduler.schedule()
+        sampling_rids = self._advance_optimistic(scheduler_output)
+        handle = self.runner.dispatch_model(scheduler_output,
+                                            self._pending_meta)
+        for nr in scheduler_output.scheduled_new_reqs:
+            self._pending_meta.pop(nr.req_id, None)
+
+        outputs: List[EngineCoreOutput] = []
+        if self._inflight is not None:
+            outputs = self._finalize_async(*self._inflight)
+        self.scheduler.kv_cache_manager.flush_deferred()
+        self._inflight = ((scheduler_output, handle, sampling_rids)
+                          if handle is not None else None)
+        if self._inflight is None and self.scheduler.ignored_req_ids:
+            for rid in sorted(self.scheduler.ignored_req_ids):
+                outputs.append(EngineCoreOutput(
+                    req_id=rid, new_token_ids=[],
+                    finish_reason="length", stop_reason="kv_capacity"))
+            self.scheduler.ignored_req_ids.clear()
+        return outputs
+
+    def _advance_optimistic(self, so) -> List[str]:
+        """Advance num_computed_tokens at schedule time and append a
+        placeholder for every row that samples this step; rows that hit
+        their caps stop being scheduled (moved out of running) until
+        their finalize concludes them."""
+        sched = self.scheduler
+        sampling = []
+        for rid, nt in so.num_scheduled_tokens.items():
+            req = sched.requests.get(rid)
+            if req is None:
+                continue
+            will_sample = req.num_computed_tokens + nt >= req.num_tokens
+            req.num_computed_tokens += nt
+            if not will_sample:
+                continue
+            req.append_output_token_ids(self.PLACEHOLDER)
+            sampling.append(rid)
+            if (req.num_output_tokens >= req.max_tokens
+                    or req.num_tokens >= sched.max_model_len):
+                # in-flight token is the last allowed: park the request
+                # so it is not scheduled again before its finalize
+                try:
+                    sched.running.remove(req)
+                except ValueError:
+                    pass
+        return sampling
+
+    def _finalize_async(self, so, handle,
+                        sampling_rids) -> List[EngineCoreOutput]:
+        from vllm_pq_tpu.request import RequestStatus
+        sched = self.scheduler
+        runner_output = self.runner.fetch_model(handle)
+        outputs: List[EngineCoreOutput] = []
+        sampling = set(sampling_rids)
+        for rid in so.num_scheduled_tokens:
+            req = sched.requests.get(rid)
+            if req is None or rid not in sampling:
+                continue
+            sampled = runner_output.sampled_token_ids.get(rid)
+            if not sampled:
+                continue
+            tok = sampled[0]
+            toks = req._all_token_ids
+            try:
+                idx = toks.index(self.PLACEHOLDER, req.num_prompt_tokens)
+            except ValueError:
+                continue
+            toks[idx] = tok
+            real_out = idx - req.num_prompt_tokens + 1
+            if req.guided_fsm is not None:
+                req.guided_fsm.advance(tok)
+
+            sp = req.sampling_params
+            finish = None
+            if (req.num_prompt_tokens + real_out >= sched.max_model_len
+                    or real_out >= req.max_tokens):
+                finish = RequestStatus.FINISHED_LENGTH_CAPPED
+            elif real_out >= sp.min_tokens:
+                if (not sp.ignore_eos and req.eos_token_id is not None
+                        and tok == req.eos_token_id):
+                    finish = RequestStatus.FINISHED_STOPPED
+                elif tok in sp.stop_token_ids:
+                    finish = RequestStatus.FINISHED_STOPPED
+                    req.stop_reason = tok
+
+            if finish is not None:
+                # discard any newer in-flight placeholders
+                del toks[idx + 1:]
+                req.status = finish
+                try:
+                    sched.running.remove(req)
+                except ValueError:
+                    pass
+                sched._free_request(req)
+            outputs.append(EngineCoreOutput(
+                req_id=rid, new_token_ids=[tok],
+                finish_reason=req.get_finish_reason(),
+                stop_reason=req.stop_reason,
+                logprobs=runner_output.logprobs.get(rid),
+            ))
         return outputs
 
     def _propose_drafts(self) -> None:

@@ -55,7 +55,7 @@ class _PackedLayout:
                   "drafts", "num_drafts", "top_k", "seed", "has_seed",
                   "eos_token_id", "min_tokens", "output_len",
                   "logits_mask", "bias_rows", "bias_toks",
-                  "lora_sorted_tok", "lora_groups")
+                  "lora_sorted_tok", "lora_groups", "prev_rows")
     F32_FIELDS = ("temperature", "top_p", "min_p", "presence_penalty",
                   "frequency_penalty", "repetition_penalty", "bias_vals")
 
@@ -81,6 +81,9 @@ class _PackedLayout:
             "logits_mask": s * mask_words,
             "bias_rows": self.MAX_BIAS if mask_words else 0,
             "bias_toks": self.MAX_BIAS if mask_words else 0,
+            # async scheduling: flat-token -> previous-step row whose
+            # sampled token is this token's value (-1 = host-provided)
+            "prev_rows": t_bucket,
         }
         sizes.update({f: s for f in self.F32_FIELDS})
         sizes["bias_vals"] = self.MAX_BIAS if mask_words else 0
@@ -270,9 +273,17 @@ class ModelRunner:
             out_specs=(P(), [self.kv_spec] * n_layers),
         )
 
-        def step(params, kv_caches, rope, packed, step_key, lora_w):
+        def step(params, kv_caches, rope, packed, step_key, lora_w,
+                 prev_toks):
             f = lay.unpack(packed)
             inputs = {k: f[k] for k in attn_keys}
+            # async scheduling: tokens marked prev_rows >= 0 take their
+            # value from the previous step's on-device samples (the host
+            # never waited for them)
+            pr = f["prev_rows"]
+            inputs["token_ids"] = jnp.where(
+                pr >= 0, prev_toks[jnp.maximum(pr, 0)],
+                inputs["token_ids"])
             inputs["page_indices"] = f["page_indices"].reshape(
                 s, self.max_blocks_per_req)
             lora = None
@@ -530,6 +541,9 @@ class ModelRunner:
         row_req_ids: List[Optional[str]] = [None] * s
         lora_on = self.lora_stacks is not None
         tok_slot = np.zeros(t_bucket, np.int32) if lora_on else None
+        prev_rows = lay.view(buf, "prev_rows")
+        prev_rows[:] = -1
+        prev_row_of = getattr(self, "_prev_row_of", None)
 
         off = 0
         for row in range(ib.num_reqs):
@@ -572,6 +586,13 @@ class ModelRunner:
                 logits_idx[row] = off + nt - 1
             if lora_on:
                 tok_slot[off:off + nt] = ib.lora_slot[row]
+            # async scheduling: -1 placeholder tokens resolve on device
+            # from the previous step's samples
+            if prev_row_of is not None:
+                ph = np.nonzero(tok[off:off + n_real] == -1)[0]
+                if ph.size:
+                    pr = prev_row_of.get(rid, -1)
+                    prev_rows[off + ph] = pr
             off += nt
         cu[ib.num_reqs + 1:] = cu[ib.num_reqs]
         if lora_on:
@@ -639,12 +660,19 @@ class ModelRunner:
     def execute_model(self, so: SchedulerOutput,
                       request_meta: Optional[Dict] = None
                       ) -> ModelRunnerOutput:
+        handle = self.dispatch_model(so, request_meta)
+        return self.fetch_model(handle)
+
+    def dispatch_model(self, so: SchedulerOutput,
+                       request_meta: Optional[Dict] = None):
+        """Enqueue the device step WITHOUT waiting for results. Returns
+        an opaque handle for fetch_model (async scheduling splits the
+        two around the next step's scheduling work)."""
         self.update_states(so, request_meta)
-        out = ModelRunnerOutput()
         if so.total_num_scheduled_tokens == 0:
-            return out
+            return None
         if so.num_scheduler_steps > 1:
-            return self._execute_multistep(so, out)
+            return ("ms", self._dispatch_multistep(so))
 
         t_bucket, buf, row_req_ids, constrained = self.prepare_inputs(so)
         ib = self.input_batch
@@ -658,12 +686,22 @@ class ModelRunner:
         self._step_count += 1
         step_key = jax.random.fold_in(self._rng_key, self._step_count)
 
-        packed = jnp.asarray(buf)  # ONE host->device transfer
+        # .copy(): jnp.asarray may alias the numpy scratch buffer
+        # zero-copy, and with async scheduling the next step's
+        # prepare_inputs would overwrite it while this step is
+        # still in flight
+        packed = jnp.asarray(buf.copy())  # ONE host->device transfer
         lora_w = (self._lora_weights() if self.lora_stacks is not None
                   else None)
         toks, gens, lp, self.kv_caches = fn(
             self.params, self.kv_caches, self.rope_cache, packed, step_key,
-            lora_w)
+            lora_w, self._prev_toks_or_zeros())
+
+        # device state for async prev-token routing
+        self._prev_toks = toks[:, 0] if self.spec_k else toks
+        self._prev_row_of = {rid: row
+                             for row, rid in enumerate(row_req_ids)
+                             if rid is not None}
 
         # start the device->host copies before doing host-side work
         for a in (toks, gens) + (tuple(lp) if lp else ()):
@@ -672,6 +710,22 @@ class ModelRunner:
                     a.copy_to_host_async()
                 except Exception:
                     pass
+        return ("step", toks, gens, lp, row_req_ids, num_logprobs)
+
+    def _prev_toks_or_zeros(self):
+        pt = getattr(self, "_prev_toks", None)
+        if pt is None:
+            pt = jnp.zeros(self.max_num_reqs, jnp.int32)
+        return pt
+
+    def fetch_model(self, handle) -> ModelRunnerOutput:
+        out = ModelRunnerOutput()
+        if handle is None:
+            return out
+        if handle[0] == "ms":
+            return self._fetch_multistep(handle[1])
+        _, toks, gens, lp, row_req_ids, num_logprobs = handle
+        ib = self.input_batch
 
         toks_np = np.asarray(jax.device_get(toks))
         gens_np = (np.asarray(jax.device_get(gens))
@@ -735,8 +789,7 @@ class ModelRunner:
         self._asleep_level = 0
         logger.info("runner awake")
 
-    def _execute_multistep(self, so: SchedulerOutput,
-                           out: ModelRunnerOutput) -> ModelRunnerOutput:
+    def _dispatch_multistep(self, so: SchedulerOutput):
         n = so.num_scheduler_steps
         t_bucket, buf, row_req_ids, _ = self.prepare_inputs(
             so, one_per_row=True)  # scheduler excludes constrained rows
@@ -744,13 +797,22 @@ class ModelRunner:
         fn = self._get_multistep(n, ib.all_greedy, t_bucket)
         self._step_count += 1
         step_key = jax.random.fold_in(self._rng_key, self._step_count)
-        packed = jnp.asarray(buf)
+        packed = jnp.asarray(buf.copy())
         all_toks, self.kv_caches = fn(self.params, self.kv_caches,
                                       self.rope_cache, packed, step_key)
+        self._prev_toks = all_toks[-1]
+        self._prev_row_of = {rid: row
+                             for row, rid in enumerate(row_req_ids)
+                             if rid is not None}
         try:
             all_toks.copy_to_host_async()
         except Exception:
             pass
+        return (all_toks, row_req_ids)
+
+    def _fetch_multistep(self, h) -> ModelRunnerOutput:
+        all_toks, row_req_ids = h
+        out = ModelRunnerOutput()
         toks_np = np.asarray(jax.device_get(all_toks))  # [N, S]
         for row, rid in enumerate(row_req_ids):
             if rid is None:
