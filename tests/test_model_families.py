@@ -17,6 +17,7 @@ BASE = {
 
 FAMILIES = {
     "Qwen2ForCausalLM": {},
+    "OPTForCausalLM": {"ffn_dim": 256, "do_layer_norm_before": True},
     "GemmaForCausalLM": {"hidden_activation": "gelu_pytorch_tanh",
                          "tie_word_embeddings": True},
     "Gemma2ForCausalLM": {"hidden_activation": "gelu_pytorch_tanh",
@@ -58,5 +59,5 @@ def test_list_supported_archs():
     archs = list_supported_archs()
     for a in ("LlamaForCausalLM", "MixtralForCausalLM", "Qwen2ForCausalLM",
               "GemmaForCausalLM", "Gemma2ForCausalLM", "Phi3ForCausalLM",
-              "MistralForCausalLM"):
+              "MistralForCausalLM", "OPTForCausalLM"):
         assert a in archs, a

@@ -120,10 +120,11 @@ def load_hf(model, mesh: Mesh, model_dir: str,
     """Load a local HF checkpoint directory into the model's param tree."""
     cfg = model.cfg
     shapes = model.param_shapes()
+    # skeleton mirrors the model's own param tree (llama vs opt etc.)
     tree: Dict[str, Any] = {
-        "embed_tokens": {},
-        "layers": [dict() for _ in range(cfg.num_hidden_layers)],
-        "norm": {},
+        k: ([dict() for _ in range(cfg.num_hidden_layers)]
+            if k == "layers" else {})
+        for k in shapes if k != "lm_head"
     }
     is_pq = isinstance(linear_method, PQLinearMethod)
     pending_aqlm: Dict[tuple, Dict[str, np.ndarray]] = {}
@@ -134,12 +135,51 @@ def load_hf(model, mesh: Mesh, model_dir: str,
             return x
         return x
 
+    _OPT_MAP = {
+        "self_attn.q_proj": "q_proj", "self_attn.k_proj": "k_proj",
+        "self_attn.v_proj": "v_proj", "self_attn.out_proj": "out_proj",
+        "fc1": "fc1", "fc2": "fc2",
+        "self_attn_layer_norm": "self_attn_layer_norm",
+        "final_layer_norm": "final_layer_norm",
+    }
+
     for name, tensor in _iter_safetensors(model_dir):
         tensor = np.asarray(tensor)
+        if name.startswith("model.decoder.") or name.startswith("decoder."):
+            # OPT family (models/opt.py)
+            rest = name.split("decoder.", 1)[1]
+            if rest in ("embed_tokens.weight", "embed_positions.weight"):
+                key = rest.split(".")[0]
+                tree.setdefault(key, {})["weight"] = tensor
+            elif rest.startswith("final_layer_norm."):
+                tree.setdefault("final_layer_norm", {})[
+                    rest.split(".")[-1]] = tensor
+            elif rest.startswith("layers."):
+                parts = rest.split(".")
+                li = int(parts[1])
+                sub = ".".join(parts[2:-1])
+                leaf = parts[-1]
+                ours = _OPT_MAP.get(sub)
+                if ours is None:
+                    logger.warning("unmapped OPT weight %s", name)
+                    continue
+                if "layer_norm" in ours:
+                    tree["layers"][li].setdefault(ours, {})[leaf] = tensor
+                elif leaf == "bias":
+                    tree["layers"][li][ours + "_bias"] = {"bias": tensor}
+                else:
+                    w = tensor.T
+                    tree["layers"][li][ours] = (
+                        linear_method.quantize(w, np.float32)
+                        if not isinstance(linear_method,
+                                          UnquantizedLinearMethod)
+                        else {"weight": w})
+            continue
         if name in ("model.embed_tokens.weight",):
             tree["embed_tokens"]["weight"] = tensor
         elif name in ("lm_head.weight",):
-            tree["lm_head"] = {"weight": tensor.T}
+            if "lm_head" in shapes:
+                tree["lm_head"] = {"weight": tensor.T}
         elif name == "model.norm.weight":
             tree["norm"]["weight"] = tensor
         elif name.startswith("model.layers."):

@@ -120,6 +120,15 @@ def _build_phi3(hf_config, config: EngineConfig, linear_method):
     return LlamaModel(mc, linear_method)
 
 
+@register_model("OPTForCausalLM")
+def _build_opt(hf_config, config: EngineConfig, linear_method):
+    from vllm_pq_tpu.models.opt import OPTConfig, OPTModel
+    mc = (OPTConfig.from_hf_config(hf_config) if hf_config is not None
+          else OPTConfig())
+    mc.dtype = config.model.jax_dtype
+    return OPTModel(mc, linear_method)
+
+
 @register_model("MixtralForCausalLM")
 def _build_mixtral(hf_config, config: EngineConfig, linear_method):
     from vllm_pq_tpu.models.mixtral import MixtralConfig, MixtralModel
