@@ -168,6 +168,32 @@ class LLM:
             ))
         return results
 
+    def encode(self, prompts: Union[PromptType, Sequence[PromptType]],
+               pooling_type: str = "last") -> List["np.ndarray"]:
+        """Pooled hidden-state embeddings (role of reference
+        LLM.encode/embed; pooling models use last-token or mean pooling).
+        Requires the in-process engine."""
+        import numpy as np  # noqa: F401
+        if isinstance(prompts, (str, dict)):
+            prompts = [prompts]
+        tok = self.get_tokenizer()
+        ids = []
+        for p in prompts:
+            if isinstance(p, dict):
+                ids.append(list(p.get("prompt_token_ids")
+                                or tok.encode(p["prompt"])))
+            else:
+                ids.append(tok.encode(p))
+        core = self.llm_engine.engine_core
+        runner = getattr(core, "runner", None)
+        if runner is None:
+            raise RuntimeError("encode requires the in-process engine")
+        arr = runner.encode(ids, pool=pooling_type)
+        return [arr[i] for i in range(len(ids))]
+
+    def embed(self, prompts, **kw):
+        return self.encode(prompts, **kw)
+
     # -- admin parity ----------------------------------------------------
 
     def sleep(self, level: int = 1) -> None:

@@ -391,8 +391,32 @@ async def chat_completions(request: web.Request) -> web.StreamResponse:
 
 
 async def embeddings(request: web.Request) -> web.Response:
-    return _error(501, "embedding models are not supported yet",
-                  "not_implemented")
+    body = await request.json()
+    inputs = body.get("input")
+    if inputs is None:
+        return _error(400, "missing 'input'")
+    if isinstance(inputs, str):
+        inputs = [inputs]
+    engine = request.app[ENGINE_KEY]
+    core = engine.engine.engine_core
+    runner = getattr(core, "runner", None)
+    if runner is None:
+        return _error(501, "embeddings require the in-process engine",
+                      "not_implemented")
+    tok = engine.get_tokenizer()
+    ids = [list(p) if isinstance(p, list) else tok.encode(p)
+           for p in inputs]
+    import asyncio
+    arr = await asyncio.get_event_loop().run_in_executor(
+        None, lambda: runner.encode(ids))
+    data = [{"object": "embedding", "index": i,
+             "embedding": arr[i].tolist()} for i in range(len(ids))]
+    return web.json_response({
+        "object": "list", "data": data,
+        "model": request.app[MODEL_KEY],
+        "usage": {"prompt_tokens": sum(len(x) for x in ids),
+                  "total_tokens": sum(len(x) for x in ids)},
+    })
 
 
 async def invocations(request: web.Request) -> web.StreamResponse:

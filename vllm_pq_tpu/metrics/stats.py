@@ -61,6 +61,11 @@ class StatsLogger:
     def __init__(self, config: EngineConfig):
         self.enabled = config.observability.collect_metrics
         self.interval = config.observability.log_stats_interval_s
+        # OTel spans per finished request (reference do_tracing)
+        from vllm_pq_tpu.tracing import init_tracer
+        self.tracer = init_tracer(
+            "vllm_pq_tpu", config.observability.otlp_traces_endpoint)
+        self._requests = {}
         self.last_log = time.monotonic()
         self.step_count = 0
         self.token_count = 0
@@ -72,6 +77,8 @@ class StatsLogger:
 
     def on_request_arrival(self, request) -> None:
         self.arrivals[request.request_id] = time.monotonic()
+        if self.tracer is not None:
+            self._requests[request.request_id] = request
 
     def on_step(self, core_outputs: List, step_time: float,
                 sched_stats: dict) -> None:
@@ -91,6 +98,18 @@ class StatsLogger:
             if eco.finish_reason is not None and rid in self.arrivals:
                 if prom:
                     prom["e2e"].observe(now - self.arrivals[rid])
+                if self.tracer is not None and rid in self._requests:
+                    from vllm_pq_tpu.tracing import trace_request_done
+                    req = self._requests[rid]
+                    ft = self.first_token_time.get(rid, now)
+                    trace_request_done(
+                        self.tracer, req,
+                        queue_s=0.0,
+                        ttft_s=ft - self.arrivals[rid],
+                        e2e_s=now - self.arrivals[rid],
+                        prompt_tokens=req.num_prompt_tokens,
+                        completion_tokens=req.num_output_tokens)
+                self._requests.pop(rid, None)
                 self.arrivals.pop(rid, None)
                 self.first_token_time.pop(rid, None)
         self.gen_token_count += gen

@@ -39,6 +39,10 @@ def write_kv_cache(kv_cache: jax.Array, k: jax.Array, v: jax.Array,
     """
     p, ps, ckv, d = kv_cache.shape
     kv = jnp.stack([k, v], axis=2).reshape(k.shape[0], ckv, d)
+    if (jax.default_backend() == "tpu"
+            and envs.VPQ_ATTENTION_BACKEND != "ref"):
+        from vllm_pq_tpu.ops.kv_write_kernel import kv_write_pallas
+        return kv_write_pallas(kv_cache, kv, slot_mapping)
     flat = kv_cache.reshape(p * ps, ckv, d)
     flat = flat.at[slot_mapping].set(kv.astype(flat.dtype))
     return flat.reshape(p, ps, ckv, d)

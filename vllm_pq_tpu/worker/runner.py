@@ -751,6 +751,85 @@ class ModelRunner:
         return out
 
     # ------------------------------------------------------------------
+    # pooling / embeddings (role of reference pooling models + encode())
+
+    def encode(self, token_ids_list: List[List[int]],
+               pool: str = "last") -> np.ndarray:
+        """Pooled hidden states for whole prompts (offline embedding
+        path; uses a lazily-allocated scratch KV cache so serving state
+        is untouched)."""
+        model = self.model
+        h = model.cfg.hidden_size
+        results = []
+        for ids in token_ids_list:
+            t = len(ids)
+            t_bucket = self._pick_bucket(t)
+            n_pages = cdiv(t_bucket, self.block_size) + 1
+            if getattr(self, "_enc_kv", None) is None or \
+                    self._enc_kv[0].shape[0] < n_pages:
+                kv_shape = model.kv_cache_shape(n_pages, self.block_size,
+                                                tp_size=1)
+                self._enc_kv = [
+                    jax.device_put(
+                        jnp.zeros(kv_shape, self.kv_caches[0].dtype
+                                  if self.kv_caches else jnp.float32),
+                        NamedSharding(self.mesh, self.kv_spec))
+                    for _ in range(model.cfg.num_hidden_layers)]
+            fn = self._get_encode_fn(t_bucket, pool)
+            tok = np.zeros(t_bucket, np.int32)
+            tok[:t] = ids
+            pos = np.zeros(t_bucket, np.int32)
+            pos[:t] = np.arange(t)
+            slots = np.arange(self.block_size,
+                              self.block_size + t_bucket, dtype=np.int32)
+            pooled = fn(self.params, self._enc_kv, self.rope_cache,
+                        jnp.asarray(tok), jnp.asarray(pos),
+                        jnp.asarray(slots), jnp.asarray([t], np.int32))
+            results.append(np.asarray(jax.device_get(pooled)))
+        return np.stack(results)
+
+    def _get_encode_fn(self, t_bucket: int, pool: str):
+        key = ("enc", t_bucket, pool)
+        fn = self._step_fns.get(key)
+        if fn is not None:
+            return fn
+        model = self.model
+        n_layers = model.cfg.num_hidden_layers
+        n_pages = cdiv(t_bucket, self.block_size) + 1
+        pages = np.arange(1, n_pages + 1, dtype=np.int32)
+
+        def fwd(params, kv_caches, rope, tok, pos, slots, n):
+            md = {
+                "slot_mapping": slots,
+                "kv_lens": jnp.concatenate(
+                    [n.astype(jnp.int32),
+                     jnp.zeros(0, jnp.int32)]),
+                "page_indices": jnp.asarray(pages)[None, :],
+                "cu_q_lens": jnp.stack(
+                    [jnp.zeros((), jnp.int32),
+                     n[0].astype(jnp.int32)]),
+                "num_seqs": jnp.ones(1, jnp.int32),
+            }
+            hidden, _ = model(params, tok, pos, kv_caches, md, rope)
+            if pool == "mean":
+                mask = (jnp.arange(t_bucket) < n[0])[:, None]
+                pooled = jnp.sum(jnp.where(mask, hidden, 0), axis=0) \
+                    / jnp.maximum(n[0], 1)
+            else:  # last token
+                pooled = hidden[n[0] - 1]
+            return pooled.astype(jnp.float32)
+
+        sharded = _shard_map(
+            fwd, self.mesh,
+            in_specs=(model.param_specs(), [self.kv_spec] * n_layers,
+                      P(None, None), P(), P(), P(), P()),
+            out_specs=P(),
+        )
+        fn = jax.jit(sharded)
+        self._step_fns[key] = fn
+        return fn
+
+    # ------------------------------------------------------------------
     # sleep mode (role of reference CuMemAllocator.sleep/wake_up)
 
     def sleep(self, level: int = 1) -> None:
