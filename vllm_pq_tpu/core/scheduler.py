@@ -33,17 +33,19 @@ class EngineCoreOutput:
     """Per-request, per-step output emitted by the scheduler."""
 
     __slots__ = ("req_id", "new_token_ids", "finish_reason", "stop_reason",
-                 "logprobs")
+                 "logprobs", "prompt_logprobs")
 
     def __init__(self, req_id: str, new_token_ids: List[int],
                  finish_reason: Optional[str] = None,
                  stop_reason: Optional[object] = None,
-                 logprobs: Optional[object] = None):
+                 logprobs: Optional[object] = None,
+                 prompt_logprobs: Optional[list] = None):
         self.req_id = req_id
         self.new_token_ids = new_token_ids
         self.finish_reason = finish_reason
         self.stop_reason = stop_reason
         self.logprobs = logprobs
+        self.prompt_logprobs = prompt_logprobs
 
 
 class Scheduler:
@@ -314,11 +316,15 @@ class Scheduler:
         if n * len(self.running) > self.max_num_batched_tokens:
             return None
         for r in self.running:
+            sp = r.sampling_params
             if (r.num_computed_tokens != r.num_tokens - 1
                     or r.spec_token_ids
-                    or r.sampling_params.logprobs is not None
+                    or sp.logprobs is not None
                     or r.needs_constraints
                     or getattr(r, "lora_slot", 0)
+                    or sp.presence_penalty != 0
+                    or sp.frequency_penalty != 0
+                    or sp.repetition_penalty != 1.0
                     or r.num_tokens + n > self.max_model_len):
                 return None
 
@@ -383,6 +389,10 @@ class Scheduler:
                 request.num_computed_tokens += num_scheduled
             request.spec_token_ids = []
 
+            plp = runner_output.prompt_logprobs.get(req_id)
+            if plp is not None:
+                self._accumulate_prompt_logprobs(request, plp)
+
             if request.num_computed_tokens < request.num_tokens:
                 # partial prefill: sampled token is not valid yet
                 new_running.append(request)
@@ -407,6 +417,12 @@ class Scheduler:
                 if lp is not None:
                     request.logprobs.append(lp)
 
+            send_plp = None
+            acc = getattr(request, "prompt_logprobs_acc", None)
+            if acc is not None and not getattr(request, "_plp_sent",
+                                               False):
+                send_plp = acc
+                request._plp_sent = True
             outputs.append(
                 EngineCoreOutput(
                     req_id=req_id,
@@ -414,6 +430,7 @@ class Scheduler:
                     finish_reason=request.get_finish_reason(),
                     stop_reason=request.stop_reason,
                     logprobs=runner_output.logprobs.get(req_id),
+                    prompt_logprobs=send_plp,
                 ))
             if finish is not None:
                 self._free_request(request)
@@ -421,6 +438,28 @@ class Scheduler:
                 new_running.append(request)
         self.running = new_running
         return outputs
+
+    def _accumulate_prompt_logprobs(self, request: Request, plp) -> None:
+        """Assemble per-position {token_id: Logprob} dicts from the
+        runner's prompt-logprob chunk (reference prompt_logprobs
+        semantics: entry i is the logprob of prompt token i given tokens
+        < i; position 0 is None)."""
+        from vllm_pq_tpu.outputs import Logprob
+        start, ids, vals, tgt = plp
+        acc = getattr(request, "prompt_logprobs_acc", None)
+        if acc is None:
+            acc = request.prompt_logprobs_acc = []
+        if start == 0 and not acc:
+            acc.append(None)
+        prompt = request.prompt_token_ids
+        for i in range(ids.shape[0]):
+            pos = start + i
+            if pos + 1 >= request.num_prompt_tokens:
+                break
+            d = {int(prompt[pos + 1]): Logprob(float(tgt[i]))}
+            for j in range(ids.shape[1]):
+                d.setdefault(int(ids[i, j]), Logprob(float(vals[i, j])))
+            acc.append(d)
 
     def _check_stop(self, request: Request,
                     last_token: int) -> Optional[RequestStatus]:

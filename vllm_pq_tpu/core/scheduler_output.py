@@ -79,3 +79,6 @@ class ModelRunnerOutput:
     # req_id -> logprobs payload for tokens sampled this step; each entry
     # is (token_ids[k+1], logprobs[k+1], rank_of_sampled) arrays or None.
     logprobs: Dict[str, object] = field(default_factory=dict)
+    # req_id -> (start_pos, top_ids [nt,k], top_vals [nt,k],
+    # target_logprob [nt]) for prompt-logprob chunks computed this step
+    prompt_logprobs: Dict[str, object] = field(default_factory=dict)

@@ -117,6 +117,9 @@ class EngineCore:
         # fall back to a sync step for this iteration
         needs_sync = any(
             r.needs_constraints or r.spec_token_ids
+            or r.sampling_params.presence_penalty != 0
+            or r.sampling_params.frequency_penalty != 0
+            or r.sampling_params.repetition_penalty != 1.0
             for r in list(self.scheduler.running) + list(
                 self.scheduler.waiting))
         if needs_sync:

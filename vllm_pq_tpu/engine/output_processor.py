@@ -101,6 +101,8 @@ class OutputProcessor:
                     stop_reason = stop_str
                     to_abort.append(eco.req_id)
 
+            if getattr(eco, "prompt_logprobs", None) is not None:
+                state.prompt_logprobs = eco.prompt_logprobs
             state.finished = finish_reason is not None
             state.finish_reason = finish_reason
             state.stop_reason = stop_reason
@@ -139,6 +141,7 @@ class OutputProcessor:
             prompt_token_ids=state.prompt_token_ids,
             outputs=[completion],
             finished=state.finished,
+            prompt_logprobs=getattr(state, "prompt_logprobs", None),
         )
 
     def has_requests(self) -> bool:

@@ -79,6 +79,7 @@ class LLM:
                 prompt_token_ids=base.prompt_token_ids,
                 outputs=[o.outputs[0] for _, o in outs],
                 finished=True,
+                prompt_logprobs=base.prompt_logprobs,
             )
             for i, (_, o) in enumerate(outs):
                 merged.outputs[i].index = i

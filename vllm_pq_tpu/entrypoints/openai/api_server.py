@@ -317,11 +317,31 @@ async def chat_completions(request: web.Request) -> web.StreamResponse:
     if not messages:
         return _error(400, "missing 'messages'")
     tok = engine.get_tokenizer()
-    try:
-        prompt = tok.apply_chat_template(messages, tokenize=False,
-                                         add_generation_prompt=True)
-    except Exception as e:
-        return _error(400, f"chat template failed: {e}")
+    tools = body.get("tools")
+    tool_choice = body.get("tool_choice", "auto" if tools else "none")
+    if tools and tool_choice != "none":
+        # prefer the tokenizer's native tools support; fall back to a
+        # system-prompt preamble + hermes-style parsing
+        from vllm_pq_tpu.entrypoints.openai.tool_parsers import \
+            render_tools_prompt
+        try:
+            prompt = tok.apply_chat_template(
+                messages, tokenize=False, add_generation_prompt=True,
+                tools=tools)
+        except Exception:
+            messages = ([{"role": "system",
+                          "content": render_tools_prompt(tools,
+                                                         tool_choice)}]
+                        + list(messages))
+            prompt = None
+    else:
+        prompt = None
+    if prompt is None:
+        try:
+            prompt = tok.apply_chat_template(messages, tokenize=False,
+                                             add_generation_prompt=True)
+        except Exception as e:
+            return _error(400, f"chat template failed: {e}")
     try:
         sp = _sampling_from_request(body, defaults_max=256, chat=True)
     except ValueError as e:
@@ -369,13 +389,24 @@ async def chat_completions(request: web.Request) -> web.StreamResponse:
             if out.finished:
                 final = out
         c = final.outputs[0]
+        message = {"role": "assistant", "content": c.text}
+        finish_reason = c.finish_reason
+        if tools and tool_choice != "none":
+            from vllm_pq_tpu.entrypoints.openai.tool_parsers import \
+                parse_tool_calls
+            content, calls = parse_tool_calls(c.text)
+            if calls:
+                message = {"role": "assistant",
+                           "content": content or None,
+                           "tool_calls": calls}
+                finish_reason = "tool_calls"
         return web.json_response({
             "id": rid, "object": "chat.completion",
             "created": int(time.time()), "model": model_name,
             "choices": [{
                 "index": 0,
-                "message": {"role": "assistant", "content": c.text},
-                "finish_reason": c.finish_reason,
+                "message": message,
+                "finish_reason": finish_reason,
             }],
             "usage": {
                 "prompt_tokens": len(final.prompt_token_ids),

@@ -225,10 +225,10 @@ def _rpa_decode_kernel(
     # outputs
     out_ref,            # [seqs_per_blk, HQ, D] VMEM (block)
     # scratch
-    kv_buf,             # [2, ps*ppb, C, LANES] VMEM
-    acc_ref,            # [KVH, REP_PAD, LANES] f32
-    m_ref,              # [KVH, REP_PAD, 128] f32
-    l_ref,              # [KVH, REP_PAD, 128] f32
+    kv_buf,             # [2, spb*ps*ppb, C, LANES] VMEM
+    acc_ref,            # [KVH, spb*rep, LANES] f32
+    m_ref,              # [KVH, spb*rep, 128] f32
+    l_ref,              # [KVH, spb*rep, 128] f32
     sems,               # DMA sems [2]
     *,
     sm_scale: float,
@@ -243,72 +243,107 @@ def _rpa_decode_kernel(
     sliding_window,
     soft_cap,
 ):
-    """Decode-only variant: every sequence has exactly ONE query token,
-    so each (seq, kv-block) item runs on a [rep, L] tile instead of
-    dragging the whole q block through the MXU (a 16-32x compute-waste
-    fix at large batch); DMA still pipelines across sequences."""
+    """Decode-only variant: every sequence has exactly ONE query token.
+
+    All ``seqs_per_blk`` sequences' kv blocks are DMA'd together and
+    attended in ONE block-diagonal matmul per head: rows are grouped by
+    sequence and a (row_seq == col_seq) mask kills the cross-sequence
+    blocks. This trades seqs_per_blk x extra MXU flops (idle at decode
+    anyway) for seqs_per_blk x fewer serialized DMA-wait/compute items —
+    decode attention is item-overhead-bound, not FLOP-bound."""
     blk = pl.program_id(0)
     base_seq = blk * seqs_per_blk
     kv_blk_len = page_size * pages_per_blk
-    rep_pad = acc_ref.shape[1]
+    spb = seqs_per_blk
+    rows = spb * rep
 
-    def _page_copy(s, kv_blk_idx, slot, i):
-        pidx = page_indices_ref[s * pages_per_seq +
+    def _page_copy(j, kv_blk_idx, slot, i):
+        pidx = page_indices_ref[(base_seq + j) * pages_per_seq +
                                 kv_blk_idx * pages_per_blk + i]
         return pltpu.make_async_copy(
             kv_hbm_ref.at[pidx],
-            kv_buf.at[slot, pl.ds(i * page_size, page_size)],
+            kv_buf.at[slot, pl.ds((j * pages_per_blk + i) * page_size,
+                                  page_size)],
             sems.at[slot],
         )
 
-    def kv_dma(s, kv_blk_idx, slot):
-        for i in range(pages_per_blk):
-            _page_copy(s, kv_blk_idx, slot, i).start()
+    def _page_valid(j, kv_blk_idx, i):
+        # skip null-page (0) DMAs: padding beyond a sequence's length
+        # is masked in compute anyway, and DMA issue cost dominates
+        # decode attention at large batch
+        pidx = page_indices_ref[(base_seq + j) * pages_per_seq +
+                                kv_blk_idx * pages_per_blk + i]
+        return pidx != 0
 
-    def kv_wait(s, kv_blk_idx, slot):
-        for i in range(pages_per_blk):
-            _page_copy(s, kv_blk_idx, slot, i).wait()
+    def kv_dma(kv_blk_idx, slot):
+        for j in range(spb):
+            for i in range(pages_per_blk):
+                valid = _page_valid(j, kv_blk_idx, i)
 
-    def n_blks(s):
-        return pl.cdiv(kv_lens_ref[s], kv_blk_len)
+                @pl.when(valid)
+                def _():
+                    _page_copy(j, kv_blk_idx, slot, i).start()
 
-    end_seq = base_seq + seqs_per_blk
+                @pl.when(jnp.logical_not(valid))
+                def _():
+                    # zero-fill: scratch VMEM is uninitialized and a NaN
+                    # times a zero probability is still NaN in the PV dot
+                    kv_buf[slot, pl.ds((j * pages_per_blk + i) * page_size,
+                                       page_size)] = jnp.zeros(
+                        (page_size,) + kv_buf.shape[2:], kv_buf.dtype)
 
-    def first_valid(s0):
-        """Smallest s >= s0 (within this block) with kv to process."""
-        return jax.lax.while_loop(
-            lambda s: (s < end_seq) & (kv_lens_ref[
-                jnp.minimum(s, end_seq - 1)] == 0),
-            lambda s: s + 1, s0)
+    def kv_wait(kv_blk_idx, slot):
+        for j in range(spb):
+            for i in range(pages_per_blk):
+                @pl.when(_page_valid(j, kv_blk_idx, i))
+                def _():
+                    _page_copy(j, kv_blk_idx, slot, i).wait()
 
-    def next_item(s, i):
-        last = i + 1 >= n_blks(s)
-        s2 = jnp.where(last, first_valid(s + 1), s)
-        i2 = jnp.where(last, 0, i + 1)
-        return s2, i2
+    # max kv blocks over this cell's sequences
+    n_blks = jnp.int32(0)
+    for j in range(spb):
+        n_blks = jnp.maximum(n_blks, pl.cdiv(
+            kv_lens_ref[base_seq + j], kv_blk_len))
 
-    def compute_item(s, kv_i, slot):
-        j = s - base_seq
-        kv_len = kv_lens_ref[s]
-        qpos = kv_len - 1
+    # per-row (seq) lengths broadcast to the row axis [rows, 1]
+    row_seq = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) // rep
+    kv_len_row = jnp.zeros((rows, 1), jnp.int32)
+    for j in range(spb):
+        kv_len_row = jnp.where(row_seq == j,
+                               kv_lens_ref[base_seq + j], kv_len_row)
+    qpos_row = kv_len_row - 1
+    # column coordinates [1, spb*kv_blk_len]: owning seq + position
+    total_cols = spb * kv_blk_len
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, (1, total_cols), 1)
+    col_seq = col_idx // kv_blk_len
+    col_off = col_idx % kv_blk_len
 
-        @pl.when(kv_i == 0)
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    m_ref[:] = jnp.full_like(m_ref, MASK_VALUE)
+    l_ref[:] = jnp.zeros_like(l_ref)
+
+    @pl.when(n_blks > 0)  # fully-padded cells must not leave DMAs in flight
+    def _():
+        kv_dma(0, 0)
+
+    def body(kv_i, slot):
+        @pl.when(kv_i + 1 < n_blks)
         def _():
-            acc_ref[:] = jnp.zeros_like(acc_ref)
-            m_ref[:] = jnp.full_like(m_ref, MASK_VALUE)
-            l_ref[:] = jnp.zeros_like(l_ref)
+            kv_dma(kv_i + 1, 1 - slot)
 
-        col_base = kv_i * kv_blk_len
-        col_ids = col_base + jax.lax.broadcasted_iota(
-            jnp.int32, (1, kv_blk_len), 1)
-        mask = (col_ids < kv_len) & (col_ids <= qpos)
+        kv_wait(kv_i, slot)
+
+        col_pos = kv_i * kv_blk_len + col_off
+        mask = ((row_seq == col_seq) & (col_pos < kv_len_row)
+                & (col_pos <= qpos_row))
         if sliding_window is not None:
-            mask &= col_ids > (qpos - sliding_window)
+            mask &= col_pos > (qpos_row - sliding_window)
 
         for h in range(num_kv_heads):
-            qh = q_ref[j, h * rep:(h + 1) * rep, :]  # [rep, LANES]
+            # [spb, rep, LANES] -> [rows, LANES], rows grouped by seq
+            qh = q_ref[:, h * rep:(h + 1) * rep, :].reshape(rows, -1)
             if pack == 1:
-                k = kv_buf[slot, :, 2 * h, :]
+                k = kv_buf[slot, :, 2 * h, :]      # [spb*L, D]
                 v = kv_buf[slot, :, 2 * h + 1, :]
             else:
                 k = kv_buf[slot, :, (2 * h * head_dim) // 128, :]
@@ -317,61 +352,38 @@ def _rpa_decode_kernel(
                 qh.astype(jnp.float32) * sm_scale,
                 k.astype(jnp.float32),
                 dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)  # [rep, L]
+                preferred_element_type=jnp.float32)  # [rows, spb*L]
             if soft_cap is not None:
                 scores = jnp.tanh(scores / soft_cap) * soft_cap
             scores = jnp.where(mask, scores, MASK_VALUE)
 
-            m_prev = m_ref[h, :rep, 0:1]
+            m_prev = m_ref[h, :, 0:1]
             m_cur = jnp.max(scores, axis=1, keepdims=True)
             m_new = jnp.maximum(m_prev, m_cur)
             alpha = jnp.exp(m_prev - m_new)
             p = jnp.exp(scores - m_new)
             p = jnp.where(mask, p, 0.0)
-            l_new = l_ref[h, :rep, 0:1] * alpha + jnp.sum(
+            l_new = l_ref[h, :, 0:1] * alpha + jnp.sum(
                 p, axis=1, keepdims=True)
             pv = jax.lax.dot_general(
                 p.astype(v.dtype), v,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            acc_ref[h, :rep] = acc_ref[h, :rep] * alpha + pv
-            m_ref[h, :rep] = jnp.broadcast_to(m_new, (rep, 128))
-            l_ref[h, :rep] = jnp.broadcast_to(l_new, (rep, 128))
+            acc_ref[h] = acc_ref[h] * alpha + pv
+            m_ref[h] = jnp.broadcast_to(m_new, m_ref.shape[1:])
+            l_ref[h] = jnp.broadcast_to(l_new, l_ref.shape[1:])
+        return 1 - slot
 
-        @pl.when(kv_i + 1 >= n_blks(s))
-        def _():
-            for h in range(num_kv_heads):
-                l = l_ref[h, :rep, 0:1]
-                res = acc_ref[h, :rep] / jnp.where(l == 0.0, 1.0, l)
-                if pack > 1:
-                    off_v = ((2 * h + 1) * head_dim) % 128
-                    res = res[:, off_v:off_v + head_dim]
-                out_ref[j, h * rep:(h + 1) * rep, :] = res.astype(
-                    out_ref.dtype)
+    jax.lax.fori_loop(0, n_blks, body, jnp.int32(0))
 
-    s0 = first_valid(base_seq)
-
-    @pl.when(s0 < end_seq)
-    def _():
-        kv_dma(s0, 0, 0)
-
-        def cond(carry):
-            s, i, slot = carry
-            return s < end_seq
-
-        def body(carry):
-            s, i, slot = carry
-            s2, i2 = next_item(s, i)
-
-            @pl.when(s2 < end_seq)
-            def _():
-                kv_dma(s2, i2, 1 - slot)
-
-            kv_wait(s, i, slot)
-            compute_item(s, i, slot)
-            return (s2, i2, 1 - slot)
-
-        jax.lax.while_loop(cond, body, (s0, jnp.int32(0), jnp.int32(0)))
+    for h in range(num_kv_heads):
+        l = l_ref[h, :, 0:1]
+        res = acc_ref[h] / jnp.where(l == 0.0, 1.0, l)  # [rows, LANES]
+        if pack > 1:
+            off_v = ((2 * h + 1) * head_dim) % 128
+            res = res[:, off_v:off_v + head_dim]
+        res = res.reshape(spb, rep, -1).astype(out_ref.dtype)
+        out_ref[:, h * rep:(h + 1) * rep, :] = res
 
 
 @functools.partial(
@@ -453,7 +465,7 @@ def ragged_paged_attention_pallas(
         s_eff = min(s, t)
         n_blocks = cdiv(s_eff, spb)
         q_rows = n_blocks * spb
-        rep_pad = max(rep, 8)
+        rows = max(spb * rep, 8)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(n_blocks,),
@@ -465,11 +477,11 @@ def ragged_paged_attention_pallas(
             out_specs=pl.BlockSpec((spb, hq, d), lambda i, *_: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((2, ps * ppb, ckv // pack, lanes),
+                pltpu.VMEM((2, spb * ps * ppb, ckv // pack, lanes),
                            kv_pages.dtype),
-                pltpu.VMEM((kvh, rep_pad, lanes), jnp.float32),
-                pltpu.VMEM((kvh, rep_pad, 128), jnp.float32),
-                pltpu.VMEM((kvh, rep_pad, 128), jnp.float32),
+                pltpu.VMEM((kvh, rows, lanes), jnp.float32),
+                pltpu.VMEM((kvh, rows, 128), jnp.float32),
+                pltpu.VMEM((kvh, rows, 128), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         )

@@ -57,6 +57,7 @@ class InputBatch:
         self.random_reqs: set = set()
         self.penalty_reqs: set = set()
         self.logprobs_reqs: Dict[str, int] = {}
+        self.prompt_logprobs_reqs: Dict[str, int] = {}
 
     @property
     def all_greedy(self) -> bool:
@@ -111,6 +112,8 @@ class InputBatch:
             self.penalty_reqs.add(rid)
         if sp.logprobs is not None:
             self.logprobs_reqs[rid] = max(1, sp.logprobs)
+        if sp.prompt_logprobs is not None:
+            self.prompt_logprobs_reqs[rid] = max(1, sp.prompt_logprobs)
         return idx
 
     def set_eos(self, req_id: str, eos_token_id: Optional[int],
@@ -157,6 +160,7 @@ class InputBatch:
         self.random_reqs.discard(req_id)
         self.penalty_reqs.discard(req_id)
         self.logprobs_reqs.pop(req_id, None)
+        self.prompt_logprobs_reqs.pop(req_id, None)
         return idx
 
     def condense(self) -> None:

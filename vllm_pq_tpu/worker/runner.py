@@ -55,16 +55,19 @@ class _PackedLayout:
                   "drafts", "num_drafts", "top_k", "seed", "has_seed",
                   "eos_token_id", "min_tokens", "output_len",
                   "logits_mask", "bias_rows", "bias_toks",
-                  "lora_sorted_tok", "lora_groups", "prev_rows")
+                  "lora_sorted_tok", "lora_groups", "prev_rows",
+                  "plp_targets", "token_hist", "num_prompt")
     F32_FIELDS = ("temperature", "top_p", "min_p", "presence_penalty",
                   "frequency_penalty", "repetition_penalty", "bias_vals")
 
     MAX_BIAS = 256  # total logit-bias entries per step
 
     def __init__(self, t_bucket: int, s: int, k1: int, max_blocks: int,
-                 spec_k: int, mask_words: int = 0, lora_slots: int = 0):
+                 spec_k: int, mask_words: int = 0, lora_slots: int = 0,
+                 hist_len: int = 0):
         self.mask_words = mask_words
         self.lora_slots = lora_slots
+        self.hist_len = hist_len
         sizes = {
             "lora_sorted_tok": t_bucket if lora_slots else 0,
             "lora_groups": lora_slots,
@@ -84,6 +87,12 @@ class _PackedLayout:
             # async scheduling: flat-token -> previous-step row whose
             # sampled token is this token's value (-1 = host-provided)
             "prev_rows": t_bucket,
+            # prompt logprobs: next-token target per flat position
+            "plp_targets": t_bucket,
+            # penalties: full token history (only when a penalized
+            # request is in the batch)
+            "token_hist": s * hist_len,
+            "num_prompt": s if hist_len else 0,
         }
         sizes.update({f: s for f in self.F32_FIELDS})
         sizes["bias_vals"] = self.MAX_BIAS if mask_words else 0
@@ -180,9 +189,9 @@ class ModelRunner:
     # ------------------------------------------------------------------
     # packed-buffer plumbing
 
-    def _layout(self, t_bucket: int,
-                constrained: bool = False) -> _PackedLayout:
-        key = (t_bucket, constrained)
+    def _layout(self, t_bucket: int, constrained: bool = False,
+                penalized: bool = False) -> _PackedLayout:
+        key = (t_bucket, constrained, penalized)
         lay = self._layouts.get(key)
         if lay is None:
             mask_words = cdiv(self.model.cfg.vocab_size, 32) \
@@ -191,7 +200,8 @@ class ModelRunner:
                           if self.lora_stacks is not None else 0)
             lay = _PackedLayout(t_bucket, self.max_num_reqs,
                                 self.spec_k + 1, self.max_blocks_per_req,
-                                self.spec_k, mask_words, lora_slots)
+                                self.spec_k, mask_words, lora_slots,
+                                self.max_model_len if penalized else 0)
             self._layouts[key] = lay
             self._packed_bufs[key] = np.zeros(lay.total, np.int32)
         return lay
@@ -239,10 +249,11 @@ class ModelRunner:
     # fused step function: forward + logits + sample, one dispatch
 
     def _build_step(self, t_bucket: int, greedy: bool, num_logprobs: int,
-                    constrained: bool = False, decode_only: bool = False):
+                    constrained: bool = False, decode_only: bool = False,
+                    plp_k: int = 0, penalized: bool = False):
         model = self.model
         mesh = self.mesh
-        lay = self._layout(t_bucket, constrained)
+        lay = self._layout(t_bucket, constrained, penalized)
         vocab = model.cfg.vocab_size
         mask_words = lay.mask_words
         param_specs = model.param_specs()
@@ -254,7 +265,8 @@ class ModelRunner:
         attn_keys = ("token_ids", "positions", "slot_mapping", "kv_lens",
                      "page_indices", "cu_q_lens", "num_seqs",
                      "logits_indices")
-        input_specs = {k: P() for k in attn_keys}
+        spec_keys = attn_keys + (("plp_targets",) if plp_k else ())
+        input_specs = {k: P() for k in spec_keys}
 
         def fwd(params, kv_caches, rope, inputs, lora):
             hidden, new_caches = model(
@@ -263,20 +275,36 @@ class ModelRunner:
                 decode_mode=decode_only)
             sel = hidden[inputs["logits_indices"]]
             logits = model.compute_logits(params, sel)
-            return logits, new_caches
+            if plp_k:
+                # prompt logprobs: log-softmax at EVERY flat position
+                # (prefill steps only; reference computes these from the
+                # full prefill logits as well)
+                full = model.compute_logits(params, hidden)
+                logp = jax.nn.log_softmax(full, axis=-1)
+                pv, pi = jax.lax.top_k(logp, plp_k)
+                tgt = inputs["plp_targets"]
+                rowsix = jnp.arange(hidden.shape[0])
+                tgt_lp = logp[rowsix, jnp.maximum(tgt, 0)]
+                plp = (pi.astype(jnp.int32), pv, tgt_lp)
+            else:
+                plp = None
+            return logits, new_caches, plp
 
         sharded = _shard_map(
             fwd, mesh,
             in_specs=(param_specs, [self.kv_spec] * n_layers, P(None, None),
                       input_specs,
                       self._lora_specs() if lora_on else None),
-            out_specs=(P(), [self.kv_spec] * n_layers),
+            out_specs=(P(), [self.kv_spec] * n_layers,
+                       (P(), P(), P()) if plp_k else None),
         )
 
         def step(params, kv_caches, rope, packed, step_key, lora_w,
                  prev_toks):
             f = lay.unpack(packed)
             inputs = {k: f[k] for k in attn_keys}
+            if plp_k:
+                inputs["plp_targets"] = f["plp_targets"]
             # async scheduling: tokens marked prev_rows >= 0 take their
             # value from the previous step's on-device samples (the host
             # never waited for them)
@@ -291,8 +319,8 @@ class ModelRunner:
                 lora = dict(lora_w)
                 lora["sorted_tok"] = f["lora_sorted_tok"]
                 lora["group_sizes"] = f["lora_groups"]
-            logits, new_caches = sharded(params, kv_caches, rope, inputs,
-                                         lora)
+            logits, new_caches, plp = sharded(params, kv_caches, rope,
+                                              inputs, lora)
 
             if constrained:
                 # allowed-token bitmask + additive logit bias (guided
@@ -320,6 +348,26 @@ class ModelRunner:
                 eos_token_id=f["eos_token_id"],
                 min_tokens=f["min_tokens"], output_len=f["output_len"])
 
+            counts = prompt_mask = None
+            if penalized:
+                # token-occurrence counts + prompt-token mask for
+                # presence/frequency/repetition penalties (reference
+                # v1 sampler penalty path)
+                hist = f["token_hist"].reshape(s, self.max_model_len)
+                npromt = f["num_prompt"][:, None]
+                ntot = npromt + state.output_len[:, None]
+                lpos = jnp.arange(self.max_model_len,
+                                  dtype=jnp.int32)[None, :]
+                rows_b = jnp.broadcast_to(
+                    jnp.arange(s, dtype=jnp.int32)[:, None], hist.shape)
+                is_out = (lpos >= npromt) & (lpos < ntot)
+                is_prompt = lpos < npromt
+                hs = jnp.maximum(hist, 0)
+                counts = jnp.zeros((s, vocab), jnp.float32).at[
+                    rows_b, hs].add(is_out.astype(jnp.float32))
+                prompt_mask = jnp.zeros((s, vocab), bool).at[
+                    rows_b, hs].max(is_prompt)
+
             if spec_k:
                 from vllm_pq_tpu.layers.rejection import verify_and_sample
                 l3 = logits.reshape(s, k1, -1)
@@ -328,14 +376,15 @@ class ModelRunner:
                     state, step_key, all_greedy=greedy)
                 lp_src, lp_tok = l3[:, 0], toks[:, 0]
             else:
-                toks = sample(logits, state, step_key, all_greedy=greedy)
+                toks = sample(logits, state, step_key, all_greedy=greedy,
+                              counts=counts, prompt_mask=prompt_mask)
                 gens = None
                 lp_src, lp_tok = logits, toks
             if num_logprobs > 0:
                 lp = compute_logprobs(lp_src, lp_tok, num_logprobs)
             else:
                 lp = None
-            return toks, gens, lp, new_caches
+            return toks, gens, lp, plp, new_caches
 
         return jax.jit(step, donate_argnums=(1,))
 
@@ -365,12 +414,15 @@ class ModelRunner:
                                 {k: inputs[k] for k in attn_keys})
 
     def _get_step(self, t_bucket: int, greedy: bool, num_logprobs: int,
-                  constrained: bool = False, decode_only: bool = False):
-        key = (t_bucket, greedy, num_logprobs, constrained, decode_only)
+                  constrained: bool = False, decode_only: bool = False,
+                  plp_k: int = 0, penalized: bool = False):
+        key = (t_bucket, greedy, num_logprobs, constrained, decode_only,
+               plp_k, penalized)
         fn = self._step_fns.get(key)
         if fn is None:
             fn = self._build_step(t_bucket, greedy, num_logprobs,
-                                  constrained, decode_only)
+                                  constrained, decode_only, plp_k,
+                                  penalized)
             self._step_fns[key] = fn
         return fn
 
@@ -524,8 +576,9 @@ class ModelRunner:
             total = so.total_num_scheduled_tokens
         t_bucket = self._pick_bucket(max(total, 1))
         constrained = bool(so.guided_masks or so.logit_bias)
-        lay = self._layout(t_bucket, constrained)
-        buf = self._packed_bufs[(t_bucket, constrained)]
+        penalized = not ib.no_penalties
+        lay = self._layout(t_bucket, constrained, penalized)
+        buf = self._packed_bufs[(t_bucket, constrained, penalized)]
         buf[:] = 0
 
         tok = lay.view(buf, "token_ids")
@@ -544,6 +597,41 @@ class ModelRunner:
         prev_rows = lay.view(buf, "prev_rows")
         prev_rows[:] = -1
         prev_row_of = getattr(self, "_prev_row_of", None)
+
+        # vectorized fast path: pure decode (1 token per active row, no
+        # drafts) — the per-row python loop costs ~5ms at batch 256
+        n = ib.num_reqs
+        if (n and not so.scheduled_spec_decode_tokens
+                and len(so.num_scheduled_tokens) == n
+                and (one_per_row
+                     or all(v == 1
+                            for v in so.num_scheduled_tokens.values()))
+                and all(ib.req_ids[r] in so.num_scheduled_tokens
+                        for r in range(n))):
+            rows = np.arange(n)
+            start = ib.num_computed_tokens[:n]
+            tok[:n] = ib.token_ids[rows, start]
+            pos[:n] = start
+            blk = ib.block_table[rows, start // self.block_size]
+            slots[:n] = blk * self.block_size + start % self.block_size
+            kv_lens[:n] = start + 1
+            cu[1:n + 1] = np.arange(1, n + 1)
+            cu[n + 1:] = n
+            if self.spec_k:
+                logits_idx.reshape(s, k1)[:n, :] = rows[:, None]
+            else:
+                logits_idx[:n] = rows
+            if lora_on:
+                tok_slot[:n] = ib.lora_slot[:n]
+            if prev_row_of is not None:
+                ph = np.nonzero(tok[:n] == -1)[0]
+                for p_i in ph:
+                    prev_rows[p_i] = prev_row_of.get(
+                        ib.req_ids[int(p_i)], -1)
+            row_req_ids[:n] = ib.req_ids[:n]
+            self._finish_packing(so, lay, buf, ib, constrained,
+                                 tok_slot)
+            return t_bucket, buf, row_req_ids, constrained, penalized
 
         off = 0
         for row in range(ib.num_reqs):
@@ -595,7 +683,15 @@ class ModelRunner:
                     prev_rows[off + ph] = pr
             off += nt
         cu[ib.num_reqs + 1:] = cu[ib.num_reqs]
-        if lora_on:
+        self._finish_packing(so, lay, buf, ib, constrained, tok_slot)
+        return t_bucket, buf, row_req_ids, constrained, penalized
+
+    def _finish_packing(self, so, lay, buf, ib, constrained, tok_slot):
+        """Batch-invariant packed fields: sampling vectors, page tables,
+        lora grouping, constraint masks (shared by the vectorized decode
+        fast path and the general ragged path)."""
+        s = self.max_num_reqs
+        if tok_slot is not None:
             order = np.argsort(tok_slot, kind="stable").astype(np.int32)
             lay.view(buf, "lora_sorted_tok")[:] = order
             lay.view(buf, "lora_groups")[:] = np.bincount(
@@ -622,6 +718,11 @@ class ModelRunner:
         lay.fview(buf, "frequency_penalty")[:n] = ib.frequency_penalty[:n]
         lay.fview(buf, "repetition_penalty")[:] = 1.0
         lay.fview(buf, "repetition_penalty")[:n] = ib.repetition_penalty[:n]
+
+        if lay.hist_len:
+            lay.view(buf, "token_hist").reshape(
+                s, lay.hist_len)[:n] = ib.token_ids[:n, :lay.hist_len]
+            lay.view(buf, "num_prompt")[:n] = ib.num_prompt_tokens[:n]
 
         if constrained:
             w = lay.mask_words
@@ -655,7 +756,6 @@ class ModelRunner:
                     bt[bi] = int(tok_id)
                     bv[bi] = float(val)
                     bi += 1
-        return t_bucket, buf, row_req_ids, constrained
 
     def execute_model(self, so: SchedulerOutput,
                       request_meta: Optional[Dict] = None
@@ -674,15 +774,22 @@ class ModelRunner:
         if so.num_scheduler_steps > 1:
             return ("ms", self._dispatch_multistep(so))
 
-        t_bucket, buf, row_req_ids, constrained = self.prepare_inputs(so)
+        t_bucket, buf, row_req_ids, constrained, penalized = \
+            self.prepare_inputs(so)
         ib = self.input_batch
         num_logprobs = ib.max_num_logprobs
         # pure-decode steps (1 token per row, no drafts) use the
         # small-tile decode attention kernel
         decode_only = (not so.scheduled_spec_decode_tokens and all(
             v == 1 for v in so.num_scheduled_tokens.values()))
+        # prompt logprobs: only on steps that compute prompt positions
+        plp_k = 0
+        plp_rows = {}
+        if ib.prompt_logprobs_reqs and not decode_only:
+            plp_k, plp_rows = self._pack_plp_targets(
+                so, buf, t_bucket, constrained, penalized)
         fn = self._get_step(t_bucket, ib.all_greedy, num_logprobs,
-                            constrained, decode_only)
+                            constrained, decode_only, plp_k, penalized)
         self._step_count += 1
         step_key = jax.random.fold_in(self._rng_key, self._step_count)
 
@@ -693,7 +800,7 @@ class ModelRunner:
         packed = jnp.asarray(buf.copy())  # ONE host->device transfer
         lora_w = (self._lora_weights() if self.lora_stacks is not None
                   else None)
-        toks, gens, lp, self.kv_caches = fn(
+        toks, gens, lp, plp, self.kv_caches = fn(
             self.params, self.kv_caches, self.rope_cache, packed, step_key,
             lora_w, self._prev_toks_or_zeros())
 
@@ -710,7 +817,38 @@ class ModelRunner:
                     a.copy_to_host_async()
                 except Exception:
                     pass
-        return ("step", toks, gens, lp, row_req_ids, num_logprobs)
+        return ("step", toks, gens, lp, row_req_ids, num_logprobs,
+                plp, plp_rows)
+
+    def _pack_plp_targets(self, so, buf, t_bucket, constrained,
+                          penalized=False):
+        """Fill plp_targets (next prompt token per flat position) and
+        return (k, {rid: (off, nt, start, k_req)}) for rows wanting
+        prompt logprobs that are mid-prefill this step."""
+        ib = self.input_batch
+        lay = self._layout(t_bucket, constrained, penalized)
+        tgt = lay.view(buf, "plp_targets")
+        tgt[:] = -1
+        plp_rows = {}
+        k = 0
+        off = 0
+        for row in range(ib.num_reqs):
+            rid = ib.req_ids[row]
+            nt = so.num_scheduled_tokens.get(rid, 0)
+            if nt == 0:
+                continue
+            start = ib.num_computed_tokens[row]
+            want = ib.prompt_logprobs_reqs.get(rid)
+            if want and start < ib.num_prompt_tokens[row]:
+                n_prompt = int(ib.num_prompt_tokens[row])
+                for i in range(nt):
+                    p = start + i
+                    if p + 1 < n_prompt:
+                        tgt[off + i] = ib.token_ids[row, p + 1]
+                plp_rows[rid] = (off, nt, int(start), int(want))
+                k = max(k, int(want))
+            off += nt
+        return (min(k, 16) + 1 if plp_rows else 0), plp_rows
 
     def _prev_toks_or_zeros(self):
         pt = getattr(self, "_prev_toks", None)
@@ -724,8 +862,17 @@ class ModelRunner:
             return out
         if handle[0] == "ms":
             return self._fetch_multistep(handle[1])
-        _, toks, gens, lp, row_req_ids, num_logprobs = handle
+        _, toks, gens, lp, row_req_ids, num_logprobs, plp, plp_rows = \
+            handle
         ib = self.input_batch
+        if plp is not None and plp_rows:
+            pi = np.asarray(jax.device_get(plp[0]))
+            pv = np.asarray(jax.device_get(plp[1]))
+            pt = np.asarray(jax.device_get(plp[2]))
+            for rid, (off, nt, start, k) in plp_rows.items():
+                out.prompt_logprobs[rid] = (
+                    start, pi[off:off + nt, :k], pv[off:off + nt, :k],
+                    pt[off:off + nt])
 
         toks_np = np.asarray(jax.device_get(toks))
         gens_np = (np.asarray(jax.device_get(gens))
@@ -870,7 +1017,7 @@ class ModelRunner:
 
     def _dispatch_multistep(self, so: SchedulerOutput):
         n = so.num_scheduler_steps
-        t_bucket, buf, row_req_ids, _ = self.prepare_inputs(
+        t_bucket, buf, row_req_ids, _, _ = self.prepare_inputs(
             so, one_per_row=True)  # scheduler excludes constrained rows
         ib = self.input_batch
         fn = self._get_multistep(n, ib.all_greedy, t_bucket)
