@@ -199,3 +199,27 @@ def test_finished_req_ids_relayed():
     sched.update_from_output(out, fake_run(out))
     out2 = sched.schedule()
     assert "a" in out2.finished_req_ids
+
+
+def test_priority_scheduling():
+    """Lower priority value admits first; preemption evicts the least
+    important (reference V0 priority mode)."""
+    from vllm_pq_tpu.config import CacheConfig, SchedulerConfig
+    from vllm_pq_tpu.core.scheduler import Scheduler
+    from vllm_pq_tpu.request import Request
+    from vllm_pq_tpu.sampling_params import SamplingParams
+
+    sched = Scheduler(SchedulerConfig(max_num_seqs=2,
+                                      max_num_batched_tokens=64,
+                                      max_model_len=64),
+                      CacheConfig(block_size=16,
+                                  enable_prefix_caching=False), 32)
+    sp = SamplingParams(max_tokens=8)
+    lo = Request("low", list(range(8)), sp, priority=5, arrival_time=1.0)
+    hi = Request("high", list(range(8)), sp, priority=0, arrival_time=2.0)
+    sched.add_request(lo)
+    sched.add_request(hi)
+    out = sched.schedule()
+    ids = [r.req_id for r in out.scheduled_new_reqs]
+    # both fit, but the high-priority one is admitted first
+    assert ids[0] == "high"

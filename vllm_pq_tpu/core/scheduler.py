@@ -82,6 +82,9 @@ class Scheduler:
         self.num_preemptions = 0
         self.spec_stats_proposed = 0
         self.spec_stats_accepted = 0
+        # priority scheduling engages lazily (reference V0 priority
+        # mode, core/scheduler.py:952): lower value = more important
+        self._has_priority = False
 
     # ------------------------------------------------------------------
     # request lifecycle
@@ -89,6 +92,8 @@ class Scheduler:
     def add_request(self, request: Request) -> None:
         self.waiting.append(request)
         self.requests[request.request_id] = request
+        if request.priority:
+            self._has_priority = True
 
     def finish_requests(self, request_ids, status: RequestStatus) -> None:
         """Externally finish requests (abort, or client-side stop-string
@@ -125,6 +130,11 @@ class Scheduler:
         output = SchedulerOutput()
         token_budget = self.max_num_batched_tokens
 
+        if self._has_priority and len(self.waiting) > 1:
+            self.waiting = deque(sorted(
+                self.waiting,
+                key=lambda r: (r.priority, r.arrival_time)))
+
         # -- running requests first (decodes + in-flight chunked prefills)
         req_index = 0
         while req_index < len(self.running) and token_budget > 0:
@@ -146,9 +156,16 @@ class Scheduler:
                     request, num_new_tokens)
                 if new_blocks is not None:
                     break
-                # preempt the lowest-priority (most recently added)
-                # running request to free space
-                preempted = self.running.pop()
+                # preempt the lowest-priority (highest value; most
+                # recently arrived on ties) running request — only among
+                # requests not yet granted tokens this step
+                if self._has_priority:
+                    preempted = max(
+                        self.running[req_index:],
+                        key=lambda r: (r.priority, r.arrival_time))
+                    self.running.remove(preempted)
+                else:
+                    preempted = self.running.pop()
                 if preempted is request and not self.running:
                     # The request alone exceeds the whole pool: it can
                     # never make progress. Finish it instead of

@@ -195,6 +195,28 @@ class LLM:
     def embed(self, prompts, **kw):
         return self.encode(prompts, **kw)
 
+    def save_sharded_state(self, path: str) -> None:
+        """Persist the final (quantized, device-laid-out) param tree so
+        later startups skip HF parsing/quantization/resharding; load
+        with model=<path> load_format='sharded_state' and matching
+        config (reference save_sharded_state example)."""
+        core = self.llm_engine.engine_core
+        runner = getattr(core, "runner", None)
+        if runner is None:
+            raise RuntimeError("save_sharded_state requires the "
+                               "in-process engine")
+        import json as _json
+        import os as _os
+        import shutil
+        from vllm_pq_tpu.model_loader.loader import save_sharded_state
+        _os.makedirs(path, exist_ok=True)
+        save_sharded_state(runner.model, runner.params, path)
+        # carry the HF config so the new LLM builds the same model
+        src_cfg = _os.path.join(self.llm_engine.config.model.model,
+                                "config.json")
+        if _os.path.isfile(src_cfg):
+            shutil.copy(src_cfg, _os.path.join(path, "config.json"))
+
     # -- admin parity ----------------------------------------------------
 
     def sleep(self, level: int = 1) -> None:

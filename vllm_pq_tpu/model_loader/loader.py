@@ -271,6 +271,8 @@ def convert_aqlm_artifacts(arts: Dict[str, np.ndarray]) -> Dict[str, Any]:
 def load_model_params(model, mesh: Mesh, config, linear_method) -> Any:
     if config.model.load_format == "dummy":
         return load_dummy(model, mesh, config.model.seed)
+    if config.model.load_format == "sharded_state":
+        return load_sharded_state(model, mesh, config.model.model)
     model_dir = config.model.model
     if not os.path.isdir(model_dir):
         raise ValueError(
@@ -278,3 +280,48 @@ def load_model_params(model, mesh: Mesh, config, linear_method) -> Any:
             "environment has no network access — pass a local path or "
             "use load_format='dummy'")
     return load_hf(model, mesh, model_dir, linear_method)
+
+
+# ---------------------------------------------------------------------------
+# sharded-state checkpointing (role of reference ShardedStateLoader,
+# model_loader/loader.py:567 + save_sharded_state example): skip the HF
+# parse + quantize + reshard work on startup by saving the final device
+# param tree with orbax and restoring it with the target shardings.
+
+
+def _ckpt_dir(path: str) -> str:
+    return os.path.join(os.path.abspath(path), "sharded_state")
+
+
+def save_sharded_state(model, params, path: str) -> None:
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(_ckpt_dir(path), params)
+    ckptr.wait_until_finished()
+    logger.info("sharded state saved to %s", _ckpt_dir(path))
+
+
+def load_sharded_state(model, mesh: Mesh, path: str) -> Any:
+    import orbax.checkpoint as ocp
+    from jax.sharding import NamedSharding
+
+    shapes = model.param_shapes()
+    specs = model.param_specs()
+
+    def mk_abstract(sv, spec):
+        shape, dtype = sv
+        sharding = NamedSharding(mesh, spec if isinstance(spec, P) else P())
+        return jax.ShapeDtypeStruct(shape, jnp.dtype(dtype),
+                                    sharding=sharding)
+
+    def walk(sh, sp):
+        if isinstance(sh, dict):
+            return {k: walk(sh[k], sp[k] if isinstance(sp, dict) else sp)
+                    for k in sh}
+        if isinstance(sh, list):
+            return [walk(a, b) for a, b in zip(sh, sp)]
+        return mk_abstract(sh, sp)
+
+    target = walk(shapes, specs)
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(_ckpt_dir(path), target)

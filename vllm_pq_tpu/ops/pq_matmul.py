@@ -76,21 +76,24 @@ def _dequant_matmul_kernel(xp_ref, codes_ref, cb_lo_ref, cb_hi_ref,
 
     codes = codes_ref[:].astype(jnp.int32)  # [m, tile_j, 128]
 
+    # hoist per-code index math out of the position loop: the VPU is the
+    # dequant bottleneck (gathers + selects per weight), so every op
+    # saved per (k, p) pair matters
+    lows = [codes[k] & 127 for k in range(m)]
+    is_his = [codes[k] >= 128 for k in range(m)]
+
     acc = acc_ref[:]
     for p in range(g):
         # Dequantize W_p [tile_j, 128]: weights for subvector position p.
         w_p = None
         for k in range(m):
-            c = codes[k]
-            low = c & 127
-            is_hi = c >= 128
             t_lo = jnp.broadcast_to(cb_lo_ref[k, p, :][None, :],
                                     (tile_j, 128))
             t_hi = jnp.broadcast_to(cb_hi_ref[k, p, :][None, :],
                                     (tile_j, 128))
-            g_lo = jnp.take_along_axis(t_lo, low, axis=1)
-            g_hi = jnp.take_along_axis(t_hi, low, axis=1)
-            val = jnp.where(is_hi, g_hi, g_lo)
+            g_lo = jnp.take_along_axis(t_lo, lows[k], axis=1)
+            g_hi = jnp.take_along_axis(t_hi, lows[k], axis=1)
+            val = jnp.where(is_his[k], g_hi, g_lo)
             w_p = val if w_p is None else w_p + val
         # [tile_t, tile_j] @ [tile_j, 128] on the MXU
         acc = acc + jax.lax.dot_general(
