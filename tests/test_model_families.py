@@ -18,6 +18,8 @@ BASE = {
 FAMILIES = {
     "Qwen2ForCausalLM": {},
     "OPTForCausalLM": {"ffn_dim": 256, "do_layer_norm_before": True},
+    "GPT2LMHeadModel": {"n_embd": 128, "n_layer": 2, "n_head": 2,
+                        "n_positions": 512},
     "GemmaForCausalLM": {"hidden_activation": "gelu_pytorch_tanh",
                          "tie_word_embeddings": True},
     "Gemma2ForCausalLM": {"hidden_activation": "gelu_pytorch_tanh",
@@ -59,5 +61,6 @@ def test_list_supported_archs():
     archs = list_supported_archs()
     for a in ("LlamaForCausalLM", "MixtralForCausalLM", "Qwen2ForCausalLM",
               "GemmaForCausalLM", "Gemma2ForCausalLM", "Phi3ForCausalLM",
-              "MistralForCausalLM", "OPTForCausalLM"):
+              "MistralForCausalLM", "OPTForCausalLM",
+              "GPT2LMHeadModel"):
         assert a in archs, a

@@ -143,8 +143,55 @@ def load_hf(model, mesh: Mesh, model_dir: str,
         "final_layer_norm": "final_layer_norm",
     }
 
+    _GPT2_MAP = {"attn.c_proj": "c_proj", "mlp.c_fc": "c_fc",
+                 "mlp.c_proj": "mlp_c_proj", "ln_1": "ln_1",
+                 "ln_2": "ln_2"}
+
     for name, tensor in _iter_safetensors(model_dir):
         tensor = np.asarray(tensor)
+        if name.startswith("transformer.") or name.startswith("h."):
+            # GPT-2 family (models/gpt2.py); Conv1D weights are already
+            # [in, out], the fused c_attn splits into q/k/v thirds
+            rest = name.split("transformer.", 1)[-1]
+            if rest.split(".")[0] in ("wte", "wpe"):
+                tree.setdefault(rest.split(".")[0], {})["weight"] = tensor
+            elif rest.startswith("ln_f."):
+                tree.setdefault("ln_f", {})[rest.split(".")[-1]] = tensor
+            elif rest.startswith("h."):
+                parts = rest.split(".")
+                li = int(parts[1])
+                sub = ".".join(parts[2:-1])
+                leaf = parts[-1]
+                if sub == "attn.c_attn":
+                    h3 = tensor.shape[-1] // 3
+                    pieces = (tensor[..., :h3], tensor[..., h3:2 * h3],
+                              tensor[..., 2 * h3:])
+                    for ours, piece in zip(("q_proj", "k_proj", "v_proj"),
+                                           pieces):
+                        if leaf == "bias":
+                            tree["layers"][li][ours + "_bias"] = {
+                                "bias": piece}
+                        else:
+                            tree["layers"][li][ours] = (
+                                linear_method.quantize(piece, np.float32)
+                                if not isinstance(
+                                    linear_method, UnquantizedLinearMethod)
+                                else {"weight": piece})
+                    continue
+                ours = _GPT2_MAP.get(sub)
+                if ours is None:
+                    logger.warning("unmapped GPT-2 weight %s", name)
+                elif "ln_" in ours:
+                    tree["layers"][li].setdefault(ours, {})[leaf] = tensor
+                elif leaf == "bias":
+                    tree["layers"][li][ours + "_bias"] = {"bias": tensor}
+                else:
+                    tree["layers"][li][ours] = (
+                        linear_method.quantize(tensor, np.float32)
+                        if not isinstance(linear_method,
+                                          UnquantizedLinearMethod)
+                        else {"weight": tensor})
+            continue
         if name.startswith("model.decoder.") or name.startswith("decoder."):
             # OPT family (models/opt.py)
             rest = name.split("decoder.", 1)[1]

@@ -120,6 +120,15 @@ def _build_phi3(hf_config, config: EngineConfig, linear_method):
     return LlamaModel(mc, linear_method)
 
 
+@register_model("GPT2LMHeadModel")
+def _build_gpt2(hf_config, config: EngineConfig, linear_method):
+    from vllm_pq_tpu.models.gpt2 import GPT2Config, GPT2Model
+    mc = (GPT2Config.from_hf_config(hf_config) if hf_config is not None
+          else GPT2Config())
+    mc.dtype = config.model.jax_dtype
+    return GPT2Model(mc, linear_method)
+
+
 @register_model("OPTForCausalLM")
 def _build_opt(hf_config, config: EngineConfig, linear_method):
     from vllm_pq_tpu.models.opt import OPTConfig, OPTModel
