@@ -283,7 +283,7 @@ def load_hf(model, mesh: Mesh, model_dir: str,
     for (li, ours), arts in pending_aqlm.items():
         tree["layers"][li][ours] = convert_aqlm_artifacts(arts)
 
-    if cfg.tie_word_embeddings:
+    if getattr(cfg, "tie_word_embeddings", True):
         tree.pop("lm_head", None)
     return _tree_device_put(tree, model.param_specs(), mesh)
 
