@@ -90,6 +90,9 @@ class ParallelConfig:
     # (reference VLLM_ENABLE_V1_MULTIPROCESSING / EngineCoreProc) so
     # frontend work never stalls device dispatch.
     engine_multiprocessing: bool = False
+    # First device index for this engine's mesh (used by the DP router
+    # to pin replicas onto disjoint device slices).
+    device_offset: int = 0
 
     @property
     def world_size(self) -> int:

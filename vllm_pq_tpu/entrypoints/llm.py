@@ -21,7 +21,12 @@ class LLM:
 
     def __init__(self, model: str, **kwargs):
         engine_args = EngineArgs(model=model, **kwargs)
-        self.llm_engine = LLMEngine(engine_args.create_engine_config())
+        config = engine_args.create_engine_config()
+        if config.parallel.data_parallel_size > 1:
+            from vllm_pq_tpu.engine.dp_engine import DPLLMEngine
+            self.llm_engine = DPLLMEngine(config)
+        else:
+            self.llm_engine = LLMEngine(config)
 
     def get_tokenizer(self):
         return self.llm_engine.tokenizer

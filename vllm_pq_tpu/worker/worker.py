@@ -50,13 +50,14 @@ class Worker:
 
         tp = config.parallel.tensor_parallel_size
         dp = config.parallel.data_parallel_size
+        off = config.parallel.device_offset
         devices = jax.devices()
         need = tp * dp
-        if len(devices) < need:
+        if len(devices) < off + need:
             raise ValueError(
-                f"need {need} devices for tp={tp} dp={dp}, have "
-                f"{len(devices)}")
-        dev_array = np.array(devices[:need]).reshape(dp, tp)
+                f"need devices [{off}, {off + need}) for tp={tp} dp={dp}, "
+                f"have {len(devices)}")
+        dev_array = np.array(devices[off:off + need]).reshape(dp, tp)
         self.mesh = Mesh(dev_array, ("data", "model"))
         self.platform = devices[0].platform
         logger.info("mesh: %s on %s", dict(dp=dp, tp=tp), devices[0])
