@@ -27,7 +27,11 @@ class EngineDeadError(RuntimeError):
 class AsyncLLM:
 
     def __init__(self, config: EngineConfig):
-        self.engine = LLMEngine(config)
+        if config.parallel.data_parallel_size > 1:
+            from vllm_pq_tpu.engine.dp_engine import DPLLMEngine
+            self.engine = DPLLMEngine(config)
+        else:
+            self.engine = LLMEngine(config)
         self.config = config
         self._lock = threading.Lock()
         self._streams: Dict[str, asyncio.Queue] = {}

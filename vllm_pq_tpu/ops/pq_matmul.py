@@ -56,9 +56,13 @@ def pq_matmul_xla(x: jax.Array, codes: jax.Array, codebooks: jax.Array,
 
 
 def _dequant_matmul_kernel(xp_ref, codes_ref, cb_lo_ref, cb_hi_ref,
-                           scales_ref, out_ref, acc_ref, *, m: int, g: int,
-                           tile_t: int, tile_j: int, n_j: int):
-    """One (t, o, j) grid cell.
+                           scales_ref, out_ref, acc_ref, w_ref, *, m: int,
+                           g: int, tile_t: int, tile_j: int, n_j: int,
+                           n_t: int):
+    """One (o, j, t) grid cell — t innermost so the dequantized weight
+    tile (the VPU-bound part) is computed ONCE per (o, j) and reused by
+    every token tile (prefill runs many token tiles per weight tile;
+    SURVEY hard part #1).
 
     xp_ref     [g, tile_t, tile_j]  bf16  x permuted to position-major
     codes_ref  [m, tile_j, 128]     int   (uint8 viewed as int32 below)
@@ -66,45 +70,49 @@ def _dequant_matmul_kernel(xp_ref, codes_ref, cb_lo_ref, cb_hi_ref,
     cb_hi_ref  [m, g, 128]          f32   codebook entries 128..255
     scales_ref [1, 128]             f32
     out_ref    [tile_t, 128]        bf16/f32 (written at last j step)
-    acc_ref    [tile_t, 128]        f32 scratch accumulator
+    acc_ref    [n_t, tile_t, 128]   f32 accumulators (one per t tile)
+    w_ref      [g, tile_j, 128]     bf16 dequantized weight scratch
     """
-    j_idx = pl.program_id(2)
+    j_idx = pl.program_id(1)
+    t_idx = pl.program_id(2)
 
     @pl.when(j_idx == 0)
     def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
+        acc_ref[t_idx] = jnp.zeros_like(acc_ref[t_idx])
 
-    codes = codes_ref[:].astype(jnp.int32)  # [m, tile_j, 128]
+    @pl.when(t_idx == 0)
+    def _():
+        # dequantize this (o, j) weight tile once; hoist per-code index
+        # math out of the position loop (the VPU gathers are the
+        # bottleneck)
+        codes = codes_ref[:].astype(jnp.int32)  # [m, tile_j, 128]
+        lows = [codes[k] & 127 for k in range(m)]
+        is_his = [codes[k] >= 128 for k in range(m)]
+        for p in range(g):
+            w_p = None
+            for k in range(m):
+                t_lo = jnp.broadcast_to(cb_lo_ref[k, p, :][None, :],
+                                        (tile_j, 128))
+                t_hi = jnp.broadcast_to(cb_hi_ref[k, p, :][None, :],
+                                        (tile_j, 128))
+                g_lo = jnp.take_along_axis(t_lo, lows[k], axis=1)
+                g_hi = jnp.take_along_axis(t_hi, lows[k], axis=1)
+                val = jnp.where(is_his[k], g_hi, g_lo)
+                w_p = val if w_p is None else w_p + val
+            w_ref[p] = w_p.astype(w_ref.dtype)
 
-    # hoist per-code index math out of the position loop: the VPU is the
-    # dequant bottleneck (gathers + selects per weight), so every op
-    # saved per (k, p) pair matters
-    lows = [codes[k] & 127 for k in range(m)]
-    is_his = [codes[k] >= 128 for k in range(m)]
-
-    acc = acc_ref[:]
+    acc = acc_ref[t_idx]
     for p in range(g):
-        # Dequantize W_p [tile_j, 128]: weights for subvector position p.
-        w_p = None
-        for k in range(m):
-            t_lo = jnp.broadcast_to(cb_lo_ref[k, p, :][None, :],
-                                    (tile_j, 128))
-            t_hi = jnp.broadcast_to(cb_hi_ref[k, p, :][None, :],
-                                    (tile_j, 128))
-            g_lo = jnp.take_along_axis(t_lo, lows[k], axis=1)
-            g_hi = jnp.take_along_axis(t_hi, lows[k], axis=1)
-            val = jnp.where(is_his[k], g_hi, g_lo)
-            w_p = val if w_p is None else w_p + val
         # [tile_t, tile_j] @ [tile_j, 128] on the MXU
         acc = acc + jax.lax.dot_general(
-            xp_ref[p], w_p.astype(xp_ref.dtype),
+            xp_ref[p], w_ref[p],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-    acc_ref[:] = acc
+    acc_ref[t_idx] = acc
 
     @pl.when(j_idx == n_j - 1)
     def _():
-        out_ref[:] = (acc_ref[:] *
+        out_ref[:] = (acc_ref[t_idx] *
                       scales_ref[0, :][None, :]).astype(out_ref.dtype)
 
 
@@ -150,29 +158,33 @@ def pq_dequant_matmul_pallas(x: jax.Array, codes: jax.Array,
     n_o = o // _TILE_O
     n_j = jp // tile_j
 
-    grid = (n_t, n_o, n_j)
+    # t innermost: the dequantized weight tile is computed once per
+    # (o, j) and reused by all token tiles
+    grid = (n_o, n_j, n_t)
     kernel = functools.partial(_dequant_matmul_kernel, m=m, g=g,
-                               tile_t=tile_t, tile_j=tile_j, n_j=n_j)
+                               tile_t=tile_t, tile_j=tile_j, n_j=n_j,
+                               n_t=n_t)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((g, tile_t, tile_j),
-                         lambda ti, oi, ji: (0, ti, ji),
+                         lambda oi, ji, ti: (0, ti, ji),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((m, tile_j, _TILE_O),
-                         lambda ti, oi, ji: (0, ji, oi),
+                         lambda oi, ji, ti: (0, ji, oi),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _TILE_O), lambda ti, oi, ji: (0, oi),
+            pl.BlockSpec((1, _TILE_O), lambda oi, ji, ti: (0, oi),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tile_t, _TILE_O),
-                               lambda ti, oi, ji: (ti, oi),
+                               lambda oi, ji, ti: (ti, oi),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((tp, o), x.dtype),
-        scratch_shapes=[pltpu.VMEM((tile_t, _TILE_O), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((n_t, tile_t, _TILE_O), jnp.float32),
+                        pltpu.VMEM((g, tile_j, _TILE_O), x.dtype)],
         cost_estimate=pl.CostEstimate(
             flops=2 * tp * i * o,
             bytes_accessed=codes.size + tp * i * 2 + tp * o * 2,
