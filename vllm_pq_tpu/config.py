@@ -213,6 +213,11 @@ class CompilationConfig:
     # Pad the request-count axis to this set of buckets.
     seq_buckets: Optional[List[int]] = None
     enable_xla_cache: bool = True
+    # Compile every (bucket, decode-variant) step function at startup so
+    # serving never hits a multi-second compile mid-request (reference
+    # V0-TPU warmup_model). Off by default: offline runs amortize
+    # compiles naturally.
+    warmup: bool = False
 
     def derive(self, scheduler: SchedulerConfig) -> None:
         if self.token_buckets is None:

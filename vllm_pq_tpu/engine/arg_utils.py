@@ -38,6 +38,7 @@ class EngineArgs:
     max_num_batched_tokens: int = 1024
     num_scheduler_steps: int = 1
     async_scheduling: bool = False
+    enable_warmup: bool = False
     device: str = "auto"
     disable_log_stats: bool = False
 
@@ -77,6 +78,7 @@ class EngineArgs:
                 max_model_len=self.max_model_len,
                 num_scheduler_steps=self.num_scheduler_steps,
                 async_scheduling=self.async_scheduling),
+            compilation=CompilationConfig(warmup=self.enable_warmup),
             device=DeviceConfig(device=self.device),
             observability=ObservabilityConfig(
                 collect_metrics=not self.disable_log_stats),

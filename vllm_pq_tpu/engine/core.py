@@ -21,6 +21,8 @@ class EngineCore:
         self.worker.load_model()
         num_blocks = self.worker.determine_num_kv_blocks()
         self.runner = self.worker.init_runner(num_blocks)
+        if config.compilation.warmup:
+            self.runner.warmup()
         self.scheduler = Scheduler(config.scheduler, config.cache,
                                    num_blocks,
                                    vocab_size=self.runner.model

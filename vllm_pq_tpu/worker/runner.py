@@ -898,6 +898,44 @@ class ModelRunner:
         return out
 
     # ------------------------------------------------------------------
+    # warmup: compile every (bucket, decode-variant) step function up
+    # front so serving never hits a multi-second compile mid-request
+    # (role of reference V0-TPU warmup_model, tpu_model_runner.py:281)
+
+    def warmup(self, greedy_only: bool = True) -> None:
+        import time
+        t0 = time.perf_counter()
+        n = 0
+        for b in self.token_buckets:
+            for decode_only in (False, True):
+                lay = self._layout(b, False)
+                buf = self._packed_bufs[(b, False, False)]
+                buf[:] = 0
+                # one fake sequence on the null page
+                lay.view(buf, "token_ids")[0] = 1
+                lay.view(buf, "kv_lens")[0] = 1
+                lay.view(buf, "cu_q_lens")[1:] = 1
+                lay.view(buf, "num_seqs")[0] = 1
+                lay.view(buf, "prev_rows")[:] = -1
+                lay.view(buf, "eos_token_id")[:] = -1
+                lay.fview(buf, "top_p")[:] = 1.0
+                lay.fview(buf, "repetition_penalty")[:] = 1.0
+                modes = (True,) if greedy_only else (True, False)
+                for greedy in modes:
+                    fn = self._get_step(b, greedy, 0, False, decode_only)
+                    lora_w = (self._lora_weights()
+                              if self.lora_stacks is not None else None)
+                    out = fn(self.params, self.kv_caches, self.rope_cache,
+                             jnp.asarray(buf.copy()),
+                             jax.random.PRNGKey(0), lora_w,
+                             self._prev_toks_or_zeros())
+                    self.kv_caches = out[-1]
+                    jax.block_until_ready(out[0])
+                    n += 1
+        logger.info("warmup: compiled %d step variants in %.1fs", n,
+                    time.perf_counter() - t0)
+
+    # ------------------------------------------------------------------
     # pooling / embeddings (role of reference pooling models + encode())
 
     def encode(self, token_ids_list: List[List[int]],
