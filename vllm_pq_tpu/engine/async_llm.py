@@ -93,6 +93,7 @@ class AsyncLLM:
         prompt: Union[str, dict],
         sampling_params: SamplingParams,
         request_id: Optional[str] = None,
+        lora_request=None,
     ) -> AsyncGenerator[RequestOutput, None]:
         if self.errored:
             raise EngineDeadError() from self.dead_error
@@ -103,7 +104,8 @@ class AsyncLLM:
         try:
             with self._lock:
                 self.engine.add_request(request_id, prompt,
-                                        sampling_params)
+                                        sampling_params,
+                                        lora_request=lora_request)
             self._wakeup.set()
             while True:
                 item = await q.get()
@@ -127,6 +129,32 @@ class AsyncLLM:
 
     def get_tokenizer(self):
         return self.engine.tokenizer
+
+    def add_lora_adapter(self, name: str, path: str) -> None:
+        """Install a PEFT adapter for per-request routing by model
+        name (role of reference ``--lora-modules NAME=PATH``,
+        ``entrypoints/openai/cli_args.py:LoRAParserAction``)."""
+        from vllm_pq_tpu.lora.models import LoRAModel
+        lora = LoRAModel.from_local_checkpoint(path, name)
+        self.install_lora(lora)
+
+    def install_lora(self, lora_model) -> None:
+        """Install an already-built LoRAModel on every replica."""
+        engines = getattr(self.engine, "engines", [self.engine])
+        with self._lock:
+            slot = None
+            for eng in engines:
+                slot = eng.engine_core.add_lora(lora_model)
+        if not hasattr(self, "lora_names"):
+            self.lora_names = {}
+        self.lora_names[lora_model.name] = slot
+
+    def lora_request_for(self, model_name: str):
+        slot = getattr(self, "lora_names", {}).get(model_name)
+        if slot is not None:
+            from vllm_pq_tpu.lora.request import LoRARequest
+            return LoRARequest(model_name, slot)
+        return None
 
     async def get_stats(self) -> dict:
         with self._lock:

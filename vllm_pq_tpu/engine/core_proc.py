@@ -234,6 +234,12 @@ class MPEngineCoreClient:
     def make_stats(self) -> dict:
         return self.call("make_stats")
 
+    def add_lora(self, lora_model) -> int:
+        return self.call("add_lora", lora_model)
+
+    def remove_lora(self, name: str) -> bool:
+        return self.call("remove_lora", name)
+
     def sleep(self, level: int = 1) -> None:
         self.call("sleep", level)
 

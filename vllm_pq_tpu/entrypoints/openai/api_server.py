@@ -28,6 +28,7 @@ logger = init_logger(__name__)
 
 ENGINE_KEY = web.AppKey("engine", AsyncLLM)
 MODEL_KEY = web.AppKey("model_name", str)
+MAX_LEN_KEY = web.AppKey("max_model_len", int)
 
 
 def _error(status: int, message: str, etype: str = "invalid_request_error"):
@@ -109,11 +110,15 @@ async def version(request: web.Request) -> web.Response:
 
 async def models(request: web.Request) -> web.Response:
     name = request.app[MODEL_KEY]
-    return web.json_response({
-        "object": "list",
-        "data": [{"id": name, "object": "model",
-                  "created": int(time.time()), "owned_by": "vllm_pq_tpu"}],
-    })
+    data = [{"id": name, "object": "model",
+             "created": int(time.time()), "owned_by": "vllm_pq_tpu"}]
+    for lname in sorted(getattr(request.app[ENGINE_KEY], "lora_names",
+                                ())):
+        data.append({"id": lname, "object": "model",
+                     "created": int(time.time()),
+                     "owned_by": "vllm_pq_tpu", "parent": name,
+                     "root": name})
+    return web.json_response({"object": "list", "data": data})
 
 
 async def tokenize(request: web.Request) -> web.Response:
@@ -123,7 +128,7 @@ async def tokenize(request: web.Request) -> web.Response:
     ids = tok.encode(text)
     return web.json_response({"tokens": ids, "count": len(ids),
                               "max_model_len":
-                              request.app["max_model_len"]})
+                              request.app[MAX_LEN_KEY]})
 
 
 async def detokenize(request: web.Request) -> web.Response:
@@ -183,6 +188,20 @@ async def is_sleeping_ep(request: web.Request) -> web.Response:
     return web.json_response({"is_sleeping": asleep})
 
 
+def _resolve_lora(engine: AsyncLLM, base_name: str, body: dict):
+    """Route the OpenAI ``model`` field to a served LoRA adapter
+    (reference ``entrypoints/openai/serving_engine.py`` _maybe_get_adapters:
+    adapter names are served as additional model ids)."""
+    requested = body.get("model")
+    if not requested or requested == base_name:
+        return None, None
+    lora_req = engine.lora_request_for(requested)
+    if lora_req is None:
+        return None, _error(
+            404, f"model {requested!r} not found", "not_found_error")
+    return lora_req, None
+
+
 # -- completions -------------------------------------------------------------
 
 
@@ -217,6 +236,9 @@ async def completions(request: web.Request) -> web.StreamResponse:
         return _error(400, str(e))
     stream = bool(body.get("stream", False))
     rid = f"cmpl-{random_uuid()}"
+    lora_req, err = _resolve_lora(engine, model_name, body)
+    if err is not None:
+        return err
 
     if sp.n > 1 and stream:
         return _error(400, "stream with n>1 is not supported yet")
@@ -229,7 +251,8 @@ async def completions(request: web.Request) -> web.StreamResponse:
                 "X-Request-Id": rid})
             await resp.prepare(request)
             sent = 0
-            async for out in engine.generate(prompt, sp, rid):
+            async for out in engine.generate(prompt, sp, rid,
+                                             lora_request=lora_req):
                 c = out.outputs[0]
                 delta = c.text[sent:]
                 sent = len(c.text)
@@ -245,7 +268,8 @@ async def completions(request: web.Request) -> web.StreamResponse:
         # non-streaming (n>1 via fan-out)
         finals = []
         if sp.n == 1:
-            async for out in engine.generate(prompt, sp, rid):
+            async for out in engine.generate(prompt, sp, rid,
+                                             lora_request=lora_req):
                 if out.finished:
                     finals.append((0, out))
         else:
@@ -255,7 +279,8 @@ async def completions(request: web.Request) -> web.StreamResponse:
                 if sp.seed is not None:
                     child.seed = sp.seed + i
                 async for out in engine.generate(prompt, child,
-                                                 f"{rid}-{i}"):
+                                                 f"{rid}-{i}",
+                                                 lora_request=lora_req):
                     if out.finished:
                         return (i, out)
             finals = await asyncio.gather(
@@ -348,6 +373,9 @@ async def chat_completions(request: web.Request) -> web.StreamResponse:
         return _error(400, str(e))
     stream = bool(body.get("stream", False))
     rid = f"chatcmpl-{random_uuid()}"
+    lora_req, err = _resolve_lora(engine, model_name, body)
+    if err is not None:
+        return err
 
     try:
         if stream:
@@ -364,7 +392,8 @@ async def chat_completions(request: web.Request) -> web.StreamResponse:
                                   "finish_reason": None}]}
             await resp.write(f"data: {json.dumps(first)}\n\n".encode())
             sent = 0
-            async for out in engine.generate(prompt, sp, rid):
+            async for out in engine.generate(prompt, sp, rid,
+                                             lora_request=lora_req):
                 c = out.outputs[0]
                 delta = c.text[sent:]
                 sent = len(c.text)
@@ -385,7 +414,8 @@ async def chat_completions(request: web.Request) -> web.StreamResponse:
             return resp
 
         final = None
-        async for out in engine.generate(prompt, sp, rid):
+        async for out in engine.generate(prompt, sp, rid,
+                                         lora_request=lora_req):
             if out.finished:
                 final = out
         c = final.outputs[0]
@@ -487,7 +517,7 @@ def build_app(engine: AsyncLLM, model_name: str, max_model_len: int,
                           client_max_size=32 * 2**20)
     app[ENGINE_KEY] = engine
     app[MODEL_KEY] = model_name
-    app["max_model_len"] = max_model_len
+    app[MAX_LEN_KEY] = max_model_len
     app.router.add_get("/health", health)
     app.router.add_get("/ping", ping)
     app.router.add_post("/ping", ping)
@@ -516,6 +546,9 @@ def make_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--api-key", default=None)
     parser.add_argument("--served-model-name", default=None)
+    parser.add_argument("--lora-modules", nargs="*", default=None,
+                        metavar="NAME=PATH",
+                        help="PEFT adapters served by model name")
     EngineArgs.add_cli_args(parser)
     return parser
 
@@ -523,6 +556,13 @@ def make_arg_parser() -> argparse.ArgumentParser:
 def run_server(args) -> None:
     engine_args = EngineArgs.from_cli_args(args)
     engine = AsyncLLM(engine_args.create_engine_config())
+    for spec in (args.lora_modules or []):
+        lname, _, lpath = spec.partition("=")
+        if not lpath:
+            raise ValueError(f"--lora-modules expects NAME=PATH, got "
+                             f"{spec!r}")
+        engine.add_lora_adapter(lname, lpath)
+        logger.info("installed LoRA adapter %s from %s", lname, lpath)
     name = args.served_model_name or args.model
     app = build_app(engine, name, engine_args.max_model_len,
                     api_key=args.api_key)
