@@ -1,19 +1,48 @@
 """Rotary position embeddings.
 
-Covers the reference's RotaryEmbedding + Linear/DynamicNTK/Llama3 scaling
-variants (``layers/rotary_embedding.py:79+``), in a functional TPU style:
-cos/sin tables are precomputed host-side once and indexed by position
-inside the jitted step (no data-dependent shapes).
+Covers the reference's RotaryEmbedding + Linear / DynamicNTK / YaRN /
+Phi3-LongRoPE / Llama3 scaling variants
+(``layers/rotary_embedding.py:79,190,232,383,739,821``), in a functional
+TPU style: cos/sin tables are precomputed host-side once and indexed by
+position inside the jitted step (no data-dependent shapes). Variants
+that scale attention magnitude (YaRN mscale, LongRoPE attn factor) fold
+the scale into the table so the apply path stays a single gather.
 
 Uses the *non-interleaved* (half-rotation) layout matching HF llama.
 """
 
 import functools
+import math
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _yarn_correction_range(low_rot: float, high_rot: float, dim: int,
+                           base: float, orig_len: int):
+    """Dim range over which YaRN ramps from extrapolation to
+    interpolation (reference rotary_embedding.py:332-350)."""
+    def corr_dim(num_rot):
+        return (dim * math.log(orig_len / (num_rot * 2 * math.pi))
+                ) / (2 * math.log(base))
+    low = math.floor(corr_dim(low_rot))
+    high = math.ceil(corr_dim(high_rot))
+    return max(low, 0), min(high, dim - 1)
+
+
+def _linear_ramp(low: float, high: float, n: int) -> np.ndarray:
+    if low == high:
+        high += 0.001  # avoid /0
+    ramp = (np.arange(n, dtype=np.float64) - low) / (high - low)
+    return np.clip(ramp, 0.0, 1.0)
+
+
+def _yarn_mscale(scale: float, mscale: float = 1.0) -> float:
+    if scale <= 1:
+        return 1.0
+    return 0.1 * mscale * math.log(scale) + 1.0
 
 
 def compute_inv_freq(head_dim: int, base: float,
@@ -24,6 +53,29 @@ def compute_inv_freq(head_dim: int, base: float,
         rope_type = scaling.get("rope_type", scaling.get("type", ""))
         if rope_type == "linear":
             inv_freq = inv_freq / scaling["factor"]
+        elif rope_type == "dynamic":
+            # Dynamic NTK evaluated statically at full extension
+            # (reference DynamicNTKScalingRotaryEmbedding,
+            # rotary_embedding.py:232: the table is built once for
+            # L = orig*factor, so the base multiplier is
+            # factor*L/orig - (factor-1) = factor^2 - factor + 1).
+            factor = scaling["factor"]
+            mult = factor * factor - factor + 1.0
+            nbase = base * mult**(head_dim / (head_dim - 2))
+            inv_freq = 1.0 / (nbase**(
+                np.arange(0, head_dim, 2, dtype=np.float64) / head_dim))
+        elif rope_type == "yarn":
+            factor = scaling["factor"]
+            orig_len = scaling.get("original_max_position_embeddings",
+                                   2048)
+            beta_fast = scaling.get("beta_fast", 32)
+            beta_slow = scaling.get("beta_slow", 1)
+            extra = inv_freq                     # extrapolation (no scale)
+            inter = inv_freq / factor            # interpolation
+            low, high = _yarn_correction_range(beta_fast, beta_slow,
+                                               head_dim, base, orig_len)
+            extrap_w = 1.0 - _linear_ramp(low, high, head_dim // 2)
+            inv_freq = inter * (1.0 - extrap_w) + extra * extrap_w
         elif rope_type == "llama3":
             # reference Llama3RotaryEmbedding (rotary_embedding.py)
             factor = scaling["factor"]
@@ -41,9 +93,6 @@ def compute_inv_freq(head_dim: int, base: float,
                          (1 - smooth) * inv_freq / factor +
                          smooth * inv_freq))
             inv_freq = new_freq
-        elif rope_type in ("dynamic", "yarn", "longrope"):
-            # conservative fallback: plain rope (flagged for parity work)
-            pass
     return inv_freq.astype(np.float64)
 
 
@@ -51,13 +100,53 @@ def build_rope_cache(max_len: int, head_dim: int, base: float = 10000.0,
                      scaling: Optional[dict] = None,
                      dtype=jnp.float32) -> jax.Array:
     """Returns [max_len, head_dim] table: first half cos, second half sin
-    duplicated over both halves of the head dim (half-rotation layout)."""
+    duplicated over both halves of the head dim (half-rotation layout).
+
+    For linear/dynamic scaling the table is extended to orig*factor
+    positions; YaRN folds its mscale and LongRoPE its attention factor
+    into the table values."""
+    rope_type = (scaling or {}).get("rope_type",
+                                    (scaling or {}).get("type", ""))
+    attn_scale = 1.0
+    if rope_type in ("linear", "dynamic"):
+        # HF stores the ORIGINAL length for these; usable = orig*factor
+        max_len = max(max_len, int(max_len * scaling["factor"]))
+    if rope_type == "yarn":
+        # HF stores the EXTENDED length; cover at least orig*factor
+        orig = scaling.get("original_max_position_embeddings", max_len)
+        max_len = max(max_len, int(orig * scaling["factor"]))
+        attn_scale = _yarn_mscale(scaling["factor"],
+                                  scaling.get("mscale", 1.0))
+
+    if rope_type == "longrope":
+        # Phi-3 LongRoPE (reference Phi3LongRoPEScaledRotaryEmbedding,
+        # rotary_embedding.py:739): per-dim rescale factors. The factor
+        # set switches for the WHOLE sequence when the served context
+        # exceeds the pretrained length; with a static table we pick
+        # once at build time from max_len (the engine's serving limit).
+        # Attention factor sqrt(1 + ln(s)/ln(orig_len)) folds into the
+        # table.
+        orig_len = scaling["original_max_position_embeddings"]
+        s = max_len / orig_len
+        ext = np.asarray(scaling["long_factor" if s > 1.0
+                                 else "short_factor"], dtype=np.float64)
+        attn_scale = scaling.get("attention_factor")
+        if attn_scale is None:
+            attn_scale = (math.sqrt(1 + math.log(s) / math.log(orig_len))
+                          if s > 1.0 else 1.0)
+        base_freq = 1.0 / (base**(
+            np.arange(0, head_dim, 2, dtype=np.float64) / head_dim))
+        t = np.arange(max_len, dtype=np.float64)
+        freqs = np.outer(t, base_freq / ext)
+        cache = np.concatenate([np.cos(freqs), np.sin(freqs)], axis=-1)
+        return jnp.asarray(cache * attn_scale, dtype=dtype)
+
     inv_freq = compute_inv_freq(head_dim, base, scaling)
     t = np.arange(max_len, dtype=np.float64)
     freqs = np.outer(t, inv_freq)  # [L, D/2]
     cos = np.cos(freqs)
     sin = np.sin(freqs)
-    cache = np.concatenate([cos, sin], axis=-1)  # [L, D]
+    cache = np.concatenate([cos, sin], axis=-1) * attn_scale  # [L, D]
     return jnp.asarray(cache, dtype=dtype)
 
 
