@@ -102,3 +102,63 @@ def test_mixtral_e2e(tmp_path):
     b = llm.generate(["xy"], SamplingParams(temperature=0.0, max_tokens=6,
                                             ignore_eos=True))
     assert a[0].outputs[0].token_ids == b[0].outputs[0].token_ids
+
+
+def test_moe_ep_consistency(cpu_devices):
+    """expert-parallel (expert-dim sharding, reference expert_map EP)
+    must match unsharded execution exactly."""
+    from jax.sharding import Mesh, NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    rng = np.random.default_rng(2)
+    moe = FusedMoE(hidden_size=32, intermediate_size=64, num_experts=8,
+                   top_k=2, expert_parallel=True)
+    params = _params(moe, rng)
+    x = jnp.asarray(rng.standard_normal((9, 32)).astype(np.float32))
+    ref = np.asarray(jax.jit(lambda p, x: moe(p, x, tp_axis=None))(
+        params, x))
+
+    mesh = Mesh(np.array(cpu_devices[:4]).reshape(1, 4), ("data", "model"))
+    specs = moe.partition_specs()
+    sharded_params = jax.tree.map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
+        params, specs,
+        is_leaf=lambda v: isinstance(v, jax.Array))
+    fn = jax.jit(jax.shard_map(
+        lambda p, x: moe(p, x, tp_axis="model"),
+        mesh=mesh, in_specs=(specs, P()), out_specs=P(),
+        check_vma=False))
+    got = np.asarray(fn(sharded_params, x))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_moe_ep_skewed_routing(cpu_devices):
+    """EP stays exact when every token routes to one shard's experts."""
+    from jax.sharding import Mesh, NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    rng = np.random.default_rng(3)
+    moe = FusedMoE(hidden_size=32, intermediate_size=64, num_experts=4,
+                   top_k=2, expert_parallel=True)
+    params = _params(moe, rng)
+    # bias the router so experts 0,1 (shard 0 under ep=2... ep=4 -> one
+    # expert per shard) dominate
+    router = np.asarray(params["router"]["weight"]).copy()
+    router[:, 2:] -= 100.0
+    params["router"]["weight"] = jnp.asarray(router)
+    x = jnp.asarray(rng.standard_normal((6, 32)).astype(np.float32))
+    ref = np.asarray(jax.jit(lambda p, x: moe(p, x, tp_axis=None))(
+        params, x))
+
+    mesh = Mesh(np.array(cpu_devices[:4]).reshape(1, 4), ("data", "model"))
+    specs = moe.partition_specs()
+    sharded_params = jax.tree.map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
+        params, specs,
+        is_leaf=lambda v: isinstance(v, jax.Array))
+    fn = jax.jit(jax.shard_map(
+        lambda p, x: moe(p, x, tp_axis="model"),
+        mesh=mesh, in_specs=(specs, P()), out_specs=P(),
+        check_vma=False))
+    got = np.asarray(fn(sharded_params, x))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)

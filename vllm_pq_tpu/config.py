@@ -86,6 +86,10 @@ class ParallelConfig:
     # Pipeline parallelism is expressed as stage sharding over the same
     # mesh; >1 enables layer-range partitioning.
     pipeline_parallel_size: int = 1
+    # Expert parallelism for MoE layers: partition whole experts over
+    # the model axis instead of slicing the intermediate dim (reference
+    # --enable-expert-parallel, fused_moe/layer.py:253-290).
+    enable_expert_parallel: bool = False
     # Run the EngineCore busy loop in a background process over ZMQ
     # (reference VLLM_ENABLE_V1_MULTIPROCESSING / EngineCoreProc) so
     # frontend work never stalls device dispatch.

@@ -31,6 +31,7 @@ class EngineArgs:
 
     tensor_parallel_size: int = 1
     data_parallel_size: int = 1
+    enable_expert_parallel: bool = False
     # run the EngineCore loop in a background process (ZMQ)
     enable_engine_multiprocessing: bool = False
 
@@ -71,6 +72,7 @@ class EngineArgs:
             parallel=ParallelConfig(
                 tensor_parallel_size=self.tensor_parallel_size,
                 data_parallel_size=self.data_parallel_size,
+                enable_expert_parallel=self.enable_expert_parallel,
                 engine_multiprocessing=self.enable_engine_multiprocessing),
             scheduler=SchedulerConfig(
                 max_num_seqs=self.max_num_seqs,

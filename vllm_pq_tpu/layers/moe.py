@@ -7,13 +7,19 @@ TPU-first:
   ``topk_softmax_kernels.cu``);
 - expert compute: tokens sorted by expert id feed ``jax.lax.ragged_dot``
   (TPU grouped matmul — the gmm the reference's Pallas MoE path uses);
-- sharding: expert weights are sharded on the INTERMEDIATE dim
-  ("expert-tensor parallelism"): every shard processes all assignments
-  against its 1/tp slice of every expert, then psums — exact and
-  load-balanced regardless of routing skew, with no token all-to-all.
-  Classic expert-partition EP (reference ``determine_expert_map``,
-  ``fused_moe/layer.py:253-290``) maps onto the data-parallel axis where
-  routing locality pays for the comm; see parallel/ for the mesh plan.
+- sharding, two modes:
+  * default ("expert-tensor parallelism"): expert weights sharded on the
+    INTERMEDIATE dim; every shard processes all assignments against its
+    1/tp slice of every expert, then psums — exact and load-balanced
+    regardless of routing skew, with no token all-to-all.
+  * ``expert_parallel=True`` (reference ``determine_expert_map``,
+    ``fused_moe/layer.py:253-290,367-374``): experts partitioned across
+    the mesh axis; each shard masks assignments to its local experts
+    (non-local assignments are pointed at a real local expert with zero
+    routing weight so the math stays finite) and psums partial outputs.
+    Exact for any routing. Preferable when intermediate/tp would drop
+    below the MXU tile (128) or experts don't divide on I; per-shard
+    HBM traffic touches only local expert weights.
 
 Weights: ``w1 [E, H, I]`` (gate), ``w3 [E, H, I]`` (up), ``w2
 [E, I, H]``. Gate and up are separate tensors so each shards cleanly on
@@ -36,12 +42,14 @@ class FusedMoE:
     """Stateless functional MoE block."""
 
     def __init__(self, hidden_size: int, intermediate_size: int,
-                 num_experts: int, top_k: int, renormalize: bool = True):
+                 num_experts: int, top_k: int, renormalize: bool = True,
+                 expert_parallel: bool = False):
         self.hidden_size = hidden_size
         self.intermediate_size = intermediate_size
         self.num_experts = num_experts
         self.top_k = top_k
         self.renormalize = renormalize
+        self.expert_parallel = expert_parallel
 
     def param_shapes(self, dtype) -> Dict:
         h, i, e = self.hidden_size, self.intermediate_size, self.num_experts
@@ -55,16 +63,22 @@ class FusedMoE:
         }
 
     def partition_specs(self) -> Dict:
-        return {
-            "router": {"weight": P(None, None)},
-            "experts": {
+        if self.expert_parallel:
+            experts = {
+                # expert-dim sharding: each shard owns E/ep whole experts
+                "w1": P(TP_AXIS, None, None),
+                "w3": P(TP_AXIS, None, None),
+                "w2": P(TP_AXIS, None, None),
+            }
+        else:
+            experts = {
                 # intermediate-dim sharding: column-parallel w1/w3,
                 # row-parallel w2 (psum after)
                 "w1": P(None, None, TP_AXIS),
                 "w3": P(None, None, TP_AXIS),
                 "w2": P(None, TP_AXIS, None),
-            },
-        }
+            }
+        return {"router": {"weight": P(None, None)}, "experts": experts}
 
     def __call__(self, params: Dict, x: jax.Array,
                  tp_axis: Optional[str] = TP_AXIS) -> jax.Array:
@@ -88,10 +102,26 @@ class FusedMoE:
         tok_ids = jnp.repeat(jnp.arange(t, dtype=jnp.int32), k)   # [T*K]
         exp_ids = topi.reshape(-1).astype(jnp.int32)
         weights = topw.reshape(-1).astype(jnp.float32)
+
+        e_groups = e
+        if self.expert_parallel and tp_axis:
+            # expert-partition EP: keep only assignments to this shard's
+            # E/ep local experts; foreign assignments are redirected to
+            # local expert 0 with zero routing weight (finite garbage
+            # times zero), psum merges shards at the end.
+            ep = jax.lax.psum(1, tp_axis)
+            e_loc = e // ep
+            lo = jax.lax.axis_index(tp_axis) * e_loc
+            local = (exp_ids >= lo) & (exp_ids < lo + e_loc)
+            exp_ids = jnp.where(local, exp_ids - lo, 0)
+            weights = jnp.where(local, weights, 0.0)
+            e_groups = e_loc
+
         order = jnp.argsort(exp_ids)
         tok_s = tok_ids[order]
         w_s = weights[order]
-        group_sizes = jnp.bincount(exp_ids, length=e).astype(jnp.int32)
+        group_sizes = jnp.bincount(exp_ids,
+                                   length=e_groups).astype(jnp.int32)
 
         xs = x[tok_s]                                     # [T*K, H]
         h1 = jax.lax.ragged_dot(

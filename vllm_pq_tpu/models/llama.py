@@ -208,10 +208,7 @@ class LlamaModel:
         kv_heads = cfg.num_key_value_heads // tp
         d = cfg.head_dim
         sm_scale = 1.0 / ((cfg.query_pre_attn_scalar or d)**0.5)
-        norm = (lambda x, w: rms_norm(
-            x, w.astype(jnp.float32) + 1.0, cfg.rms_norm_eps)) \
-            if cfg.gemma_norm else (
-            lambda x, w: rms_norm(x, w, cfg.rms_norm_eps))
+        norm = self.make_norm()
 
         x = self._embed(params["embed_tokens"], input_ids, tp_axis)
         if cfg.embed_scale is not None:
@@ -220,61 +217,90 @@ class LlamaModel:
         new_caches = []
         for li in range(cfg.num_hidden_layers):
             lp = params["layers"][li]
-            # Gemma2 alternates sliding-window and global layers
-            if cfg.sliding_window_pattern:
-                layer_window = (cfg.sliding_window
-                                if (li % cfg.sliding_window_pattern
-                                    != cfg.sliding_window_pattern - 1)
-                                else None)
-            else:
-                layer_window = cfg.sliding_window
             lora_layer = lora["layers"][li] if lora is not None else None
             lora_md = ({"sorted_tok": lora["sorted_tok"],
                         "group_sizes": lora["group_sizes"]}
                        if lora is not None else None)
-            # self-attention
-            h = norm(x, lp["input_layernorm"]["weight"])
-            q = self._lin(lp, "q_proj", h, lora_layer, lora_md)
-            k = self._lin(lp, "k_proj", h, lora_layer, lora_md)
-            v = self._lin(lp, "v_proj", h, lora_layer, lora_md)
-            if cfg.attention_bias:
-                q = q + lp["q_proj_bias"]["bias"]
-                k = k + lp["k_proj_bias"]["bias"]
-                v = v + lp["v_proj_bias"]["bias"]
-            t = q.shape[0]
-            q = q.reshape(t, heads, d)
-            k = k.reshape(t, kv_heads, d)
-            v = v.reshape(t, kv_heads, d)
-            q, k = apply_rope(q, k, positions, rope_cache)
-
-            cache = write_kv_cache(kv_caches[li], k, v,
-                                   attn_md["slot_mapping"])
+            x, cache = self.decoder_layer(
+                lp, li, x, positions, kv_caches[li], attn_md, rope_cache,
+                tp_axis=tp_axis, lora_layer=lora_layer, lora_md=lora_md,
+                decode_mode=decode_mode, norm=norm, heads=heads,
+                kv_heads=kv_heads, sm_scale=sm_scale)
             new_caches.append(cache)
-            attn = ragged_paged_attention(
-                q, cache, attn_md["kv_lens"], attn_md["page_indices"],
-                attn_md["cu_q_lens"], attn_md["num_seqs"],
-                sm_scale=sm_scale, sliding_window=layer_window,
-                soft_cap=cfg.attn_logit_softcap, decode_mode=decode_mode)
-            attn = attn.reshape(t, heads * d)
-            o = self._lin(lp, "o_proj", attn, lora_layer, lora_md)
-            if tp_axis:
-                o = jax.lax.psum(o, tp_axis)
-            if cfg.use_post_norms:  # Gemma2: norm the branch pre-residual
-                o = norm(o, lp["post_attention_layernorm"]["weight"])
-            x = x + o
-
-            # mlp (overridable: Mixtral swaps in a routed MoE block)
-            if cfg.use_post_norms:
-                h = norm(x, lp["pre_feedforward_layernorm"]["weight"])
-                mlp = self._mlp(lp, h, tp_axis, lora_layer, lora_md)
-                mlp = norm(mlp, lp["post_feedforward_layernorm"]["weight"])
-            else:
-                h = norm(x, lp["post_attention_layernorm"]["weight"])
-                mlp = self._mlp(lp, h, tp_axis, lora_layer, lora_md)
-            x = x + mlp
 
         x = norm(x, params["norm"]["weight"])
         return x, new_caches
+
+    def layer_window(self, li: int):
+        """Per-layer attention window (Gemma2 alternates sliding-window
+        and global layers)."""
+        cfg = self.cfg
+        if cfg.sliding_window_pattern:
+            return (cfg.sliding_window
+                    if (li % cfg.sliding_window_pattern
+                        != cfg.sliding_window_pattern - 1) else None)
+        return cfg.sliding_window
+
+    def decoder_layer(self, lp: Dict, li: int, x: jax.Array,
+                      positions: jax.Array, kv_cache: jax.Array,
+                      attn_md: Dict, rope_cache: jax.Array, *,
+                      tp_axis: Optional[str], lora_layer: Optional[Dict],
+                      lora_md: Optional[Dict], decode_mode: bool,
+                      norm, heads: int, kv_heads: int, sm_scale: float,
+                      ) -> Tuple[jax.Array, jax.Array]:
+        """One decoder block: returns (x', updated kv cache). Shared by
+        the dense forward above and the pipeline-parallel forward
+        (parallel/pipeline.py)."""
+        cfg = self.cfg
+        d = cfg.head_dim
+        # self-attention
+        h = norm(x, lp["input_layernorm"]["weight"])
+        q = self._lin(lp, "q_proj", h, lora_layer, lora_md)
+        k = self._lin(lp, "k_proj", h, lora_layer, lora_md)
+        v = self._lin(lp, "v_proj", h, lora_layer, lora_md)
+        if cfg.attention_bias:
+            q = q + lp["q_proj_bias"]["bias"]
+            k = k + lp["k_proj_bias"]["bias"]
+            v = v + lp["v_proj_bias"]["bias"]
+        t = q.shape[0]
+        q = q.reshape(t, heads, d)
+        k = k.reshape(t, kv_heads, d)
+        v = v.reshape(t, kv_heads, d)
+        q, k = apply_rope(q, k, positions, rope_cache)
+
+        cache = write_kv_cache(kv_cache, k, v, attn_md["slot_mapping"])
+        attn = ragged_paged_attention(
+            q, cache, attn_md["kv_lens"], attn_md["page_indices"],
+            attn_md["cu_q_lens"], attn_md["num_seqs"],
+            sm_scale=sm_scale, sliding_window=self.layer_window(li),
+            soft_cap=cfg.attn_logit_softcap, decode_mode=decode_mode)
+        attn = attn.reshape(t, heads * d)
+        o = self._lin(lp, "o_proj", attn, lora_layer, lora_md)
+        if tp_axis:
+            o = jax.lax.psum(o, tp_axis)
+        if cfg.use_post_norms:  # Gemma2: norm the branch pre-residual
+            o = norm(o, lp["post_attention_layernorm"]["weight"])
+        x = x + o
+
+        # mlp (overridable: Mixtral swaps in a routed MoE block)
+        if cfg.use_post_norms:
+            h = norm(x, lp["pre_feedforward_layernorm"]["weight"])
+            mlp = self._mlp(lp, h, tp_axis, lora_layer, lora_md)
+            mlp = norm(mlp, lp["post_feedforward_layernorm"]["weight"])
+        else:
+            h = norm(x, lp["post_attention_layernorm"]["weight"])
+            mlp = self._mlp(lp, h, tp_axis, lora_layer, lora_md)
+        x = x + mlp
+        return x, cache
+
+    def make_norm(self):
+        """The rms-norm closure used by forward (Gemma adds 1 to the
+        weight and norms in fp32)."""
+        cfg = self.cfg
+        if cfg.gemma_norm:
+            return lambda x, w: rms_norm(
+                x, w.astype(jnp.float32) + 1.0, cfg.rms_norm_eps)
+        return lambda x, w: rms_norm(x, w, cfg.rms_norm_eps)
 
     def _lin(self, lp: Dict, name: str, h: jax.Array,
              lora_layer: Optional[Dict],

@@ -32,10 +32,12 @@ class MixtralConfig(LlamaConfig):
 class MixtralModel(LlamaModel):
 
     def __init__(self, cfg: MixtralConfig, linear_method: LinearMethod,
-                 lm_head_method: Optional[LinearMethod] = None):
+                 lm_head_method: Optional[LinearMethod] = None,
+                 expert_parallel: bool = False):
         super().__init__(cfg, linear_method, lm_head_method)
         self.moe = FusedMoE(cfg.hidden_size, cfg.intermediate_size,
-                            cfg.num_local_experts, cfg.num_experts_per_tok)
+                            cfg.num_local_experts, cfg.num_experts_per_tok,
+                            expert_parallel=expert_parallel)
 
     # attention projections stay (possibly quantized) linears; the MoE
     # block is bf16 for now (quantized MoE is follow-up work, reference

@@ -146,7 +146,13 @@ def _build_mixtral(hf_config, config: EngineConfig, linear_method):
     else:
         mc = MixtralConfig()
     mc.dtype = config.model.jax_dtype
-    return MixtralModel(mc, linear_method)
+    ep = config.parallel.enable_expert_parallel
+    if ep and mc.num_local_experts % config.parallel.tensor_parallel_size:
+        raise ValueError(
+            f"expert parallelism needs num_experts "
+            f"({mc.num_local_experts}) divisible by tp "
+            f"({config.parallel.tensor_parallel_size})")
+    return MixtralModel(mc, linear_method, expert_parallel=ep)
 
 
 def build_model(config: EngineConfig, linear_method) -> Tuple:
