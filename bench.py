@@ -61,6 +61,9 @@ def main():
               max_model_len=256, max_num_seqs=batch,
               max_num_batched_tokens=2048, block_size=16,
               gpu_memory_utilization=0.8,
+              # size the pool to the workload: an oversized pool costs
+              # ~14 ms/step (donation copies scale with pool size)
+              num_kv_blocks=batch * (256 // 16) + 64 if on_tpu else None,
               enable_prefix_caching=True,
               # lag-1 async scheduling: dispatch step i+1 before fetching
               # step i (hides dispatch + d2h latency)

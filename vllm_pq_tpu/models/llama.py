@@ -194,6 +194,7 @@ class LlamaModel:
         tp_axis: Optional[str] = TP_AXIS,
         lora: Optional[Dict] = None,
         decode_mode: bool = False,
+        decode_pages: Optional[int] = None,
     ) -> Tuple[jax.Array, List[jax.Array]]:
         """Returns (hidden [T, H], updated kv_caches)."""
         cfg = self.cfg
@@ -224,8 +225,9 @@ class LlamaModel:
             x, cache = self.decoder_layer(
                 lp, li, x, positions, kv_caches[li], attn_md, rope_cache,
                 tp_axis=tp_axis, lora_layer=lora_layer, lora_md=lora_md,
-                decode_mode=decode_mode, norm=norm, heads=heads,
-                kv_heads=kv_heads, sm_scale=sm_scale)
+                decode_mode=decode_mode, decode_pages=decode_pages,
+                norm=norm, heads=heads, kv_heads=kv_heads,
+                sm_scale=sm_scale)
             new_caches.append(cache)
 
         x = norm(x, params["norm"]["weight"])
@@ -247,6 +249,7 @@ class LlamaModel:
                       tp_axis: Optional[str], lora_layer: Optional[Dict],
                       lora_md: Optional[Dict], decode_mode: bool,
                       norm, heads: int, kv_heads: int, sm_scale: float,
+                      decode_pages: Optional[int] = None,
                       ) -> Tuple[jax.Array, jax.Array]:
         """One decoder block: returns (x', updated kv cache). Shared by
         the dense forward above and the pipeline-parallel forward
@@ -273,7 +276,8 @@ class LlamaModel:
             q, cache, attn_md["kv_lens"], attn_md["page_indices"],
             attn_md["cu_q_lens"], attn_md["num_seqs"],
             sm_scale=sm_scale, sliding_window=self.layer_window(li),
-            soft_cap=cfg.attn_logit_softcap, decode_mode=decode_mode)
+            soft_cap=cfg.attn_logit_softcap, decode_mode=decode_mode,
+            decode_pages=decode_pages)
         attn = attn.reshape(t, heads * d)
         o = self._lin(lp, "o_proj", attn, lora_layer, lora_md)
         if tp_axis:

@@ -139,7 +139,7 @@ class OPTModel:
     def __call__(self, params, input_ids, positions, kv_caches, attn_md,
                  rope_cache, *, tp_axis: Optional[str] = TP_AXIS,
                  lora: Optional[Dict] = None,
-                 decode_mode: bool = False):
+                 decode_mode: bool = False, decode_pages=None):
         cfg = self.cfg
         tp = jax.lax.psum(1, tp_axis) if tp_axis else 1
         heads = cfg.num_attention_heads // tp
@@ -173,7 +173,8 @@ class OPTModel:
             attn = ragged_paged_attention(
                 q, cache, attn_md["kv_lens"], attn_md["page_indices"],
                 attn_md["cu_q_lens"], attn_md["num_seqs"],
-                sm_scale=sm_scale, decode_mode=decode_mode)
+                sm_scale=sm_scale, decode_mode=decode_mode,
+                decode_pages=decode_pages)
             o = self._lin(lp, "out_proj", attn.reshape(t, heads * d),
                           lora_layer, lora_md)
             if tp_axis:

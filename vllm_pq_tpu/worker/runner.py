@@ -250,7 +250,8 @@ class ModelRunner:
 
     def _build_step(self, t_bucket: int, greedy: bool, num_logprobs: int,
                     constrained: bool = False, decode_only: bool = False,
-                    plp_k: int = 0, penalized: bool = False):
+                    plp_k: int = 0, penalized: bool = False,
+                    decode_pages: int = 0):
         model = self.model
         mesh = self.mesh
         lay = self._layout(t_bucket, constrained, penalized)
@@ -272,7 +273,8 @@ class ModelRunner:
             hidden, new_caches = model(
                 params, inputs["token_ids"], inputs["positions"],
                 kv_caches, inputs, rope, lora=lora,
-                decode_mode=decode_only)
+                decode_mode=decode_only,
+                decode_pages=decode_pages or None)
             sel = hidden[inputs["logits_indices"]]
             logits = model.compute_logits(params, sel)
             if plp_k:
@@ -415,14 +417,15 @@ class ModelRunner:
 
     def _get_step(self, t_bucket: int, greedy: bool, num_logprobs: int,
                   constrained: bool = False, decode_only: bool = False,
-                  plp_k: int = 0, penalized: bool = False):
+                  plp_k: int = 0, penalized: bool = False,
+                  decode_pages: int = 0):
         key = (t_bucket, greedy, num_logprobs, constrained, decode_only,
-               plp_k, penalized)
+               plp_k, penalized, decode_pages)
         fn = self._step_fns.get(key)
         if fn is None:
             fn = self._build_step(t_bucket, greedy, num_logprobs,
                                   constrained, decode_only, plp_k,
-                                  penalized)
+                                  penalized, decode_pages)
             self._step_fns[key] = fn
         return fn
 
@@ -574,6 +577,26 @@ class ModelRunner:
             total = sum(1 for v in so.num_scheduled_tokens.values() if v)
         else:
             total = so.total_num_scheduled_tokens
+        # row-aligned decode packing (q row i == seq row i) covers pure
+        # decode EVEN WITH GAPS (rows parked by async scheduling or
+        # already finished): unscheduled rows become kv_len-0 masked
+        # rows, which keeps the step on the compiled decode variant
+        # instead of recompiling general variants at the batch tail
+        n = ib.num_reqs
+        fast = bool(n and not so.scheduled_spec_decode_tokens
+                    and (one_per_row
+                         or all(v == 1
+                                for v in so.num_scheduled_tokens.values())))
+        sched_mask = None
+        if fast:
+            sched_mask = np.fromiter(
+                (ib.req_ids[r] in so.num_scheduled_tokens
+                 for r in range(n)), bool, count=n)
+            if not sched_mask.all():
+                if one_per_row:
+                    fast = False  # multi-step packs only scheduled rows
+                else:
+                    total = max(total, n)  # row i lives at flat slot i
         t_bucket = self._pick_bucket(max(total, 1))
         constrained = bool(so.guided_masks or so.logit_bias)
         penalized = not ib.no_penalties
@@ -600,21 +623,24 @@ class ModelRunner:
 
         # vectorized fast path: pure decode (1 token per active row, no
         # drafts) — the per-row python loop costs ~5ms at batch 256
-        n = ib.num_reqs
-        if (n and not so.scheduled_spec_decode_tokens
-                and len(so.num_scheduled_tokens) == n
-                and (one_per_row
-                     or all(v == 1
-                            for v in so.num_scheduled_tokens.values()))
-                and all(ib.req_ids[r] in so.num_scheduled_tokens
-                        for r in range(n))):
+        if fast:
             rows = np.arange(n)
+            m = sched_mask
             start = ib.num_computed_tokens[:n]
-            tok[:n] = ib.token_ids[rows, start]
-            pos[:n] = start
+            # clamp for indexing only: unscheduled rows may sit at the
+            # model-length cap and their values are masked anyway
+            start = np.where(m, start,
+                             np.minimum(start, self.max_model_len - 1))
+            tok[:n] = np.where(m, ib.token_ids[rows, start], 0)
+            pos[:n] = np.where(m, start, 0)
             blk = ib.block_table[rows, start // self.block_size]
-            slots[:n] = blk * self.block_size + start % self.block_size
-            kv_lens[:n] = start + 1
+            # unscheduled rows park their (garbage) KV write on null
+            # page 0 and are masked out of attention via kv_len 0
+            slots[:n] = np.where(
+                m, blk * self.block_size + start % self.block_size, 0)
+            kv_lens[:n] = np.where(m, start + 1, 0)
+            self._last_max_kv_len = (int((start + 1)[m].max())
+                                     if m.any() else 1)
             cu[1:n + 1] = np.arange(1, n + 1)
             cu[n + 1:] = n
             if self.spec_k:
@@ -622,17 +648,21 @@ class ModelRunner:
             else:
                 logits_idx[:n] = rows
             if lora_on:
-                tok_slot[:n] = ib.lora_slot[:n]
+                tok_slot[:n] = np.where(m, ib.lora_slot[:n], 0)
             if prev_row_of is not None:
                 ph = np.nonzero(tok[:n] == -1)[0]
                 for p_i in ph:
                     prev_rows[p_i] = prev_row_of.get(
                         ib.req_ids[int(p_i)], -1)
-            row_req_ids[:n] = ib.req_ids[:n]
+            for r in range(n):
+                if m[r]:
+                    row_req_ids[r] = ib.req_ids[r]
+            self._decode_aligned = True  # q row i == seq row i
             self._finish_packing(so, lay, buf, ib, constrained,
                                  tok_slot)
             return t_bucket, buf, row_req_ids, constrained, penalized
 
+        self._decode_aligned = False
         off = 0
         for row in range(ib.num_reqs):
             rid = ib.req_ids[row]
@@ -683,8 +713,20 @@ class ModelRunner:
                     prev_rows[off + ph] = pr
             off += nt
         cu[ib.num_reqs + 1:] = cu[ib.num_reqs]
+        self._last_max_kv_len = int(kv_lens.max()) if ib.num_reqs else 1
         self._finish_packing(so, lay, buf, ib, constrained, tok_slot)
         return t_bucket, buf, row_req_ids, constrained, penalized
+
+    def _pages_bucket(self, max_kv_len: int) -> int:
+        """Static page-table width for the XLA decode-attention gather:
+        pow-2 bucketed pages covering the longest sequence this step
+        (each bucket is one compiled step variant)."""
+        from vllm_pq_tpu.utils import cdiv
+        need = max(1, cdiv(max_kv_len, self.block_size))
+        b = 8
+        while b < need:
+            b *= 2
+        return min(b, self.max_blocks_per_req)
 
     def _finish_packing(self, so, lay, buf, ib, constrained, tok_slot):
         """Batch-invariant packed fields: sampling vectors, page tables,
@@ -778,18 +820,21 @@ class ModelRunner:
             self.prepare_inputs(so)
         ib = self.input_batch
         num_logprobs = ib.max_num_logprobs
-        # pure-decode steps (1 token per row, no drafts) use the
-        # small-tile decode attention kernel
-        decode_only = (not so.scheduled_spec_decode_tokens and all(
-            v == 1 for v in so.num_scheduled_tokens.values()))
+        # pure-decode steps (1 token per row for EVERY row, packed by
+        # the aligned fast path so q row i == seq row i) use the
+        # gather-based decode attention
+        decode_only = getattr(self, "_decode_aligned", False)
         # prompt logprobs: only on steps that compute prompt positions
         plp_k = 0
         plp_rows = {}
         if ib.prompt_logprobs_reqs and not decode_only:
             plp_k, plp_rows = self._pack_plp_targets(
                 so, buf, t_bucket, constrained, penalized)
+        decode_pages = (self._pages_bucket(
+            getattr(self, "_last_max_kv_len", 1)) if decode_only else 0)
         fn = self._get_step(t_bucket, ib.all_greedy, num_logprobs,
-                            constrained, decode_only, plp_k, penalized)
+                            constrained, decode_only, plp_k, penalized,
+                            decode_pages)
         self._step_count += 1
         step_key = jax.random.fold_in(self._rng_key, self._step_count)
 
@@ -831,6 +876,7 @@ class ModelRunner:
         tgt[:] = -1
         plp_rows = {}
         k = 0
+        self._decode_aligned = False
         off = 0
         for row in range(ib.num_reqs):
             rid = ib.req_ids[row]
@@ -921,17 +967,27 @@ class ModelRunner:
                 lay.fview(buf, "top_p")[:] = 1.0
                 lay.fview(buf, "repetition_penalty")[:] = 1.0
                 modes = (True,) if greedy_only else (True, False)
+                # decode variants are additionally keyed by the pages
+                # bucket of the gather-based decode attention; compile
+                # the short-context bucket and the worst case
+                pages = ((8, self._pages_bucket(
+                    self.max_blocks_per_req * self.block_size))
+                    if decode_only else (0,))
                 for greedy in modes:
-                    fn = self._get_step(b, greedy, 0, False, decode_only)
-                    lora_w = (self._lora_weights()
-                              if self.lora_stacks is not None else None)
-                    out = fn(self.params, self.kv_caches, self.rope_cache,
-                             jnp.asarray(buf.copy()),
-                             jax.random.PRNGKey(0), lora_w,
-                             self._prev_toks_or_zeros())
-                    self.kv_caches = out[-1]
-                    jax.block_until_ready(out[0])
-                    n += 1
+                    for dp in dict.fromkeys(pages):
+                        fn = self._get_step(b, greedy, 0, False,
+                                            decode_only,
+                                            decode_pages=dp)
+                        lora_w = (self._lora_weights()
+                                  if self.lora_stacks is not None
+                                  else None)
+                        out = fn(self.params, self.kv_caches,
+                                 self.rope_cache, jnp.asarray(buf.copy()),
+                                 jax.random.PRNGKey(0), lora_w,
+                                 self._prev_toks_or_zeros())
+                        self.kv_caches = out[-1]
+                        jax.block_until_ready(out[0])
+                        n += 1
         logger.info("warmup: compiled %d step variants in %.1fs", n,
                     time.perf_counter() - t0)
 
@@ -1052,6 +1108,25 @@ class ModelRunner:
             self._host_params = None
         self._asleep_level = 0
         logger.info("runner awake")
+
+    # ------------------------------------------------------------------
+    # KV transfer (disaggregated prefill, distributed/kv_transfer/)
+
+    def gather_kv(self, block_ids: List[int]) -> np.ndarray:
+        """Pull the given pages off the device for transfer:
+        [L, n_blocks, page_size, 2*KVH, D] (host numpy)."""
+        ids = jnp.asarray(np.asarray(block_ids, np.int32))
+        stacked = jnp.stack([c[ids] for c in self.kv_caches])
+        return np.asarray(jax.device_get(stacked))
+
+    def scatter_kv(self, block_ids: List[int], kv: np.ndarray) -> None:
+        """Write transferred pages into this worker's cache at the given
+        block ids (consumer side of the KV connector)."""
+        ids = jnp.asarray(np.asarray(block_ids, np.int32))
+        new = []
+        for li, c in enumerate(self.kv_caches):
+            new.append(c.at[ids].set(jnp.asarray(kv[li], c.dtype)))
+        self.kv_caches = new
 
     def _dispatch_multistep(self, so: SchedulerOutput):
         n = so.num_scheduler_steps
