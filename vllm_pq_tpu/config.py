@@ -182,6 +182,26 @@ class LoRAConfig:
 
 
 @dataclass
+class KVTransferConfig:
+    """Disaggregated prefill (role of reference KVTransferConfig,
+    ``config.py:2790`` + ``distributed/kv_transfer/``): a prefill
+    instance (kv_producer) ships computed KV pages to a decode instance
+    (kv_consumer) which injects them into its prefix cache."""
+
+    # None disables; "kv_producer" sends finished-prefill KV,
+    # "kv_consumer" receives and injects.
+    kv_role: Optional[str] = None
+    # ZMQ endpoint: consumer binds (PULL), producer connects (PUSH).
+    kv_endpoint: str = "tcp://127.0.0.1:5601"
+    # consumer staging-buffer cap before FIFO eviction
+    kv_buffer_bytes: int = 4 << 30
+
+    def __post_init__(self):
+        if self.kv_role not in (None, "kv_producer", "kv_consumer"):
+            raise ValueError(f"Unknown kv_role {self.kv_role!r}")
+
+
+@dataclass
 class DeviceConfig:
     """Which jax platform to run on. "auto" picks tpu when present."""
 
@@ -254,6 +274,7 @@ class EngineConfig:
     compilation: CompilationConfig = field(default_factory=CompilationConfig)
     speculative: SpeculativeConfig = field(default_factory=SpeculativeConfig)
     lora: LoRAConfig = field(default_factory=LoRAConfig)
+    kv_transfer: KVTransferConfig = field(default_factory=KVTransferConfig)
 
     def __post_init__(self):
         self.compilation.derive(self.scheduler)

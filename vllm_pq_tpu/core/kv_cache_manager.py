@@ -154,6 +154,38 @@ class KVCacheManager:
                                               num_cached, num_full)
             self.num_cached_block[request.request_id] = num_full
 
+    def import_prefix(self, token_ids: List[int], write_pages) -> int:
+        """Register externally-computed KV (disaggregated prefill,
+        distributed/kv_transfer/) as cached prefix blocks: the consumer's
+        scheduler then picks it up through the ordinary
+        ``get_computed_blocks`` path — no special-casing past admission.
+
+        ``write_pages(block_ids, block_offsets)`` copies the KV of full
+        blocks ``block_offsets`` (indices into token_ids/block_size)
+        into device pages ``block_ids``. Returns tokens made available.
+        """
+        if not self.enable_caching:
+            return 0
+        hashes = hash_request_tokens(self.block_size, token_ids)
+        start = 0
+        for bh in hashes:
+            if self.block_pool.get_cached_block(bh) is None:
+                break
+            start += 1
+        n = min(len(hashes) - start,
+                self.block_pool.get_num_free_blocks())
+        if n <= 0:
+            return start * self.block_size
+        blocks = self.block_pool.get_new_blocks(n)
+        write_pages([b.block_id for b in blocks],
+                    list(range(start, start + n)))
+        self.block_pool.cache_full_blocks(blocks,
+                                          hashes[start:start + n], 0, n)
+        # drop our ref: the blocks stay registered in the prefix cache
+        # (evictable, LRU) exactly like a finished request's blocks
+        self.block_pool.free_blocks(blocks)
+        return (start + n) * self.block_size
+
     def free(self, request: Request) -> None:
         """Release all blocks. Freed in reverse order so tail blocks are
         evicted before prefix blocks. With ``deferred_free`` (async

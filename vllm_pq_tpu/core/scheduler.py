@@ -498,6 +498,11 @@ class Scheduler:
         return None
 
     def _free_request(self, request: Request) -> None:
+        # disaggregated prefill: the producer ships this request's KV
+        # pages before they are freed (engine/core.py _send_request_kv)
+        hook = getattr(self, "on_request_freed", None)
+        if hook is not None:
+            hook(request)
         self.kv_cache_manager.free(request)
         self.kv_cache_manager.free_block_hashes(request)
         self.finished_req_ids.add(request.request_id)

@@ -6,9 +6,10 @@ from dataclasses import dataclass, field, fields
 from typing import Any, Dict, Optional
 
 from vllm_pq_tpu.config import (CacheConfig, CompilationConfig, DeviceConfig,
-                                EngineConfig, LoRAConfig, ModelConfig,
-                                ObservabilityConfig, ParallelConfig,
-                                SchedulerConfig, SpeculativeConfig)
+                                EngineConfig, KVTransferConfig, LoRAConfig,
+                                ModelConfig, ObservabilityConfig,
+                                ParallelConfig, SchedulerConfig,
+                                SpeculativeConfig)
 
 
 @dataclass
@@ -47,6 +48,10 @@ class EngineArgs:
     enable_lora: bool = False
     max_loras: int = 4
     max_lora_rank: int = 16
+
+    # disaggregated prefill (KV transfer)
+    kv_role: Optional[str] = None
+    kv_endpoint: str = "tcp://127.0.0.1:5601"
 
     # speculative decoding (ngram prompt-lookup)
     speculative_method: Optional[str] = None
@@ -88,6 +93,8 @@ class EngineArgs:
                 enable_lora=self.enable_lora,
                 max_loras=self.max_loras,
                 max_lora_rank=self.max_lora_rank),
+            kv_transfer=KVTransferConfig(
+                kv_role=self.kv_role, kv_endpoint=self.kv_endpoint),
             speculative=SpeculativeConfig(
                 method=self.speculative_method,
                 num_spec_tokens=self.num_speculative_tokens,
@@ -99,7 +106,7 @@ class EngineArgs:
     # type information for argparse)
     _OPTIONAL_TYPES = {"num_kv_blocks": int, "tokenizer": str,
                        "quantization": str, "revision": str,
-                       "speculative_method": str}
+                       "speculative_method": str, "kv_role": str}
 
     @staticmethod
     def add_cli_args(parser: argparse.ArgumentParser

@@ -41,6 +41,19 @@ class EngineCore:
         if ep or multihost:
             from vllm_pq_tpu.parallel.host_agent import StepBroadcaster
             self._broadcaster = StepBroadcaster(ep or "tcp://*:5557")
+        # disaggregated prefill: KV connector (distributed/kv_transfer/)
+        self.kv_connector = None
+        if config.kv_transfer.kv_role:
+            from vllm_pq_tpu.distributed.kv_transfer.connector import \
+                make_connector
+            self.kv_connector = make_connector(config)
+            if config.kv_transfer.kv_role == "kv_producer":
+                self.scheduler.on_request_freed = self._send_request_kv
+            logger.info("kv_transfer: %s on %s",
+                        config.kv_transfer.kv_role,
+                        config.kv_transfer.kv_endpoint)
+        self._kvt_checked: set = set()
+
         # speculative decoding: host-side draft proposer
         self.proposer = None
         if config.speculative.enabled:
@@ -74,7 +87,54 @@ class EngineCore:
             return self._step_async()
         return self._step_sync()
 
+    def _recv_external_kv(self) -> None:
+        """Consumer pre-pass: inject transferred prefill KV for newly
+        waiting requests into the prefix cache, so schedule() admits
+        them as (remote) prefix hits."""
+        conn = self.kv_connector
+        for request in list(self.scheduler.waiting):
+            rid = request.request_id
+            if rid in self._kvt_checked:
+                continue
+            self._kvt_checked.add(rid)
+            bs = self.config.cache.block_size
+            # keys cover the FULL-BLOCK prefix (what the producer ships)
+            full = (len(request.prompt_token_ids) // bs) * bs
+            if full <= 0:
+                continue
+            got = conn.lookup(request.prompt_token_ids[:full])
+            if got is None:
+                continue
+            kv, num_tokens = got
+
+            def write(block_ids, block_offsets):
+                self.runner.scatter_kv(block_ids,
+                                       kv[:, block_offsets])
+            n = self.scheduler.kv_cache_manager.import_prefix(
+                request.prompt_token_ids[:num_tokens], write)
+            logger.info("kv_transfer: injected %d prefill tokens "
+                        "(%d blocks) for %s", n, n // bs, rid)
+
+    def _send_request_kv(self, request: Request) -> None:
+        """Producer: ship a finished request's full-block KV pages
+        (called by the scheduler just before the blocks are freed)."""
+        blocks = self.scheduler.kv_cache_manager.req_to_blocks.get(
+            request.request_id)
+        if not blocks:
+            return
+        bs = self.config.cache.block_size
+        n_full = min(request.num_computed_tokens,
+                     request.num_prompt_tokens) // bs
+        if n_full <= 0:
+            return
+        kv = self.runner.gather_kv([b.block_id for b in blocks[:n_full]])
+        self.kv_connector.send_kv(
+            request.prompt_token_ids[:n_full * bs], n_full * bs, kv)
+
     def _step_sync(self) -> List[EngineCoreOutput]:
+        if (self.kv_connector is not None
+                and self.kv_connector.role == "kv_consumer"):
+            self._recv_external_kv()
         scheduler_output = self.scheduler.schedule()
         if self._broadcaster is not None:
             # multi-host lockstep: follower hosts execute the identical
@@ -115,6 +175,9 @@ class EngineCore:
 
     def _step_async(self) -> List[EngineCoreOutput]:
         self._async_state()
+        if (self.kv_connector is not None
+                and self.kv_connector.role == "kv_consumer"):
+            self._recv_external_kv()
         # constrained / spec work needs same-step tokens: drain and
         # fall back to a sync step for this iteration
         needs_sync = any(
