@@ -43,13 +43,24 @@ class FusedMoE:
 
     def __init__(self, hidden_size: int, intermediate_size: int,
                  num_experts: int, top_k: int, renormalize: bool = True,
-                 expert_parallel: bool = False):
+                 expert_parallel: bool = False,
+                 n_group: int = 1, topk_group: int = 1,
+                 routed_scaling_factor: float = 1.0,
+                 scoring_func: str = "softmax"):
         self.hidden_size = hidden_size
         self.intermediate_size = intermediate_size
         self.num_experts = num_experts
         self.top_k = top_k
         self.renormalize = renormalize
         self.expert_parallel = expert_parallel
+        # DeepSeekMoE group-limited routing (reference grouped_topk,
+        # fused_moe/fused_moe.py): experts are split into n_group
+        # groups; only the topk_group best groups (by their max expert
+        # score) are eligible for the final top-k.
+        self.n_group = n_group
+        self.topk_group = topk_group
+        self.routed_scaling_factor = routed_scaling_factor
+        self.scoring_func = scoring_func  # "softmax" (V2) | "sigmoid" (V3)
 
     def param_shapes(self, dtype) -> Dict:
         h, i, e = self.hidden_size, self.intermediate_size, self.num_experts
@@ -92,10 +103,24 @@ class FusedMoE:
         router_logits = jnp.dot(
             x, params["router"]["weight"],
             preferred_element_type=jnp.float32)         # [T, E]
-        probs = jax.nn.softmax(router_logits, axis=-1)
+        if self.scoring_func == "sigmoid":
+            probs = jax.nn.sigmoid(router_logits)
+        else:
+            probs = jax.nn.softmax(router_logits, axis=-1)
+        if self.n_group > 1:
+            # group-limited routing: mask out every expert outside the
+            # topk_group best groups before the final top-k
+            g = probs.reshape(t, self.n_group, e // self.n_group)
+            group_scores = jnp.max(g, axis=-1)          # [T, G]
+            _, top_groups = jax.lax.top_k(group_scores, self.topk_group)
+            gmask = jnp.zeros((t, self.n_group), bool).at[
+                jnp.arange(t)[:, None], top_groups].set(True)
+            probs = jnp.where(
+                jnp.repeat(gmask, e // self.n_group, axis=1), probs, 0.0)
         topw, topi = jax.lax.top_k(probs, k)            # [T, K]
         if self.renormalize:
             topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
+        topw = topw * self.routed_scaling_factor
 
         # flatten assignments and sort by expert so ragged_dot sees
         # contiguous groups

@@ -115,8 +115,19 @@ def build_rope_cache(max_len: int, head_dim: int, base: float = 10000.0,
         # HF stores the EXTENDED length; cover at least orig*factor
         orig = scaling.get("original_max_position_embeddings", max_len)
         max_len = max(max_len, int(orig * scaling["factor"]))
-        attn_scale = _yarn_mscale(scaling["factor"],
-                                  scaling.get("mscale", 1.0))
+        attn_scale = scaling.get("attention_factor")
+        if attn_scale is None:
+            mscale = scaling.get("mscale")
+            mscale_all = scaling.get("mscale_all_dim")
+            if mscale and mscale_all:
+                # DeepSeek-style: ratio of the two mscales (reference
+                # DeepseekScalingRotaryEmbedding, rotary_embedding.py)
+                attn_scale = (_yarn_mscale(scaling["factor"], mscale)
+                              / _yarn_mscale(scaling["factor"],
+                                             mscale_all))
+            else:
+                attn_scale = _yarn_mscale(scaling["factor"],
+                                          mscale or 1.0)
 
     if rope_type == "longrope":
         # Phi-3 LongRoPE (reference Phi3LongRoPEScaledRotaryEmbedding,

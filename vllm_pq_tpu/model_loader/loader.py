@@ -128,6 +128,9 @@ def load_hf(model, mesh: Mesh, model_dir: str,
     }
     is_pq = isinstance(linear_method, PQLinearMethod)
     pending_aqlm: Dict[tuple, Dict[str, np.ndarray]] = {}
+    is_deepseek = model.__class__.__name__ == "DeepseekV2Model"
+    # deepseek routed experts: layer -> proj -> expert idx -> [in, out]
+    pending_experts: Dict[int, Dict[str, Dict[int, np.ndarray]]] = {}
 
     def to_np(x):
         if x.dtype == np.dtype("bfloat16") if hasattr(np, "bfloat16") \
@@ -234,6 +237,38 @@ def load_hf(model, mesh: Mesh, model_dir: str,
             li = int(parts[2])
             rest = ".".join(parts[3:-1])
             leaf = parts[-1]
+            if is_deepseek:
+                # DeepSeek-V2/V3 (models/deepseek.py): MLA projections,
+                # routed-expert stacks, shared experts
+                L = tree["layers"][li]
+                if rest == "mlp.gate":
+                    L.setdefault("moe", {}).setdefault(
+                        "router", {})["weight"] = tensor.T
+                elif rest.startswith("mlp.experts."):
+                    p2 = rest.split(".")
+                    pending_experts.setdefault(li, {}).setdefault(
+                        p2[3], {})[int(p2[2])] = tensor.T
+                elif rest.startswith("mlp.shared_experts."):
+                    L[f"shared_{rest.split('.')[-1]}"] = {
+                        "weight": tensor.T}
+                elif rest == "self_attn.kv_a_proj_with_mqa":
+                    L["kv_a_proj"] = {"weight": tensor.T}
+                elif rest in ("self_attn.q_a_layernorm",
+                              "self_attn.kv_a_layernorm"):
+                    L[rest.split(".")[1]] = {"weight": tensor}
+                elif rest in ("self_attn.q_proj", "self_attn.q_a_proj",
+                              "self_attn.q_b_proj", "self_attn.kv_b_proj",
+                              "self_attn.o_proj"):
+                    L[rest.split(".")[1]] = {"weight": tensor.T}
+                elif rest in ("input_layernorm",
+                              "post_attention_layernorm"):
+                    L[rest] = {"weight": tensor}
+                elif rest in ("mlp.gate_proj", "mlp.up_proj",
+                              "mlp.down_proj"):
+                    L[rest.split(".")[1]] = {"weight": tensor.T}
+                else:
+                    logger.warning("unmapped DeepSeek weight %s", name)
+                continue
             # Phi-3 style fused projections: split into our per-proj
             # params (reference handles this via packed weight_loaders,
             # linear.py:445,719)
@@ -282,6 +317,14 @@ def load_hf(model, mesh: Mesh, model_dir: str,
 
     for (li, ours), arts in pending_aqlm.items():
         tree["layers"][li][ours] = convert_aqlm_artifacts(arts)
+
+    for li, projs in pending_experts.items():
+        stacks = {}
+        for proj, key in (("gate_proj", "w1"), ("up_proj", "w3"),
+                          ("down_proj", "w2")):
+            per = projs[proj]
+            stacks[key] = np.stack([per[e] for e in range(len(per))])
+        tree["layers"][li].setdefault("moe", {})["experts"] = stacks
 
     if getattr(cfg, "tie_word_embeddings", True):
         tree.pop("lm_head", None)

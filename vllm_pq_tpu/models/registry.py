@@ -155,6 +155,21 @@ def _build_mixtral(hf_config, config: EngineConfig, linear_method):
     return MixtralModel(mc, linear_method, expert_parallel=ep)
 
 
+@register_model("DeepseekV2ForCausalLM", "DeepseekV3ForCausalLM")
+def _build_deepseek(hf_config, config: EngineConfig, linear_method):
+    from vllm_pq_tpu.models.deepseek import (DeepseekConfig,
+                                             DeepseekV2Model)
+    if hf_config is not None:
+        dc = DeepseekConfig.from_hf_config(hf_config)
+    else:
+        dc = DeepseekConfig()
+    dc.dtype = config.model.jax_dtype
+    if config.model.quantization:
+        logger.warning("quantized DeepSeek linears are follow-up work; "
+                       "running MLA projections unquantized")
+    return DeepseekV2Model(dc)
+
+
 def build_model(config: EngineConfig, linear_method) -> Tuple:
     """Returns (model, linear_method). Quantization overrides declared in
     the checkpoint's quantization_config take precedence."""

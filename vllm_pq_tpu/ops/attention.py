@@ -171,6 +171,17 @@ def ragged_paged_attention(q, kv_pages, kv_lens, page_indices, cu_q_lens,
     path (``decode_pages`` = static bucketed max pages per sequence)."""
     backend = envs.VPQ_ATTENTION_BACKEND
     on_tpu = jax.default_backend() == "tpu"
+    # the Pallas kernels' lane packing supports head_dim 64/128; other
+    # dims (e.g. DeepSeek MLA's 192) take the XLA paths
+    kernel_ok = q.shape[-1] in (64, 128)
+    if decode_mode and not kernel_ok:
+        return xla_decode_attention(
+            q, kv_pages, kv_lens, page_indices,
+            n_pages=decode_pages or page_indices.shape[1],
+            sm_scale=sm_scale, sliding_window=sliding_window,
+            soft_cap=soft_cap)
+    if not kernel_ok and backend != "ref":
+        backend = "ref"
     # decode dispatch: the Pallas decode kernel wins in-context on TPU
     # (the XLA gather path is ~6x faster standalone but pays ~10ms/step
     # inside the full fused step — layout/aliasing interactions with the
