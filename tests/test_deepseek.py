@@ -75,6 +75,29 @@ def _compare(hf_model, llm, trials=3, n_new=10):
     (None, False, True),      # group-limited routing
 ])
 def test_deepseek_matches_hf(tmp_path, q_lora_rank, yarn, groups):
+    """Latent-cache (absorbed) MLA — the default execution."""
     d, hf_model = _save_hf(tmp_path, q_lora_rank, yarn, groups)
     llm = _ours(d)
+    assert llm.llm_engine.engine_core.runner.model.cfg.mla_latent
     _compare(hf_model, llm)
+
+
+def test_deepseek_decompressed_matches_hf(tmp_path, monkeypatch):
+    """VPQ_MLA_DISABLE=1: decompressed per-head K/V oracle path."""
+    monkeypatch.setenv("VPQ_MLA_DISABLE", "1")
+    d, hf_model = _save_hf(tmp_path, 48, False, False)
+    llm = _ours(d)
+    assert not llm.llm_engine.engine_core.runner.model.cfg.mla_latent
+    _compare(hf_model, llm)
+
+
+def test_latent_cache_is_compressed(tmp_path):
+    """The latent cache must be ~(2*H*dqk)/(kv_lora+dr) smaller."""
+    d, _ = _save_hf(tmp_path, None, False, False)
+    llm = _ours(d)
+    runner = llm.llm_engine.engine_core.runner
+    cfg = runner.model.cfg
+    shape = runner.kv_caches[0].shape
+    assert shape[2:] == (cfg.kv_lora_rank + cfg.qk_rope_head_dim,)
+    dense = 2 * cfg.num_attention_heads * cfg.qk_head_dim
+    assert dense / shape[-1] > 4

@@ -32,6 +32,9 @@ environment_variables: Dict[str, Callable[[], Any]] = {
     "VPQ_PROFILE_DIR": lambda: os.environ.get("VPQ_PROFILE_DIR", ""),
     # Rich progress / debug timing in the engine loop.
     "VPQ_DEBUG_TIMING": lambda: os.environ.get("VPQ_DEBUG_TIMING", "0") == "1",
+    # Disable latent-cache (absorbed) MLA for DeepSeek models; use the
+    # decompressed per-head K/V path (role of reference VLLM_MLA_DISABLE).
+    "VPQ_MLA_DISABLE": lambda: os.environ.get("VPQ_MLA_DISABLE", "0") == "1",
 }
 
 

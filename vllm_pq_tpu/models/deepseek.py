@@ -2,11 +2,23 @@
 DeepSeekMoE (role of reference ``models/deepseek_v2.py`` +
 ``attention/backends/triton_mla.py``).
 
-TPU-first round-1 scope: the *decompressed-KV* MLA execution (the
-reference's non-MLA fallback, VLLM_MLA_DISABLE): k/v are materialized
-per head from the latent projections and cached paged like any MHA —
-correct for every DeepSeek checkpoint; the latent-cache (absorbed
-weights) execution is follow-up work. DeepSeekMoE = grouped-top-k
+Two MLA executions, selected by ``DeepseekConfig.mla_latent``
+(env ``VPQ_MLA_DISABLE=1`` forces the decompressed path, mirroring the
+reference's ``VLLM_MLA_DISABLE``):
+
+- **latent (default)**: the paged cache stores ONE row per token — the
+  normalized ``c_kv`` latent concatenated with the roped ``k_pe``
+  (``kv_lora_rank + qk_rope_head_dim`` dims, e.g. 576 for V2/V3 vs
+  ``2*H*192`` decompressed: ~10.7x smaller). Queries are *absorbed*
+  (``q_nope @ W_UK``) so attention runs as multi-query over the latent
+  stream; outputs are up-projected with ``W_UV``. This is the role of
+  the reference's triton_mla/flashmla backends + concat_and_cache_mla.
+- **decompressed** (``mla_latent=False``): k/v are materialized per
+  head from the latent projections and cached paged like any MHA (the
+  reference's VLLM_MLA_DISABLE fallback). Exact same numerics; used as
+  the test oracle.
+
+DeepSeekMoE = grouped-top-k
 routed experts (FusedMoE with n_group/topk_group) + always-on shared
 experts. RoPE is DeepSeek's INTERLEAVED complex rotation over the
 qk_rope dims only, with the YaRN mscale-ratio attention factor folded
@@ -24,7 +36,9 @@ from jax.sharding import PartitionSpec as P
 from vllm_pq_tpu.layers.moe import FusedMoE
 from vllm_pq_tpu.layers.norm import rms_norm
 from vllm_pq_tpu.layers.rotary import build_rope_cache
-from vllm_pq_tpu.ops.attention import ragged_paged_attention, write_kv_cache
+from vllm_pq_tpu.ops.attention import (mla_ragged_paged_attention,
+                                       ragged_paged_attention,
+                                       write_kv_cache, write_latent_cache)
 from vllm_pq_tpu.quantization.methods import TP_AXIS
 
 
@@ -58,6 +72,10 @@ class DeepseekConfig:
     max_position_embeddings: int = 4096
     tie_word_embeddings: bool = False
     dtype: Any = jnp.bfloat16
+    # absorbed-weights MLA over the paged LATENT cache (the reference's
+    # MLA backends, triton_mla.py/flashmla.py); False = decompressed
+    # per-head K/V caching (the VLLM_MLA_DISABLE path)
+    mla_latent: bool = True
 
     @property
     def qk_head_dim(self) -> int:
@@ -245,11 +263,19 @@ class DeepseekV2Model:
     def kv_cache_shape(self, num_pages: int, page_size: int,
                        tp_size: int = 1) -> Tuple:
         cfg = self.cfg
+        if cfg.mla_latent:
+            # ONE latent row per token: (c_kv | roped k_pe), shared by
+            # all heads and all TP ranks — 2*H*qk_head_dim/(kv_lora+dr)
+            # smaller than the decompressed cache (~10.7x for V2)
+            return (num_pages, page_size,
+                    cfg.kv_lora_rank + cfg.qk_rope_head_dim)
         h = max(cfg.num_attention_heads // tp_size, 1)
         # decompressed MHA cache: v padded to the qk head dim
         return (num_pages, page_size, 2 * h, cfg.qk_head_dim)
 
     def kv_cache_spec(self) -> P:
+        if self.cfg.mla_latent:
+            return P(None, None, None)  # replicated across TP ranks
         return P(None, None, TP_AXIS, None)
 
     def rope_cache(self, dtype=jnp.float32) -> jax.Array:
@@ -295,8 +321,44 @@ class DeepseekV2Model:
 
             ckv = lin(lp, "kv_a_proj", h_in)  # [T, kv_lora + dr]
             c_kv, k_pe = ckv[:, :cfg.kv_lora_rank], ckv[:, cfg.kv_lora_rank:]
-            kv = lin(lp, "kv_b_proj",
-                     norm(c_kv, lp["kv_a_layernorm"]["weight"]))
+            c_kv = norm(c_kv, lp["kv_a_layernorm"]["weight"])
+
+            if cfg.mla_latent:
+                # absorbed-weights execution: score q against the latent
+                # stream directly — q_nope @ W_UK replaces decompressing
+                # k_nope per cached token (reference MLA backends)
+                q_pe, k_pe = apply_rope_interleaved(
+                    q_pe, k_pe[:, None, :], positions, rope_cache)
+                wkv = lp["kv_b_proj"]["weight"].reshape(
+                    cfg.kv_lora_rank, hq, dn + dv)
+                w_uk, w_uv = wkv[..., :dn], wkv[..., dn:]
+                q_lat = jnp.einsum(
+                    "thd,rhd->thr", q_nope, w_uk,
+                    preferred_element_type=jnp.float32).astype(x.dtype)
+                q_eff = jnp.concatenate([q_lat, q_pe], axis=-1)
+                c_row = jnp.concatenate([c_kv, k_pe[:, 0, :]], axis=-1)
+                cache = write_latent_cache(kv_caches[li], c_row,
+                                           attn_md["slot_mapping"])
+                new_caches.append(cache)
+                attn_lat = mla_ragged_paged_attention(
+                    q_eff, cache, attn_md["kv_lens"],
+                    attn_md["page_indices"], attn_md["cu_q_lens"],
+                    attn_md["num_seqs"], v_dim=cfg.kv_lora_rank,
+                    sm_scale=sm_scale, decode_mode=decode_mode,
+                    decode_pages=decode_pages)
+                attn = jnp.einsum(
+                    "thr,rhv->thv", attn_lat, w_uv,
+                    preferred_element_type=jnp.float32).astype(x.dtype)
+                attn = attn.reshape(t, hq * dv)
+                o = lin(lp, "o_proj", attn)
+                if tp_axis:
+                    o = jax.lax.psum(o, tp_axis)
+                x = x + o
+                h_in = norm(x, lp["post_attention_layernorm"]["weight"])
+                x = x + self._mlp(lp, h_in, li, lin, tp_axis)
+                continue
+
+            kv = lin(lp, "kv_b_proj", c_kv)
             kv = kv.reshape(t, hq, dn + dv)
             k_nope, v = kv[..., :dn], kv[..., dn:]
 
@@ -323,26 +385,29 @@ class DeepseekV2Model:
 
             # -- MLP / MoE -------------------------------------------------
             h_in = norm(x, lp["post_attention_layernorm"]["weight"])
-            if self._is_moe(li):
-                mlp = self._moe_layer()(lp["moe"], h_in, tp_axis)
-                if cfg.n_shared_experts:
-                    gate = lin(lp, "shared_gate_proj", h_in)
-                    up = lin(lp, "shared_up_proj", h_in)
-                    sh = lin(lp, "shared_down_proj",
-                             jax.nn.silu(gate) * up)
-                    if tp_axis:
-                        sh = jax.lax.psum(sh, tp_axis)
-                    mlp = mlp + sh
-            else:
-                gate = lin(lp, "gate_proj", h_in)
-                up = lin(lp, "up_proj", h_in)
-                mlp = lin(lp, "down_proj", jax.nn.silu(gate) * up)
-                if tp_axis:
-                    mlp = jax.lax.psum(mlp, tp_axis)
-            x = x + mlp
+            x = x + self._mlp(lp, h_in, li, lin, tp_axis)
 
         x = norm(x, params["norm"]["weight"])
         return x, new_caches
+
+    def _mlp(self, lp, h_in, li, lin, tp_axis):
+        cfg = self.cfg
+        if self._is_moe(li):
+            mlp = self._moe_layer()(lp["moe"], h_in, tp_axis)
+            if cfg.n_shared_experts:
+                gate = lin(lp, "shared_gate_proj", h_in)
+                up = lin(lp, "shared_up_proj", h_in)
+                sh = lin(lp, "shared_down_proj", jax.nn.silu(gate) * up)
+                if tp_axis:
+                    sh = jax.lax.psum(sh, tp_axis)
+                mlp = mlp + sh
+        else:
+            gate = lin(lp, "gate_proj", h_in)
+            up = lin(lp, "up_proj", h_in)
+            mlp = lin(lp, "down_proj", jax.nn.silu(gate) * up)
+            if tp_axis:
+                mlp = jax.lax.psum(mlp, tp_axis)
+        return mlp
 
     def _embed(self, ep, input_ids, tp_axis):
         w = ep["weight"]

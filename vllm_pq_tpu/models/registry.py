@@ -164,6 +164,8 @@ def _build_deepseek(hf_config, config: EngineConfig, linear_method):
     else:
         dc = DeepseekConfig()
     dc.dtype = config.model.jax_dtype
+    import vllm_pq_tpu.envs as envs
+    dc.mla_latent = not envs.VPQ_MLA_DISABLE
     if config.model.quantization:
         logger.warning("quantized DeepSeek linears are follow-up work; "
                        "running MLA projections unquantized")

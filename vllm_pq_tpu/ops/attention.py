@@ -158,6 +158,90 @@ def xla_decode_attention(q, kv_pages, kv_lens, page_indices, *,
     return out
 
 
+def write_latent_cache(cache: jax.Array, c: jax.Array,
+                       slot_mapping: jax.Array) -> jax.Array:
+    """Scatter per-token MLA latents into the paged latent cache.
+
+    cache [P, page_size, D_lat]; c [T, D_lat] (normalized c_kv | roped
+    k_pe); padding slots point into null page 0 (see write_kv_cache).
+    One row per token — the whole point of MLA: the cache holds the
+    compressed latent, not per-head K/V (role of the reference's
+    concat_and_cache_mla, csrc/cache_kernels.cu:308)."""
+    p, ps, d = cache.shape
+    flat = cache.reshape(p * ps, d)
+    flat = flat.at[slot_mapping].set(c.astype(flat.dtype))
+    return flat.reshape(p, ps, d)
+
+
+def mla_ragged_paged_attention(
+    q: jax.Array,              # [T, H, D_lat] (absorbed q | q_pe)
+    cache: jax.Array,          # [P, page_size, D_lat]
+    kv_lens: jax.Array,        # i32[S]
+    page_indices: jax.Array,   # i32[S, pages_per_seq]
+    cu_q_lens: jax.Array,      # i32[S+1]
+    num_seqs: jax.Array,       # i32[] or i32[1]
+    *,
+    v_dim: int,                # value = first v_dim dims of the latent
+    sm_scale: float = 1.0,
+    decode_mode: bool = False,
+    decode_pages: Optional[int] = None,
+) -> jax.Array:
+    """MLA attention over the latent cache (absorbed-weights execution,
+    role of the reference triton_mla/flashmla backends).
+
+    Multi-query attention: every q head attends to the SAME single
+    latent stream; scores use the full latent row (c_kv | k_pe), the
+    value is its first ``v_dim`` dims (c_kv). Returns [T, H, v_dim] —
+    the caller up-projects with the absorbed W_UV."""
+    t, hq, d = q.shape
+    p, ps, _ = cache.shape
+    s, pages_per_seq = page_indices.shape
+    num_seqs = jnp.reshape(num_seqs, ())
+
+    if decode_mode:
+        n_pages = decode_pages or pages_per_seq
+        qs = q[:s] if t >= s else jnp.pad(q, ((0, s - t), (0, 0), (0, 0)))
+        pages = jnp.take(cache, page_indices[:, :n_pages], axis=0)
+        k = pages.reshape(s, n_pages * ps, d)           # [S, L, D]
+        scores = jnp.einsum("shd,sld->shl",
+                            qs.astype(jnp.float32) * sm_scale,
+                            k.astype(jnp.float32))
+        pos = jnp.arange(n_pages * ps, dtype=jnp.int32)[None, None, :]
+        mask = pos < kv_lens[:s, None, None]
+        scores = jnp.where(mask, scores, MASK_VALUE)
+        probs = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("shl,sld->shd", probs.astype(k.dtype),
+                         k[..., :v_dim])
+        if t > s:
+            out = jnp.pad(out, ((0, t - s), (0, 0), (0, 0)))
+        elif t < s:
+            out = out[:t]
+        return out.astype(q.dtype)
+
+    # ragged mixed prefill+decode (masked XLA reference shape)
+    seq_kv = cache[page_indices.reshape(-1)].reshape(
+        s, pages_per_seq * ps, d)
+    tok = jnp.arange(t, dtype=jnp.int32)
+    seq_of_tok = jnp.sum(
+        (tok[None, :] >= cu_q_lens[1:][:, None]).astype(jnp.int32), axis=0)
+    seq_of_tok = jnp.minimum(seq_of_tok, s - 1)
+    local = tok - cu_q_lens[seq_of_tok]
+    q_lens = cu_q_lens[1:] - cu_q_lens[:-1]
+    qpos = kv_lens[seq_of_tok] - q_lens[seq_of_tok] + local
+    kq = seq_kv[seq_of_tok]                             # [T, L, D]
+    scores = jnp.einsum("thd,tld->thl", q.astype(jnp.float32) * sm_scale,
+                        kq.astype(jnp.float32))
+    lpos = jnp.arange(pages_per_seq * ps, dtype=jnp.int32)
+    valid = (lpos[None, :] <= qpos[:, None]) & \
+            (lpos[None, :] < kv_lens[seq_of_tok][:, None])
+    valid &= (tok < cu_q_lens[num_seqs])[:, None]
+    scores = jnp.where(valid[:, None, :], scores, MASK_VALUE)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("thl,tld->thd", probs, kq[..., :v_dim]
+                     .astype(jnp.float32))
+    return out.astype(q.dtype)
+
+
 def ragged_paged_attention(q, kv_pages, kv_lens, page_indices, cu_q_lens,
                            num_seqs, *, sm_scale: float = 1.0,
                            sliding_window: Optional[int] = None,

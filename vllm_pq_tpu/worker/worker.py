@@ -115,9 +115,11 @@ class Worker:
         headroom = min(int(total * 0.08), 1 << 30)
         avail = int(total * util) - used - headroom
         tp = cfg.parallel.tensor_parallel_size
-        kvh_local = max(self.model.cfg.num_key_value_heads // tp, 1)
-        bytes_per_block = (cfg.cache.block_size * 2 * kvh_local *
-                           self.model.cfg.head_dim * 2 *
+        # derive per-block bytes from the model's own cache layout (MLA
+        # latent caches are not MHA-shaped), bf16 = 2 bytes
+        one = self.model.kv_cache_shape(1, cfg.cache.block_size,
+                                        tp_size=tp)
+        bytes_per_block = (int(np.prod(one[1:])) * 2 *
                            self.model.cfg.num_hidden_layers)
         num = max(avail // bytes_per_block, 16)
         # never allocate more than the scheduler can address
