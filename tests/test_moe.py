@@ -162,3 +162,69 @@ def test_moe_ep_skewed_routing(cpu_devices):
         check_vma=False))
     got = np.asarray(fn(sharded_params, x))
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# HF-golden parity: real checkpoint loading for the MoE families
+
+
+def _hf_golden_compare(hf_model, llm, n_new=8, trials=2):
+    from vllm_pq_tpu import SamplingParams
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(3)
+    for _ in range(trials):
+        prompt = rng.integers(5, 500, int(rng.integers(4, 20))).tolist()
+        with torch.no_grad():
+            exp = hf_model.generate(
+                torch.tensor([prompt]), max_new_tokens=n_new,
+                do_sample=False, num_beams=1,
+                pad_token_id=0)[0, len(prompt):].tolist()
+        got = llm.generate(
+            [{"prompt_token_ids": prompt}],
+            SamplingParams(temperature=0.0, max_tokens=n_new,
+                           ignore_eos=True))[0].outputs[0].token_ids
+        assert got == exp, (got, exp)
+
+
+def test_mixtral_matches_hf(tmp_path):
+    torch = pytest.importorskip("torch")
+    from transformers import MixtralConfig, MixtralForCausalLM
+
+    from vllm_pq_tpu import LLM
+    cfg = MixtralConfig(
+        vocab_size=512, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, num_local_experts=4,
+        num_experts_per_tok=2, max_position_embeddings=256,
+        rms_norm_eps=1e-5)
+    torch.manual_seed(0)
+    hf = MixtralForCausalLM(cfg).eval().float()
+    d = tmp_path / "mixtral_hf"
+    hf.save_pretrained(d, safe_serialization=True)
+    llm = LLM(model=str(d), dtype="float32", max_model_len=128,
+              max_num_seqs=4, max_num_batched_tokens=128, block_size=16,
+              num_kv_blocks=64, enable_prefix_caching=False)
+    _hf_golden_compare(hf, llm)
+
+
+def test_qwen2_moe_matches_hf(tmp_path):
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen2MoeConfig, Qwen2MoeForCausalLM
+
+    from vllm_pq_tpu import LLM
+    cfg = Qwen2MoeConfig(
+        vocab_size=512, hidden_size=64, intermediate_size=96,
+        moe_intermediate_size=48, shared_expert_intermediate_size=80,
+        num_hidden_layers=3, num_attention_heads=4,
+        num_key_value_heads=2, num_experts=8, num_experts_per_tok=2,
+        decoder_sparse_step=1, mlp_only_layers=[1],
+        norm_topk_prob=False, max_position_embeddings=256,
+        rms_norm_eps=1e-5)
+    torch.manual_seed(1)
+    hf = Qwen2MoeForCausalLM(cfg).eval().float()
+    d = tmp_path / "qwen2moe_hf"
+    hf.save_pretrained(d, safe_serialization=True)
+    llm = LLM(model=str(d), dtype="float32", max_model_len=128,
+              max_num_seqs=4, max_num_batched_tokens=128, block_size=16,
+              num_kv_blocks=64, enable_prefix_caching=False)
+    _hf_golden_compare(hf, llm)

@@ -129,6 +129,8 @@ def load_hf(model, mesh: Mesh, model_dir: str,
     is_pq = isinstance(linear_method, PQLinearMethod)
     pending_aqlm: Dict[tuple, Dict[str, np.ndarray]] = {}
     is_deepseek = model.__class__.__name__ == "DeepseekV2Model"
+    is_moe = model.__class__.__name__ in ("MixtralModel", "Qwen2MoeModel",
+                                          "DeepseekV2Model")
     # deepseek routed experts: layer -> proj -> expert idx -> [in, out]
     pending_experts: Dict[int, Dict[str, Dict[int, np.ndarray]]] = {}
 
@@ -237,6 +239,32 @@ def load_hf(model, mesh: Mesh, model_dir: str,
             li = int(parts[2])
             rest = ".".join(parts[3:-1])
             leaf = parts[-1]
+            # Generic MoE names (Mixtral block_sparse_moe.*, Qwen2-MoE
+            # mlp.gate/experts/shared_expert.*): intercept ONLY the
+            # MoE-specific tensors; attention (and dense-layer MLP)
+            # projections fall through to the generic, possibly
+            # quantized, path below.
+            if is_moe and not is_deepseek:
+                L = tree["layers"][li]
+                if rest in ("block_sparse_moe.gate", "mlp.gate"):
+                    L.setdefault("moe", {}).setdefault(
+                        "router", {})["weight"] = tensor.T
+                    continue
+                if rest.startswith(("block_sparse_moe.experts.",
+                                    "mlp.experts.")):
+                    p2 = rest.split(".")
+                    proj = {"w1": "gate_proj", "w3": "up_proj",
+                            "w2": "down_proj"}.get(p2[3], p2[3])
+                    pending_experts.setdefault(li, {}).setdefault(
+                        proj, {})[int(p2[2])] = tensor.T
+                    continue
+                if rest.startswith("mlp.shared_expert."):
+                    L[f"shared_{rest.split('.')[-1]}"] = {
+                        "weight": tensor.T}
+                    continue
+                if rest == "mlp.shared_expert_gate":
+                    L["shared_expert_gate"] = {"weight": tensor.T}
+                    continue
             if is_deepseek:
                 # DeepSeek-V2/V3 (models/deepseek.py): MLA projections,
                 # routed-expert stacks, shared experts

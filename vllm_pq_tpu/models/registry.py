@@ -155,6 +155,17 @@ def _build_mixtral(hf_config, config: EngineConfig, linear_method):
     return MixtralModel(mc, linear_method, expert_parallel=ep)
 
 
+@register_model("Qwen2MoeForCausalLM")
+def _build_qwen2_moe(hf_config, config: EngineConfig, linear_method):
+    from vllm_pq_tpu.models.qwen2_moe import Qwen2MoeConfig, Qwen2MoeModel
+    mc = (Qwen2MoeConfig.from_hf_config(hf_config)
+          if hf_config is not None else Qwen2MoeConfig())
+    mc.attention_bias = True  # qkv bias, like dense Qwen2
+    mc.dtype = config.model.jax_dtype
+    ep = config.parallel.enable_expert_parallel
+    return Qwen2MoeModel(mc, linear_method, expert_parallel=ep)
+
+
 @register_model("DeepseekV2ForCausalLM", "DeepseekV3ForCausalLM")
 def _build_deepseek(hf_config, config: EngineConfig, linear_method):
     from vllm_pq_tpu.models.deepseek import (DeepseekConfig,
