@@ -37,9 +37,14 @@ _HF_LAYER_MAP = {
     "self_attn.k_proj": "k_proj",
     "self_attn.v_proj": "v_proj",
     "self_attn.o_proj": "o_proj",
+    "self_attn.dense": "o_proj",        # Phi
     "mlp.gate_proj": "gate_proj",
     "mlp.up_proj": "up_proj",
     "mlp.down_proj": "down_proj",
+    "mlp.fc1": "up_proj",               # Phi two-linear MLP
+    "mlp.fc2": "down_proj",
+    "mlp.c_fc": "up_proj",              # Starcoder2
+    "mlp.c_proj": "down_proj",
     "input_layernorm": "input_layernorm",
     "post_attention_layernorm": "post_attention_layernorm",
     "pre_feedforward_layernorm": "pre_feedforward_layernorm",
@@ -197,6 +202,68 @@ def load_hf(model, mesh: Mesh, model_dir: str,
                                           UnquantizedLinearMethod)
                         else {"weight": tensor})
             continue
+        if name.startswith("gpt_neox.") or name == "embed_out.weight":
+            # GPT-NeoX family (generalized llama decoder, registry
+            # _build_gpt_neox). The fused query_key_value is stored
+            # HEAD-INTERLEAVED: rows grouped as [heads, (q,k,v), d]
+            # (reference models/gpt_neox.py weight_loader).
+            if name == "embed_out.weight":
+                if "lm_head" in shapes:
+                    tree["lm_head"] = {"weight": tensor.T}
+                continue
+            rest = name.split("gpt_neox.", 1)[1]
+            if rest == "embed_in.weight":
+                tree["embed_tokens"]["weight"] = tensor
+            elif rest.startswith("final_layer_norm."):
+                tree["norm"][rest.split(".")[-1]] = tensor
+            elif rest.startswith("layers."):
+                parts = rest.split(".")
+                li = int(parts[1])
+                sub = ".".join(parts[2:-1])
+                leaf = parts[-1]
+                L = tree["layers"][li]
+                heads = cfg.num_attention_heads
+                d = cfg.head_dim
+                if sub == "attention.query_key_value":
+                    w = tensor.reshape(heads, 3, d, *tensor.shape[1:])
+                    for idx, ours in enumerate(("q_proj", "k_proj",
+                                                "v_proj")):
+                        piece = w[:, idx].reshape(heads * d,
+                                                  *tensor.shape[1:])
+                        if leaf == "bias":
+                            L[ours + "_bias"] = {"bias": piece}
+                        else:
+                            pw = piece.T
+                            L[ours] = (
+                                linear_method.quantize(pw, np.float32)
+                                if not isinstance(
+                                    linear_method,
+                                    UnquantizedLinearMethod)
+                                else {"weight": pw})
+                    continue
+                neox_map = {"attention.dense": "o_proj",
+                            "mlp.dense_h_to_4h": "up_proj",
+                            "mlp.dense_4h_to_h": "down_proj",
+                            "input_layernorm": "input_layernorm",
+                            "post_attention_layernorm":
+                                "post_attention_layernorm"}
+                ours = neox_map.get(sub)
+                if ours is None:
+                    if "rotary_emb" not in sub and "bias" not in sub:
+                        logger.warning("unmapped GPT-NeoX weight %s", name)
+                    continue
+                if "layernorm" in ours:
+                    L.setdefault(ours, {})[leaf] = tensor
+                elif leaf == "bias":
+                    L[ours + "_bias"] = {"bias": tensor}
+                else:
+                    w = tensor.T
+                    L[ours] = (
+                        linear_method.quantize(w, np.float32)
+                        if not isinstance(linear_method,
+                                          UnquantizedLinearMethod)
+                        else {"weight": w})
+            continue
         if name.startswith("model.decoder.") or name.startswith("decoder."):
             # OPT family (models/opt.py)
             rest = name.split("decoder.", 1)[1]
@@ -232,8 +299,13 @@ def load_hf(model, mesh: Mesh, model_dir: str,
         elif name in ("lm_head.weight",):
             if "lm_head" in shapes:
                 tree["lm_head"] = {"weight": tensor.T}
-        elif name == "model.norm.weight":
+        elif name == "lm_head.bias":
+            if "lm_head_bias" in shapes:
+                tree["lm_head_bias"] = {"bias": tensor}
+        elif name in ("model.norm.weight", "model.final_layernorm.weight"):
             tree["norm"]["weight"] = tensor
+        elif name in ("model.norm.bias", "model.final_layernorm.bias"):
+            tree["norm"]["bias"] = tensor
         elif name.startswith("model.layers."):
             parts = name.split(".")
             li = int(parts[2])
@@ -328,8 +400,8 @@ def load_hf(model, mesh: Mesh, model_dir: str,
             if ours is None:
                 logger.warning("unmapped weight %s", name)
                 continue
-            if leaf == "weight" and "layernorm" in ours:
-                tree["layers"][li][ours] = {"weight": tensor}
+            if "layernorm" in ours:  # weight or bias leaf of a norm
+                tree["layers"][li].setdefault(ours, {})[leaf] = tensor
             elif leaf in ("codes", "codebooks", "scales"):
                 pending_aqlm.setdefault((li, ours), {})[leaf] = tensor
             elif leaf == "weight":

@@ -57,6 +57,17 @@ class LlamaConfig:
     # Gemma2: sliding window on every 2nd layer (pattern=2); None = all
     # layers follow `sliding_window` uniformly
     sliding_window_pattern: Optional[int] = None
+    # generalized-decoder knobs (GPT-NeoX / Phi / StableLM / Starcoder2
+    # variants of the block; reference models/{gpt_neox,phi,stablelm,
+    # starcoder2}.py):
+    norm_type: str = "rmsnorm"        # "layernorm" adds a bias leaf
+    partial_rotary_factor: float = 1.0  # rope on first d*factor dims
+    parallel_residual: bool = False   # x + attn(ln1 x) + mlp(ln2 x)
+    shared_input_norm: bool = False   # Phi: mlp reads ln1(x); no ln2
+    mlp_style: str = "swiglu"         # "mlp" = up_proj -> act -> down
+    mlp_bias: bool = False            # biases on the mlp linears
+    o_proj_bias: bool = False         # bias on o_proj (after TP psum)
+    lm_head_bias: bool = False        # Phi-style biased lm_head
 
     def __post_init__(self):
         if self.head_dim is None:
@@ -89,15 +100,20 @@ class LlamaConfig:
 # shard kind). Quantizable.
 def _linear_defs(cfg: LlamaConfig):
     d = cfg.head_dim
-    return [
+    defs = [
         ("q_proj", cfg.hidden_size, cfg.num_attention_heads * d, "column"),
         ("k_proj", cfg.hidden_size, cfg.num_key_value_heads * d, "column"),
         ("v_proj", cfg.hidden_size, cfg.num_key_value_heads * d, "column"),
         ("o_proj", cfg.num_attention_heads * d, cfg.hidden_size, "row"),
-        ("gate_proj", cfg.hidden_size, cfg.intermediate_size, "column"),
+    ]
+    if cfg.mlp_style == "swiglu":
+        defs.append(("gate_proj", cfg.hidden_size, cfg.intermediate_size,
+                     "column"))
+    defs += [
         ("up_proj", cfg.hidden_size, cfg.intermediate_size, "column"),
         ("down_proj", cfg.intermediate_size, cfg.hidden_size, "row"),
     ]
+    return defs
 
 
 class LlamaModel:
@@ -115,51 +131,84 @@ class LlamaModel:
 
     # -- parameter templates ------------------------------------------------
 
+    def _biased_linears(self):
+        """Linear sublayer names that carry a bias param."""
+        cfg = self.cfg
+        names = []
+        if cfg.attention_bias:
+            names += ["q_proj", "k_proj", "v_proj"]
+        if cfg.o_proj_bias:
+            names.append("o_proj")
+        if cfg.mlp_bias:
+            names += (["gate_proj"] if cfg.mlp_style == "swiglu" else [])
+            names += ["up_proj", "down_proj"]
+        return names
+
+    def _norm_names(self):
+        cfg = self.cfg
+        names = ["input_layernorm"]
+        if not (cfg.parallel_residual and cfg.shared_input_norm):
+            names.append("post_attention_layernorm")
+        if cfg.use_post_norms:
+            names += ["pre_feedforward_layernorm",
+                      "post_feedforward_layernorm"]
+        return names
+
+    def _norm_shape(self):
+        cfg = self.cfg
+        d = {"weight": ((cfg.hidden_size,), cfg.dtype)}
+        if cfg.norm_type == "layernorm":
+            d["bias"] = ((cfg.hidden_size,), cfg.dtype)
+        return d
+
     def param_shapes(self) -> Dict:
         cfg = self.cfg
+        biased = self._biased_linears()
         layer = {}
         for name, i, o, _kind in _linear_defs(cfg):
             layer[name] = self.linear_method.param_shapes(i, o, cfg.dtype)
-            if cfg.attention_bias and name in ("q_proj", "k_proj", "v_proj"):
+            if name in biased:
                 layer[name + "_bias"] = {"bias": ((o,), cfg.dtype)}
-        layer["input_layernorm"] = {"weight": ((cfg.hidden_size,), cfg.dtype)}
-        layer["post_attention_layernorm"] = {
-            "weight": ((cfg.hidden_size,), cfg.dtype)}
-        if cfg.use_post_norms:
-            layer["pre_feedforward_layernorm"] = {
-                "weight": ((cfg.hidden_size,), cfg.dtype)}
-            layer["post_feedforward_layernorm"] = {
-                "weight": ((cfg.hidden_size,), cfg.dtype)}
+        for n in self._norm_names():
+            layer[n] = self._norm_shape()
         shapes = {
             "embed_tokens": {"weight": ((cfg.vocab_size, cfg.hidden_size),
                                         cfg.dtype)},
             "layers": [dict(layer) for _ in range(cfg.num_hidden_layers)],
-            "norm": {"weight": ((cfg.hidden_size,), cfg.dtype)},
+            "norm": self._norm_shape(),
         }
         if not cfg.tie_word_embeddings:
             shapes["lm_head"] = self.lm_head_method.param_shapes(
                 cfg.hidden_size, cfg.vocab_size, cfg.dtype)
+            if cfg.lm_head_bias:
+                shapes["lm_head_bias"] = {"bias": ((cfg.vocab_size,),
+                                                   cfg.dtype)}
         return shapes
 
     def param_specs(self) -> Dict:
         cfg = self.cfg
+        biased = self._biased_linears()
+        norm_spec = ({"weight": P(None), "bias": P(None)}
+                     if cfg.norm_type == "layernorm" else {"weight": P(None)})
         layer = {}
         for name, _i, _o, kind in _linear_defs(cfg):
             layer[name] = self.linear_method.partition_specs(kind)
-            if cfg.attention_bias and name in ("q_proj", "k_proj", "v_proj"):
-                layer[name + "_bias"] = {"bias": P(TP_AXIS)}
-        layer["input_layernorm"] = {"weight": P(None)}
-        layer["post_attention_layernorm"] = {"weight": P(None)}
-        if cfg.use_post_norms:
-            layer["pre_feedforward_layernorm"] = {"weight": P(None)}
-            layer["post_feedforward_layernorm"] = {"weight": P(None)}
+            if name in biased:
+                # row-parallel outputs are full-width after psum: the
+                # bias is replicated and added once (see decoder_layer)
+                layer[name + "_bias"] = {
+                    "bias": P(None) if kind == "row" else P(TP_AXIS)}
+        for n in self._norm_names():
+            layer[n] = dict(norm_spec)
         specs = {
             "embed_tokens": {"weight": P(TP_AXIS, None)},  # vocab-parallel
             "layers": [dict(layer) for _ in range(cfg.num_hidden_layers)],
-            "norm": {"weight": P(None)},
+            "norm": dict(norm_spec),
         }
         if not cfg.tie_word_embeddings:
             specs["lm_head"] = self.lm_head_method.partition_specs("column")
+            if cfg.lm_head_bias:
+                specs["lm_head_bias"] = {"bias": P(None)}
         return specs
 
     def lora_linear_defs(self):
@@ -177,7 +226,8 @@ class LlamaModel:
 
     def rope_cache(self, dtype=jnp.float32) -> jax.Array:
         cfg = self.cfg
-        return build_rope_cache(cfg.max_position_embeddings, cfg.head_dim,
+        rd = int(cfg.head_dim * cfg.partial_rotary_factor)
+        return build_rope_cache(cfg.max_position_embeddings, rd,
                                 cfg.rope_theta, cfg.rope_scaling, dtype)
 
     # -- forward (per-shard code under shard_map) ---------------------------
@@ -230,7 +280,7 @@ class LlamaModel:
                 sm_scale=sm_scale)
             new_caches.append(cache)
 
-        x = norm(x, params["norm"]["weight"])
+        x = norm(x, params["norm"])
         return x, new_caches
 
     def layer_window(self, li: int):
@@ -257,7 +307,7 @@ class LlamaModel:
         cfg = self.cfg
         d = cfg.head_dim
         # self-attention
-        h = norm(x, lp["input_layernorm"]["weight"])
+        h = norm(x, lp["input_layernorm"])
         q = self._lin(lp, "q_proj", h, lora_layer, lora_md)
         k = self._lin(lp, "k_proj", h, lora_layer, lora_md)
         v = self._lin(lp, "v_proj", h, lora_layer, lora_md)
@@ -269,7 +319,14 @@ class LlamaModel:
         q = q.reshape(t, heads, d)
         k = k.reshape(t, kv_heads, d)
         v = v.reshape(t, kv_heads, d)
-        q, k = apply_rope(q, k, positions, rope_cache)
+        if cfg.partial_rotary_factor < 1.0:
+            rd = rope_cache.shape[-1]
+            qr, kr = apply_rope(q[..., :rd], k[..., :rd], positions,
+                                rope_cache)
+            q = jnp.concatenate([qr, q[..., rd:]], axis=-1)
+            k = jnp.concatenate([kr, k[..., rd:]], axis=-1)
+        else:
+            q, k = apply_rope(q, k, positions, rope_cache)
 
         cache = write_kv_cache(kv_cache, k, v, attn_md["slot_mapping"])
         attn = ragged_paged_attention(
@@ -282,29 +339,44 @@ class LlamaModel:
         o = self._lin(lp, "o_proj", attn, lora_layer, lora_md)
         if tp_axis:
             o = jax.lax.psum(o, tp_axis)
+        if cfg.o_proj_bias:  # replicated bias, added once after psum
+            o = o + lp["o_proj_bias"]["bias"]
         if cfg.use_post_norms:  # Gemma2: norm the branch pre-residual
-            o = norm(o, lp["post_attention_layernorm"]["weight"])
+            o = norm(o, lp["post_attention_layernorm"])
+
+        if cfg.parallel_residual:
+            # GPT-NeoX / Phi: attn and mlp both branch off x; Phi
+            # (shared_input_norm) feeds the SAME ln1(x) to the mlp
+            h2 = (h if cfg.shared_input_norm
+                  else norm(x, lp["post_attention_layernorm"]))
+            return x + o + self._mlp(lp, h2, tp_axis, lora_layer,
+                                     lora_md), cache
         x = x + o
 
         # mlp (overridable: Mixtral swaps in a routed MoE block)
         if cfg.use_post_norms:
-            h = norm(x, lp["pre_feedforward_layernorm"]["weight"])
+            h = norm(x, lp["pre_feedforward_layernorm"])
             mlp = self._mlp(lp, h, tp_axis, lora_layer, lora_md)
-            mlp = norm(mlp, lp["post_feedforward_layernorm"]["weight"])
+            mlp = norm(mlp, lp["post_feedforward_layernorm"])
         else:
-            h = norm(x, lp["post_attention_layernorm"]["weight"])
+            h = norm(x, lp["post_attention_layernorm"])
             mlp = self._mlp(lp, h, tp_axis, lora_layer, lora_md)
         x = x + mlp
         return x, cache
 
     def make_norm(self):
-        """The rms-norm closure used by forward (Gemma adds 1 to the
-        weight and norms in fp32)."""
+        """The norm closure used by forward: ``norm(x, norm_params)``
+        where norm_params is the {weight[, bias]} dict (Gemma adds 1 to
+        the weight; layernorm families mean-center and add bias)."""
         cfg = self.cfg
+        if cfg.norm_type == "layernorm":
+            from vllm_pq_tpu.layers.norm import layer_norm
+            return lambda x, nd: layer_norm(x, nd["weight"], nd["bias"],
+                                            cfg.rms_norm_eps)
         if cfg.gemma_norm:
-            return lambda x, w: rms_norm(
-                x, w.astype(jnp.float32) + 1.0, cfg.rms_norm_eps)
-        return lambda x, w: rms_norm(x, w, cfg.rms_norm_eps)
+            return lambda x, nd: rms_norm(
+                x, nd["weight"].astype(jnp.float32) + 1.0, cfg.rms_norm_eps)
+        return lambda x, nd: rms_norm(x, nd["weight"], cfg.rms_norm_eps)
 
     def _lin(self, lp: Dict, name: str, h: jax.Array,
              lora_layer: Optional[Dict],
@@ -324,13 +396,27 @@ class LlamaModel:
              lora_layer: Optional[Dict] = None,
              lora_md: Optional[Dict] = None) -> jax.Array:
         from vllm_pq_tpu.layers.activation import ACT2FN
-        act_fn = ACT2FN[self.cfg.hidden_act]
-        gate = self._lin(lp, "gate_proj", h, lora_layer, lora_md)
-        up = self._lin(lp, "up_proj", h, lora_layer, lora_md)
-        act = act_fn(gate) * up
+        cfg = self.cfg
+        act_fn = ACT2FN[cfg.hidden_act]
+        if cfg.mlp_style == "mlp":
+            # two-linear MLP (GPT-NeoX dense_h_to_4h/4h_to_h, Phi
+            # fc1/fc2, Starcoder2 c_fc/c_proj)
+            up = self._lin(lp, "up_proj", h, lora_layer, lora_md)
+            if cfg.mlp_bias:
+                up = up + lp["up_proj_bias"]["bias"]
+            act = act_fn(up)
+        else:
+            gate = self._lin(lp, "gate_proj", h, lora_layer, lora_md)
+            up = self._lin(lp, "up_proj", h, lora_layer, lora_md)
+            if cfg.mlp_bias:
+                gate = gate + lp["gate_proj_bias"]["bias"]
+                up = up + lp["up_proj_bias"]["bias"]
+            act = act_fn(gate) * up
         down = self._lin(lp, "down_proj", act, lora_layer, lora_md)
         if tp_axis:
             down = jax.lax.psum(down, tp_axis)
+        if cfg.mlp_bias:  # replicated, added once after psum
+            down = down + lp["down_proj_bias"]["bias"]
         return down
 
     def _embed(self, ep: Dict, input_ids: jax.Array,
@@ -366,6 +452,9 @@ class LlamaModel:
             logits = jax.lax.all_gather(logits, tp_axis, axis=1,
                                         tiled=True)
         logits = logits.astype(jnp.float32)
+        if cfg.lm_head_bias and not cfg.tie_word_embeddings:
+            logits = logits + params["lm_head_bias"]["bias"].astype(
+                jnp.float32)
         if self.cfg.final_logit_softcap:
             c = self.cfg.final_logit_softcap
             logits = jnp.tanh(logits / c) * c

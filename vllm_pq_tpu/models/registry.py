@@ -155,6 +155,90 @@ def _build_mixtral(hf_config, config: EngineConfig, linear_method):
     return MixtralModel(mc, linear_method, expert_parallel=ep)
 
 
+@register_model("GPTNeoXForCausalLM")
+def _build_gpt_neox(hf_config, config: EngineConfig, linear_method):
+    # parallel-residual layernorm decoder with fused (de-interleaved at
+    # load) qkv, partial rotary, biased two-linear MLP (reference
+    # models/gpt_neox.py)
+    from vllm_pq_tpu.models.llama import LlamaConfig, LlamaModel
+    mc = (LlamaConfig.from_hf_config(hf_config) if hf_config is not None
+          else LlamaConfig())
+    mc.norm_type = "layernorm"
+    mc.rms_norm_eps = getattr(hf_config, "layer_norm_eps", 1e-5)
+    mc.parallel_residual = getattr(hf_config, "use_parallel_residual",
+                                   True)
+    mc.partial_rotary_factor = getattr(hf_config, "rotary_pct", 1.0)
+    mc.rope_theta = getattr(hf_config, "rotary_emb_base",
+                            getattr(hf_config, "rope_theta", 10000.0))
+    mc.mlp_style = "mlp"
+    mc.attention_bias = True
+    mc.o_proj_bias = True
+    mc.mlp_bias = True
+    mc.dtype = config.model.jax_dtype
+    return LlamaModel(mc, linear_method)
+
+
+@register_model("PhiForCausalLM")
+def _build_phi(hf_config, config: EngineConfig, linear_method):
+    # Phi-1/1.5/2: parallel residual with a SINGLE shared input norm,
+    # biased lm_head, partial rotary (reference models/phi.py)
+    from vllm_pq_tpu.models.llama import LlamaConfig, LlamaModel
+    mc = (LlamaConfig.from_hf_config(hf_config) if hf_config is not None
+          else LlamaConfig())
+    mc.norm_type = "layernorm"
+    mc.rms_norm_eps = getattr(hf_config, "layer_norm_eps", 1e-5)
+    mc.parallel_residual = True
+    mc.shared_input_norm = True
+    mc.partial_rotary_factor = getattr(hf_config, "partial_rotary_factor",
+                                       0.5)
+    mc.mlp_style = "mlp"
+    mc.attention_bias = True
+    mc.o_proj_bias = True
+    mc.mlp_bias = True
+    mc.lm_head_bias = True
+    mc.dtype = config.model.jax_dtype
+    return LlamaModel(mc, linear_method)
+
+
+@register_model("StableLmForCausalLM")
+def _build_stablelm(hf_config, config: EngineConfig, linear_method):
+    # llama block with layernorm + partial rotary (reference
+    # models/stablelm.py)
+    from vllm_pq_tpu.models.llama import LlamaConfig, LlamaModel
+    mc = (LlamaConfig.from_hf_config(hf_config) if hf_config is not None
+          else LlamaConfig())
+    mc.norm_type = "layernorm"
+    mc.rms_norm_eps = getattr(hf_config, "layer_norm_eps", 1e-5)
+    mc.partial_rotary_factor = getattr(hf_config, "partial_rotary_factor",
+                                       0.25)
+    mc.attention_bias = getattr(hf_config, "use_qkv_bias", False)
+    mc.dtype = config.model.jax_dtype
+    return LlamaModel(mc, linear_method)
+
+
+@register_model("Starcoder2ForCausalLM")
+def _build_starcoder2(hf_config, config: EngineConfig, linear_method):
+    # GQA layernorm decoder, biased everywhere, gelu two-linear MLP,
+    # sliding window (reference models/starcoder2.py)
+    from vllm_pq_tpu.models.llama import LlamaConfig, LlamaModel
+    mc = (LlamaConfig.from_hf_config(hf_config) if hf_config is not None
+          else LlamaConfig())
+    mc.norm_type = "layernorm"
+    mc.rms_norm_eps = getattr(hf_config, "norm_epsilon", 1e-5)
+    # HF Starcoder2Config defaults tie_word_embeddings to True, so a
+    # config.json that omits the field means TIED (generic reader
+    # assumes False)
+    mc.tie_word_embeddings = getattr(hf_config, "tie_word_embeddings",
+                                     True)
+    mc.mlp_style = "mlp"
+    use_bias = getattr(hf_config, "use_bias", True)
+    mc.attention_bias = use_bias
+    mc.o_proj_bias = use_bias
+    mc.mlp_bias = use_bias
+    mc.dtype = config.model.jax_dtype
+    return LlamaModel(mc, linear_method)
+
+
 @register_model("Qwen2MoeForCausalLM")
 def _build_qwen2_moe(hf_config, config: EngineConfig, linear_method):
     from vllm_pq_tpu.models.qwen2_moe import Qwen2MoeConfig, Qwen2MoeModel

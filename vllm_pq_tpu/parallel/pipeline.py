@@ -141,7 +141,7 @@ def pipelined_forward(
         caches = jnp.stack(new_layers)
 
         # last stage: final norm + collect its finished microbatch
-        normed = norm(x, params["norm"]["weight"]).astype(jnp.float32)
+        normed = norm(x, params["norm"]).astype(jnp.float32)
         contrib = jnp.where(active & is_last, 1.0, 0.0)
         out = out.at[mb].add(normed * contrib)
 
