@@ -132,6 +132,10 @@ class SchedulerConfig:
     # routing). Hides dispatch/transfer latency without multi-step's
     # output burstiness; stop checks lag one step.
     async_scheduling: bool = False
+    # Budget (in encoder tokens) for vision-encoder outputs held on the
+    # worker (reference EncoderCacheManager / --max-num-encoder-input-
+    # tokens analog).
+    encoder_cache_size: int = 8192
 
     def __post_init__(self):
         if self.max_num_batched_tokens < self.max_num_seqs:

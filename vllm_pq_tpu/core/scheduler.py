@@ -69,6 +69,11 @@ class Scheduler:
             num_preallocate_blocks=scheduler_config.num_preallocate_blocks,
         )
 
+        from vllm_pq_tpu.core.encoder_cache_manager import \
+            EncoderCacheManager
+        self.encoder_cache_manager = EncoderCacheManager(
+            scheduler_config.encoder_cache_size)
+
         self.waiting: Deque[Request] = deque()
         self.running: List[Request] = []
         self.requests: Dict[str, Request] = {}
@@ -148,6 +153,13 @@ class Scheduler:
                                  request.num_computed_tokens)
             assert num_new_tokens > 0, (
                 "running request with nothing to compute")
+            if request.mm_inputs:
+                num_new_tokens = self._schedule_encoder_inputs(
+                    request, num_new_tokens, output)
+                if num_new_tokens <= 0:
+                    # blocked on encoder budget this step
+                    req_index += 1
+                    continue
             num_spec = max(0, num_new_tokens - num_real)
 
             new_blocks = None
@@ -211,7 +223,11 @@ class Scheduler:
 
             computed_blocks, num_computed = (
                 self.kv_cache_manager.get_computed_blocks(request)
-                if request.status == RequestStatus.WAITING else ([], 0))
+                if request.status == RequestStatus.WAITING
+                and not request.mm_inputs else ([], 0))
+            # (mm requests skip prefix-cache reuse: block hashes do not
+            # yet mix in image content — conservative, like the
+            # reference TPU-V1 which disables prefix caching outright)
             # A resumed (preempted) request recomputes from scratch but
             # may still hit the prefix cache via the chain above; its
             # num_computed_tokens was reset at preemption.
@@ -222,6 +238,12 @@ class Scheduler:
             num_new_tokens = min(num_new_tokens, token_budget)
             if num_new_tokens <= 0:
                 break
+            if request.mm_inputs:
+                request.num_computed_tokens = num_computed
+                num_new_tokens = self._schedule_encoder_inputs(
+                    request, num_new_tokens, output)
+                if num_new_tokens <= 0:
+                    break  # head-of-line blocked on encoder budget
 
             new_blocks = self.kv_cache_manager.allocate_slots(
                 request, num_new_tokens, computed_blocks)
@@ -260,6 +282,7 @@ class Scheduler:
                         block_ids=all_block_ids,
                         num_computed_tokens=num_computed,
                         lora_slot=getattr(request, "lora_slot", 0),
+                        mm_inputs=request.mm_inputs,
                     ))
 
         # constrained decoding payloads for rows that sample this step
@@ -277,7 +300,36 @@ class Scheduler:
 
         output.finished_req_ids = self.finished_req_ids
         self.finished_req_ids = set()
+        output.free_encoder_input_ids = \
+            self.encoder_cache_manager.get_freed_ids()
         return output
+
+    def _schedule_encoder_inputs(self, request: Request,
+                                 num_new_tokens: int,
+                                 output: SchedulerOutput) -> int:
+        """Gate scheduled tokens on encoder-output availability: any
+        placeholder span intersecting [start, start+n) must have its
+        encoder output cached or allocatable; otherwise truncate the
+        chunk just before the span (reference
+        v1/core/scheduler.py::_try_schedule_encoder_inputs)."""
+        start = request.num_computed_tokens
+        ecm = self.encoder_cache_manager
+        for idx, mi in enumerate(request.mm_inputs):
+            s0, e0 = mi.offset, mi.offset + mi.length
+            if e0 <= start:
+                continue  # fully computed
+            if s0 >= start + num_new_tokens:
+                break  # beyond this chunk
+            if ecm.has_cache(request, idx):
+                continue
+            if ecm.can_allocate(request, idx):
+                ecm.allocate(request, idx)
+                output.scheduled_encoder_inputs.setdefault(
+                    request.request_id, []).append(idx)
+            else:
+                num_new_tokens = s0 - start
+                break
+        return num_new_tokens
 
     def _constraint_mask(self, request: Request):
         """AND of guided-FSM / allowed_token_ids masks minus bad-words
@@ -369,6 +421,9 @@ class Scheduler:
         return output
 
     def _preempt(self, request: Request) -> None:
+        if request.mm_inputs:
+            # recompute-from-scratch preemption re-encodes too
+            self.encoder_cache_manager.free(request)
         self.kv_cache_manager.free(request)
         request.status = RequestStatus.PREEMPTED
         request.num_computed_tokens = 0
@@ -405,6 +460,13 @@ class Scheduler:
             else:
                 request.num_computed_tokens += num_scheduled
             request.spec_token_ids = []
+            if request.mm_inputs:
+                # free encoder outputs whose span is now fully computed
+                for idx, mi in enumerate(request.mm_inputs):
+                    if (mi.offset + mi.length
+                            <= request.num_computed_tokens):
+                        self.encoder_cache_manager.free_encoder_input(
+                            request, idx)
 
             plp = runner_output.prompt_logprobs.get(req_id)
             if plp is not None:
@@ -503,6 +565,8 @@ class Scheduler:
         hook = getattr(self, "on_request_freed", None)
         if hook is not None:
             hook(request)
+        if request.mm_inputs:
+            self.encoder_cache_manager.free(request)
         self.kv_cache_manager.free(request)
         self.kv_cache_manager.free_block_hashes(request)
         self.finished_req_ids.add(request.request_id)

@@ -22,6 +22,10 @@ class NewRequestData:
     num_computed_tokens: int
     # LoRA adapter slot (0 = base model)
     lora_slot: int = 0
+    # multimodal placeholder spans + pixel data (List[MMInput]); the
+    # runner encodes scheduled inputs and splices projected features
+    # into the placeholder rows
+    mm_inputs: list = field(default_factory=list)
 
 
 @dataclass
@@ -62,6 +66,13 @@ class SchedulerOutput:
     num_scheduler_steps: int = 1
     # prefix-cache stats for metrics
     num_cached_tokens: int = 0
+    # multimodal: req_id -> encoder-input indices to run this step;
+    # (req_id, idx) encoder cache entries the worker may free
+    # (reference scheduler_output.py scheduled_encoder_inputs /
+    # free_encoder_input_ids)
+    scheduled_encoder_inputs: Dict[str, List[int]] = field(
+        default_factory=dict)
+    free_encoder_input_ids: List = field(default_factory=list)
 
     @property
     def is_empty(self) -> bool:

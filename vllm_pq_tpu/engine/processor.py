@@ -19,6 +19,68 @@ class Processor:
         self.eos_token_id = getattr(tokenizer, "eos_token_id", None)
         # for synthetic-token workloads (benchmarks); conservative floor
         self.vocab_size = getattr(tokenizer, "vocab_size", None) or 256
+        self._mm_spec = None  # lazily resolved multimodal spec
+
+    def _mm(self):
+        """(image_token_id, num_image_tokens, ImageProcessor) for
+        multimodal checkpoints, else None. Resolved from the on-disk HF
+        config so the Processor stays model-free (reference multimodal
+        registry role)."""
+        if self._mm_spec is None:
+            import json
+            import os
+            spec = False
+            cfg_file = os.path.join(self.config.model.model, "config.json")
+            if os.path.isfile(cfg_file):
+                with open(cfg_file) as f:
+                    raw = json.load(f)
+                if (raw.get("architectures") or [""])[0] == \
+                        "LlavaForConditionalGeneration":
+                    from vllm_pq_tpu.multimodal.image import ImageProcessor
+                    vc = raw.get("vision_config", {})
+                    size = vc.get("image_size", 336)
+                    patches = (size // vc.get("patch_size", 14)) ** 2
+                    if raw.get("vision_feature_select_strategy",
+                               "default") != "default":
+                        patches += 1
+                    spec = (raw.get("image_token_index", 32000), patches,
+                            ImageProcessor.from_pretrained(
+                                self.config.model.model,
+                                default_size=size))
+            self._mm_spec = spec
+        return self._mm_spec or None
+
+    def _expand_mm(self, token_ids, mm_data):
+        """Expand each image placeholder token into its patch-token span
+        and attach preprocessed pixels (reference mm input mapper +
+        placeholder expansion)."""
+        from vllm_pq_tpu.multimodal import MMInput
+        spec = self._mm()
+        if spec is None:
+            raise ValueError(
+                "multi_modal_data passed but the model is not multimodal")
+        image_tok, n_tok, improc = spec
+        images = mm_data.get("image")
+        if images is None:
+            raise ValueError("multi_modal_data must contain 'image'")
+        if not isinstance(images, (list, tuple)):
+            images = [images]
+        spots = [i for i, t in enumerate(token_ids) if t == image_tok]
+        if len(spots) != len(images):
+            raise ValueError(
+                f"prompt has {len(spots)} image placeholders but "
+                f"{len(images)} images were provided")
+        out: list = []
+        mm_inputs = []
+        prev = 0
+        for spot, img in zip(spots, images):
+            out.extend(token_ids[prev:spot])
+            mm_inputs.append(MMInput(offset=len(out), length=n_tok,
+                                     pixel_values=improc(img)))
+            out.extend([image_tok] * n_tok)
+            prev = spot + 1
+        out.extend(token_ids[prev:])
+        return out, mm_inputs
 
     def process_inputs(
         self,
@@ -30,6 +92,7 @@ class Processor:
         lora_request=None,
     ) -> Request:
         request_id = request_id or random_uuid()
+        mm_inputs = None
         if isinstance(prompt, dict):
             # TokensPrompt / TextPrompt dicts (reference inputs/data.py)
             if "prompt_token_ids" in prompt:
@@ -38,12 +101,15 @@ class Processor:
             else:
                 text = prompt["prompt"]
                 token_ids = self.tokenizer.encode(text)
+            if prompt.get("multi_modal_data"):
+                token_ids, mm_inputs = self._expand_mm(
+                    token_ids, prompt["multi_modal_data"])
         else:
             text = prompt
             token_ids = self.tokenizer.encode(text)
 
         sp = sampling_params
-        if sp.truncate_prompt_tokens:
+        if sp.truncate_prompt_tokens and not mm_inputs:
             token_ids = token_ids[-sp.truncate_prompt_tokens:]
         if not token_ids:
             raise ValueError("empty prompt")
@@ -65,6 +131,7 @@ class Processor:
             arrival_time=arrival_time or time.monotonic(),
             prompt=text,
             priority=priority,
+            mm_inputs=mm_inputs,
         )
         request.lora_request = lora_request
         self._attach_constraints(request, sp)

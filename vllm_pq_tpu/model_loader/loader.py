@@ -120,6 +120,39 @@ def _iter_safetensors(model_dir: str):
                 yield name, sf.get_tensor(name)
 
 
+def _load_llava_vision(tower: dict, model, rest: str,
+                       tensor: np.ndarray) -> None:
+    """Map HF CLIP vision-model names into the tower subtree
+    (multimodal/clip.py layout); conv patch kernel becomes a matmul."""
+    if rest == "embeddings.class_embedding":
+        tower["class_embedding"] = {"weight": tensor}
+    elif rest == "embeddings.patch_embedding.weight":
+        h = tensor.shape[0]
+        tower["patch_embedding"] = {
+            # [h, 3, ps, ps] -> [ps, ps, 3, h] -> [ps*ps*3, h] matching
+            # the (ps_row, ps_col, channel) patch flattening
+            "weight": tensor.transpose(2, 3, 1, 0).reshape(-1, h)}
+    elif rest == "embeddings.position_embedding.weight":
+        tower["position_embedding"] = {"weight": tensor}
+    elif rest.startswith("pre_layrnorm."):
+        tower.setdefault("pre_layrnorm", {})[rest.split(".")[-1]] = tensor
+    elif rest.startswith("encoder.layers."):
+        parts = rest.split(".")
+        li = int(parts[2])
+        if li >= len(tower["layers"]):
+            return  # beyond the feature layer: unused
+        sub = parts[3] if parts[3] != "self_attn" and parts[3] != "mlp" \
+            else parts[4]
+        leaf = parts[-1]
+        d = tower["layers"][li].setdefault(sub, {})
+        d[leaf] = tensor.T if (leaf == "weight"
+                               and "norm" not in sub) else tensor
+    elif rest.startswith("post_layernorm."):
+        pass  # unused at vision_feature_layer=-2
+    else:
+        logger.warning("unmapped LLaVA vision weight %s", rest)
+
+
 def load_hf(model, mesh: Mesh, model_dir: str,
             linear_method: LinearMethod) -> Any:
     """Load a local HF checkpoint directory into the model's param tree."""
@@ -136,6 +169,13 @@ def load_hf(model, mesh: Mesh, model_dir: str,
     is_deepseek = model.__class__.__name__ == "DeepseekV2Model"
     is_moe = model.__class__.__name__ in ("MixtralModel", "Qwen2MoeModel",
                                           "DeepseekV2Model")
+    is_llava = model.__class__.__name__ == "LlavaModel"
+    if is_llava:
+        tree["vision"] = {
+            "tower": {"layers": [dict() for _ in
+                                 range(model.vision_tower.n_blocks)]},
+            "projector": {},
+        }
     # deepseek routed experts: layer -> proj -> expert idx -> [in, out]
     pending_experts: Dict[int, Dict[str, Dict[int, np.ndarray]]] = {}
 
@@ -159,6 +199,24 @@ def load_hf(model, mesh: Mesh, model_dir: str,
 
     for name, tensor in _iter_safetensors(model_dir):
         tensor = np.asarray(tensor)
+        if is_llava:
+            # LLaVA composition (models/llava.py): LM weights carry a
+            # language_model. prefix (strip and fall through to the
+            # generic branches); vision tower + projector are collected
+            # into tree["vision"]
+            if name.startswith("language_model."):
+                name = name[len("language_model."):]
+            elif name.startswith("vision_tower.vision_model."):
+                _load_llava_vision(tree["vision"]["tower"], model,
+                                   name.split("vision_model.", 1)[1],
+                                   tensor)
+                continue
+            elif name.startswith("multi_modal_projector."):
+                parts = name.split(".")
+                lin, leaf = parts[1], parts[2]
+                d = tree["vision"]["projector"].setdefault(lin, {})
+                d[leaf] = tensor.T if leaf == "weight" else tensor
+                continue
         if name.startswith("transformer.") or name.startswith("h."):
             # GPT-2 family (models/gpt2.py); Conv1D weights are already
             # [in, out], the fused c_attn splits into q/k/v thirds

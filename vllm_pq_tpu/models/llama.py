@@ -245,8 +245,14 @@ class LlamaModel:
         lora: Optional[Dict] = None,
         decode_mode: bool = False,
         decode_pages: Optional[int] = None,
+        mm: Optional[Tuple[jax.Array, jax.Array]] = None,
     ) -> Tuple[jax.Array, List[jax.Array]]:
-        """Returns (hidden [T, H], updated kv_caches)."""
+        """Returns (hidden [T, H], updated kv_caches).
+
+        ``mm``: optional (mask i32[T], embeds f32[T, H]) — flat tokens
+        with mask!=0 take their embedding from ``embeds`` instead of the
+        vocab table (multimodal placeholder splice, the role of the
+        reference's inputs_embeds merge in models/llava.py)."""
         cfg = self.cfg
         tp = jax.lax.psum(1, tp_axis) if tp_axis else 1
         if cfg.num_attention_heads % tp or cfg.num_key_value_heads % tp:
@@ -265,6 +271,10 @@ class LlamaModel:
         if cfg.embed_scale is not None:
             # Gemma scales embeddings by sqrt(hidden) in the input dtype
             x = x * jnp.asarray(cfg.embed_scale, x.dtype)
+        if mm is not None:
+            mm_mask, mm_embeds = mm
+            x = jnp.where(mm_mask[:, None] != 0,
+                          mm_embeds.astype(x.dtype), x)
         new_caches = []
         for li in range(cfg.num_hidden_layers):
             lp = params["layers"][li]

@@ -155,6 +155,32 @@ def _build_mixtral(hf_config, config: EngineConfig, linear_method):
     return MixtralModel(mc, linear_method, expert_parallel=ep)
 
 
+@register_model("LlavaForConditionalGeneration")
+def _build_llava(hf_config, config: EngineConfig, linear_method):
+    from types import SimpleNamespace
+
+    from vllm_pq_tpu.models.llama import LlamaConfig
+    from vllm_pq_tpu.models.llava import LlavaModel
+    from vllm_pq_tpu.multimodal.clip import CLIPVisionConfig
+
+    def ns(v):
+        return SimpleNamespace(**v) if isinstance(v, dict) else v
+    tc = ns(getattr(hf_config, "text_config", None))
+    vc = ns(getattr(hf_config, "vision_config", None))
+    mc = LlamaConfig.from_hf_config(tc) if tc is not None else LlamaConfig()
+    mc.dtype = config.model.jax_dtype
+    vcfg = (CLIPVisionConfig.from_hf(vc) if vc is not None
+            else CLIPVisionConfig())
+    return LlavaModel(
+        mc, vcfg, linear_method,
+        image_token_index=getattr(hf_config, "image_token_index", 32000),
+        vision_feature_layer=getattr(hf_config, "vision_feature_layer",
+                                     -2),
+        vision_feature_select_strategy=getattr(
+            hf_config, "vision_feature_select_strategy", "default"),
+        projector_act=getattr(hf_config, "projector_hidden_act", "gelu"))
+
+
 @register_model("GPTNeoXForCausalLM")
 def _build_gpt_neox(hf_config, config: EngineConfig, linear_method):
     # parallel-residual layernorm decoder with fused (de-interleaved at

@@ -45,6 +45,7 @@ class Request:
         arrival_time: float = 0.0,
         prompt: Optional[str] = None,
         priority: int = 0,
+        mm_inputs: Optional[List] = None,
     ):
         self.request_id = request_id
         self.prompt = prompt
@@ -57,6 +58,8 @@ class Request:
 
         self.status = RequestStatus.WAITING
         self.stop_reason: Optional[object] = None
+        # multimodal placeholder spans + pixel data (List[MMInput])
+        self.mm_inputs: List = mm_inputs or []
 
         # All token ids: prompt + generated (single growing list; the
         # generated suffix starts at num_prompt_tokens).

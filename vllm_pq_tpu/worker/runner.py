@@ -177,6 +177,13 @@ class ModelRunner:
         self._step_count = 0
         self._rng_key = jax.random.PRNGKey(config.model.seed)
 
+        # multimodal: per-request placeholder spans + encoder outputs
+        # (host np, [span_len, hidden]); populated for models exposing
+        # encode_images (LLaVA family)
+        self._mm_spans: Dict[str, list] = {}
+        self._mm_cache: Dict[Tuple[str, int], np.ndarray] = {}
+        self._mm_step = None
+
         # multi-LoRA stacks (role of reference LoRAModelManager + Punica)
         self.lora_stacks = None
         if config.lora.enable_lora:
@@ -251,7 +258,7 @@ class ModelRunner:
     def _build_step(self, t_bucket: int, greedy: bool, num_logprobs: int,
                     constrained: bool = False, decode_only: bool = False,
                     plp_k: int = 0, penalized: bool = False,
-                    decode_pages: int = 0):
+                    decode_pages: int = 0, mm: bool = False):
         model = self.model
         mesh = self.mesh
         lay = self._layout(t_bucket, constrained, penalized)
@@ -267,14 +274,20 @@ class ModelRunner:
                      "page_indices", "cu_q_lens", "num_seqs",
                      "logits_indices")
         spec_keys = attn_keys + (("plp_targets",) if plp_k else ())
+        if mm:
+            spec_keys = spec_keys + ("mm_mask", "mm_embeds")
         input_specs = {k: P() for k in spec_keys}
 
         def fwd(params, kv_caches, rope, inputs, lora):
+            # mm kwarg only exists on the llama-family signature; other
+            # models never see an mm step variant
+            mm_kw = ({"mm": (inputs["mm_mask"], inputs["mm_embeds"])}
+                     if mm else {})
             hidden, new_caches = model(
                 params, inputs["token_ids"], inputs["positions"],
                 kv_caches, inputs, rope, lora=lora,
                 decode_mode=decode_only,
-                decode_pages=decode_pages or None)
+                decode_pages=decode_pages or None, **mm_kw)
             sel = hidden[inputs["logits_indices"]]
             logits = model.compute_logits(params, sel)
             if plp_k:
@@ -302,11 +315,13 @@ class ModelRunner:
         )
 
         def step(params, kv_caches, rope, packed, step_key, lora_w,
-                 prev_toks):
+                 prev_toks, *mm_arrays):
             f = lay.unpack(packed)
             inputs = {k: f[k] for k in attn_keys}
             if plp_k:
                 inputs["plp_targets"] = f["plp_targets"]
+            if mm:
+                inputs["mm_mask"], inputs["mm_embeds"] = mm_arrays
             # async scheduling: tokens marked prev_rows >= 0 take their
             # value from the previous step's on-device samples (the host
             # never waited for them)
@@ -418,14 +433,14 @@ class ModelRunner:
     def _get_step(self, t_bucket: int, greedy: bool, num_logprobs: int,
                   constrained: bool = False, decode_only: bool = False,
                   plp_k: int = 0, penalized: bool = False,
-                  decode_pages: int = 0):
+                  decode_pages: int = 0, mm: bool = False):
         key = (t_bucket, greedy, num_logprobs, constrained, decode_only,
-               plp_k, penalized, decode_pages)
+               plp_k, penalized, decode_pages, mm)
         fn = self._step_fns.get(key)
         if fn is None:
             fn = self._build_step(t_bucket, greedy, num_logprobs,
                                   constrained, decode_only, plp_k,
-                                  penalized, decode_pages)
+                                  penalized, decode_pages, mm)
             self._step_fns[key] = fn
         return fn
 
@@ -549,14 +564,96 @@ class ModelRunner:
         ib = self.input_batch
         for rid in so.finished_req_ids:
             ib.remove_request(rid)
+            if rid in self._mm_spans:
+                spans = self._mm_spans.pop(rid)
+                for idx in range(len(spans)):
+                    self._mm_cache.pop((rid, idx), None)
         ib.condense()
         for nr in so.scheduled_new_reqs:
             ib.add_request(nr)
             if request_meta and nr.req_id in request_meta:
                 eos, ignore = request_meta[nr.req_id]
                 ib.set_eos(nr.req_id, eos, ignore)
+            if getattr(nr, "mm_inputs", None):
+                self._mm_spans[nr.req_id] = nr.mm_inputs
         for cr in so.scheduled_cached_reqs:
             ib.update_cached(cr)
+        for rid, idx in getattr(so, "free_encoder_input_ids", ()):
+            self._mm_cache.pop((rid, idx), None)
+
+    # ------------------------------------------------------------------
+    # multimodal encoder execution (role of reference
+    # gpu_model_runner._execute_encoder + encoder cache)
+
+    def _run_encoders(self, so: SchedulerOutput) -> None:
+        for rid, idxs in getattr(so, "scheduled_encoder_inputs",
+                                 {}).items():
+            spans = self._mm_spans.get(rid)
+            if not spans:
+                continue
+            for idx in idxs:
+                if (rid, idx) in self._mm_cache:
+                    continue
+                mi = spans[idx]
+                fn = self._get_encode_images_fn(mi.pixel_values.shape)
+                feats = fn(self.params["vision"],
+                           jnp.asarray(mi.pixel_values[None]))
+                self._mm_cache[(rid, idx)] = np.asarray(
+                    jax.device_get(feats))[0].astype(np.float32)
+
+    def _get_encode_images_fn(self, pixel_shape):
+        key = ("mm_enc", pixel_shape)
+        fn = self._step_fns.get(key)
+        if fn is None:
+            fn = jax.jit(self.model.encode_images)
+            self._step_fns[key] = fn
+        return fn
+
+    def _mm_pending(self, so: SchedulerOutput) -> bool:
+        """True when any scheduled token this step is an image
+        placeholder needing an embedding splice."""
+        if not self._mm_spans:
+            return False
+        ib = self.input_batch
+        for rid, nt in so.num_scheduled_tokens.items():
+            spans = self._mm_spans.get(rid)
+            if not spans:
+                continue
+            row = ib.req_id_to_index.get(rid)
+            if row is None:
+                continue
+            start = int(ib.num_computed_tokens[row])
+            for mi in spans:
+                if mi.offset + mi.length > start and \
+                        mi.offset < start + nt:
+                    return True
+        return False
+
+    def _pack_mm_rows(self, rid: str, start: int, end: int, off: int,
+                      t_bucket: int):
+        """Fill mm mask/embeds rows for flat positions [off, off+end-
+        start) covering prompt positions [start, end)."""
+        spans = self._mm_spans.get(rid)
+        if not spans:
+            return
+        for idx, mi in enumerate(spans):
+            s0, e0 = mi.offset, mi.offset + mi.length
+            lo, hi = max(s0, start), min(e0, end)
+            if lo >= hi:
+                continue
+            feats = self._mm_cache.get((rid, idx))
+            if feats is None:
+                raise RuntimeError(
+                    f"encoder output missing for {rid}[{idx}] "
+                    f"(span {s0}:{e0}, step range {start}:{end})")
+            if self._mm_step is None:
+                h = self.model.cfg.hidden_size
+                self._mm_step = (np.zeros(t_bucket, np.int32),
+                                 np.zeros((t_bucket, h), np.float32))
+            mask, embeds = self._mm_step
+            fo = off + lo - start
+            mask[fo:fo + hi - lo] = 1
+            embeds[fo:fo + hi - lo] = feats[lo - s0:hi - s0]
 
     def _pick_bucket(self, t: int) -> int:
         for b in self.token_buckets:
@@ -583,10 +680,12 @@ class ModelRunner:
         # rows, which keeps the step on the compiled decode variant
         # instead of recompiling general variants at the batch tail
         n = ib.num_reqs
+        self._mm_step = None
         fast = bool(n and not so.scheduled_spec_decode_tokens
                     and (one_per_row
                          or all(v == 1
-                                for v in so.num_scheduled_tokens.values())))
+                                for v in so.num_scheduled_tokens.values()))
+                    and not self._mm_pending(so))
         sched_mask = None
         if fast:
             sched_mask = np.fromiter(
@@ -704,6 +803,9 @@ class ModelRunner:
                 logits_idx[row] = off + nt - 1
             if lora_on:
                 tok_slot[off:off + nt] = ib.lora_slot[row]
+            if rid in self._mm_spans:
+                self._pack_mm_rows(rid, start, start + n_real, off,
+                                   t_bucket)
             # async scheduling: -1 placeholder tokens resolve on device
             # from the previous step's samples
             if prev_row_of is not None:
@@ -815,6 +917,7 @@ class ModelRunner:
             return None
         if so.num_scheduler_steps > 1:
             return ("ms", self._dispatch_multistep(so))
+        self._run_encoders(so)
 
         t_bucket, buf, row_req_ids, constrained, penalized = \
             self.prepare_inputs(so)
@@ -832,9 +935,10 @@ class ModelRunner:
                 so, buf, t_bucket, constrained, penalized)
         decode_pages = (self._pages_bucket(
             getattr(self, "_last_max_kv_len", 1)) if decode_only else 0)
+        mm_step = self._mm_step
         fn = self._get_step(t_bucket, ib.all_greedy, num_logprobs,
                             constrained, decode_only, plp_k, penalized,
-                            decode_pages)
+                            decode_pages, mm=mm_step is not None)
         self._step_count += 1
         step_key = jax.random.fold_in(self._rng_key, self._step_count)
 
@@ -845,9 +949,11 @@ class ModelRunner:
         packed = jnp.asarray(buf.copy())  # ONE host->device transfer
         lora_w = (self._lora_weights() if self.lora_stacks is not None
                   else None)
+        mm_args = ((jnp.asarray(mm_step[0]), jnp.asarray(mm_step[1]))
+                   if mm_step is not None else ())
         toks, gens, lp, plp, self.kv_caches = fn(
             self.params, self.kv_caches, self.rope_cache, packed, step_key,
-            lora_w, self._prev_toks_or_zeros())
+            lora_w, self._prev_toks_or_zeros(), *mm_args)
 
         # device state for async prev-token routing
         self._prev_toks = toks[:, 0] if self.spec_k else toks
