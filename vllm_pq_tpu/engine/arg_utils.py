@@ -32,6 +32,7 @@ class EngineArgs:
 
     tensor_parallel_size: int = 1
     data_parallel_size: int = 1
+    pipeline_parallel_size: int = 1
     enable_expert_parallel: bool = False
     # run the EngineCore loop in a background process (ZMQ)
     enable_engine_multiprocessing: bool = False
@@ -77,6 +78,7 @@ class EngineArgs:
             parallel=ParallelConfig(
                 tensor_parallel_size=self.tensor_parallel_size,
                 data_parallel_size=self.data_parallel_size,
+                pipeline_parallel_size=self.pipeline_parallel_size,
                 enable_expert_parallel=self.enable_expert_parallel,
                 engine_multiprocessing=self.enable_engine_multiprocessing),
             scheduler=SchedulerConfig(

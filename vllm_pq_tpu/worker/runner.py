@@ -161,14 +161,19 @@ class ModelRunner:
         self.kv_spec = model.kv_cache_spec()
         kv_dtype = (jnp.bfloat16 if config.model.dtype == "bfloat16"
                     else jnp.float32)
-        self.kv_caches = [
-            jax.device_put(jnp.zeros(kv_shape, kv_dtype),
-                           NamedSharding(mesh, self.kv_spec))
-            for _ in range(model.cfg.num_hidden_layers)
-        ]
+        self.pp = config.parallel.pipeline_parallel_size
+        if self.pp > 1:
+            self._init_pp(kv_shape, kv_dtype)
+        else:
+            self.kv_caches = [
+                jax.device_put(jnp.zeros(kv_shape, kv_dtype),
+                               NamedSharding(mesh, self.kv_spec))
+                for _ in range(model.cfg.num_hidden_layers)
+            ]
         logger.info("KV cache: %d pages x %s x %d layers (%.2f GiB total)",
-                    num_kv_blocks, kv_shape[1:], len(self.kv_caches),
-                    np.prod(kv_shape) * len(self.kv_caches) *
+                    num_kv_blocks, kv_shape[1:],
+                    model.cfg.num_hidden_layers,
+                    np.prod(kv_shape) * model.cfg.num_hidden_layers *
                     (2 if kv_dtype == jnp.bfloat16 else 4) / 2**30)
 
         self._step_fns: Dict[tuple, Any] = {}
@@ -192,6 +197,184 @@ class ModelRunner:
                 model.cfg, model.lora_linear_defs(),
                 config.lora.max_loras, config.lora.max_lora_rank,
                 kv_dtype)
+
+    # ------------------------------------------------------------------
+    # pipeline-parallel serving mode (reference PP layer-range
+    # partitioning + send/recv, here the GPipe SPMD program of
+    # parallel/pipeline.py wired into the engine loop)
+
+    def _init_pp(self, kv_shape, kv_dtype) -> None:
+        from vllm_pq_tpu.parallel import pipeline as pl
+        cfg = self.config
+        model = self.model
+        n_layers = model.cfg.num_hidden_layers
+        if n_layers % self.pp:
+            raise ValueError(f"num layers {n_layers} not divisible by "
+                             f"pipeline_parallel_size {self.pp}")
+        for feat, on in (("speculative decoding",
+                          cfg.speculative.enabled),
+                         ("LoRA", cfg.lora.enable_lora),
+                         ("multi-step decoding",
+                          cfg.scheduler.num_scheduler_steps > 1),
+                         ("async scheduling",
+                          cfg.scheduler.async_scheduling)):
+            if on:
+                raise ValueError(
+                    f"{feat} is not supported with pipeline parallelism")
+        # restack per-layer params with the pipe-sharded layout and drop
+        # the per-layer originals (load-time streaming per stage is
+        # follow-up work; the transient peak is one replicated copy)
+        stacked = pl.stack_layer_params(self.params)
+        self._pp_param_specs = pl.stacked_param_specs(model)
+        self.params = jax.tree.map(
+            lambda a, sp: jax.device_put(
+                a, NamedSharding(self.mesh, sp)),
+            stacked, self._pp_param_specs,
+            is_leaf=lambda v: isinstance(v, jax.Array))
+        self.kv_spec = pl.stacked_kv_spec(model)
+        self.kv_stacked = jax.device_put(
+            jnp.zeros((n_layers,) + kv_shape, kv_dtype),
+            NamedSharding(self.mesh, self.kv_spec))
+        self.kv_caches = []  # unused in PP mode
+
+    def _get_pp_step(self, tm: int, n_mb: int, t_bucket: int,
+                     greedy: bool, num_logprobs: int, constrained: bool,
+                     penalized: bool):
+        key = ("pp", tm, n_mb, t_bucket, greedy, num_logprobs,
+               constrained, penalized)
+        fn = self._step_fns.get(key)
+        if fn is None:
+            fn = self._build_pp_step(tm, n_mb, t_bucket, greedy,
+                                     num_logprobs, constrained, penalized)
+            self._step_fns[key] = fn
+        return fn
+
+    def _build_pp_step(self, tm: int, n_mb: int, t_bucket: int,
+                       greedy: bool, num_logprobs: int, constrained: bool,
+                       penalized: bool):
+        from vllm_pq_tpu.parallel.pipeline import pipelined_forward
+        model = self.model
+        lay = self._layout(t_bucket, constrained, penalized)
+        pp = self.pp
+        bs = self.block_size
+
+        def fwd(params, kv, rope, mb_inputs, logits_indices):
+            hidden, new_kv = pipelined_forward(
+                model, params, mb_inputs, kv, rope, pp=pp, block_size=bs)
+            hid = hidden.reshape(n_mb * tm, -1).astype(model.cfg.dtype)
+            sel = hid[logits_indices]
+            logits = model.compute_logits(params, sel)
+            return logits, new_kv
+
+        sharded = _shard_map(
+            fwd, self.mesh,
+            in_specs=(self._pp_param_specs, self.kv_spec, P(None, None),
+                      P(), P()),
+            out_specs=(P(), self.kv_spec),
+        )
+
+        def step(params, kv, rope, packed, mb_inputs, step_key):
+            f = lay.unpack(packed)
+            logits, new_kv = sharded(params, kv, rope, mb_inputs,
+                                     f["logits_indices"])
+            toks, gens, lp = self._sample_tail(
+                f, logits, step_key, greedy=greedy,
+                num_logprobs=num_logprobs, constrained=constrained,
+                penalized=penalized, spec_k=0,
+                mask_words=lay.mask_words)
+            return toks, gens, lp, new_kv
+
+        return jax.jit(step, donate_argnums=(1,))
+
+    def _dispatch_pp(self, so: SchedulerOutput,
+                     request_meta: Optional[Dict[str, Any]] = None):
+        self.update_states(so, request_meta)
+        if so.total_num_scheduled_tokens == 0:
+            return None
+        ib = self.input_batch
+        if ib.prompt_logprobs_reqs:
+            raise ValueError("prompt_logprobs is not supported with "
+                             "pipeline parallelism")
+        t_bucket, buf, row_req_ids, constrained, penalized = \
+            self.prepare_inputs(so)
+        s = self.max_num_reqs
+        n_mb = self.pp  # M = S keeps the wavefront full enough; the
+        # bubble fraction is (S-1)/(M+S-1)
+
+        # balance rows over microbatches by token count (longest first)
+        items = []
+        for row in range(ib.num_reqs):
+            nt = so.num_scheduled_tokens.get(ib.req_ids[row], 0)
+            if nt:
+                items.append((row, nt))
+        groups: List[set] = [set() for _ in range(n_mb)]
+        loads = [0] * n_mb
+        for row, nt in sorted(items, key=lambda x: -x[1]):
+            g = loads.index(min(loads))
+            groups[g].add(row)
+            loads[g] += nt
+        tm = self._pick_bucket(max(max(loads), 1))
+
+        mb_tok = np.zeros((n_mb, tm), np.int32)
+        mb_pos = np.zeros((n_mb, tm), np.int32)
+        mb_slot = np.zeros((n_mb, tm), np.int32)
+        mb_kv = np.zeros((n_mb, s), np.int32)
+        mb_cu = np.zeros((n_mb, s + 1), np.int32)
+        mb_ns = np.full((n_mb, 1), ib.num_reqs, np.int32)
+        lay = self._layout(t_bucket, constrained, penalized)
+        li_view = lay.view(buf, "logits_indices")
+        li_view[:] = 0
+        for g in range(n_mb):
+            off = 0
+            for row in range(ib.num_reqs):
+                rid = ib.req_ids[row]
+                nt = (so.num_scheduled_tokens.get(rid, 0)
+                      if row in groups[g] else 0)
+                mb_cu[g, row + 1] = mb_cu[g, row] + nt
+                if nt == 0:
+                    continue
+                start = int(ib.num_computed_tokens[row])
+                end = start + nt
+                mb_tok[g, off:off + nt] = ib.token_ids[row, start:end]
+                mb_pos[g, off:off + nt] = np.arange(start, end,
+                                                    dtype=np.int32)
+                idx = np.arange(start, end, dtype=np.int32)
+                blk = ib.block_table[row, idx // self.block_size]
+                mb_slot[g, off:off + nt] = (blk * self.block_size
+                                            + idx % self.block_size)
+                mb_kv[g, row] = end
+                li_view[row] = g * tm + off + nt - 1
+                off += nt
+            mb_cu[g, ib.num_reqs + 1:] = mb_cu[g, ib.num_reqs]
+
+        mb_inputs = {
+            "token_ids": jnp.asarray(mb_tok),
+            "positions": jnp.asarray(mb_pos),
+            "slot_mapping": jnp.asarray(mb_slot),
+            "kv_lens": jnp.asarray(mb_kv),
+            "page_indices": jnp.asarray(np.broadcast_to(
+                ib.block_table[:, :self.max_blocks_per_req],
+                (n_mb, s, self.max_blocks_per_req)).copy()),
+            "cu_q_lens": jnp.asarray(mb_cu),
+            "num_seqs": jnp.asarray(mb_ns),
+        }
+        num_logprobs = ib.max_num_logprobs
+        fn = self._get_pp_step(tm, n_mb, t_bucket, ib.all_greedy,
+                               num_logprobs, constrained, penalized)
+        self._step_count += 1
+        step_key = jax.random.fold_in(self._rng_key, self._step_count)
+        packed = jnp.asarray(buf.copy())
+        toks, gens, lp, self.kv_stacked = fn(
+            self.params, self.kv_stacked, self.rope_cache, packed,
+            mb_inputs, step_key)
+        for a in (toks,) + (tuple(lp) if lp else ()):
+            if a is not None:
+                try:
+                    a.copy_to_host_async()
+                except Exception:
+                    pass
+        return ("step", toks, gens, lp, row_req_ids, num_logprobs,
+                None, {})
 
     # ------------------------------------------------------------------
     # packed-buffer plumbing
@@ -338,72 +521,87 @@ class ModelRunner:
                 lora["group_sizes"] = f["lora_groups"]
             logits, new_caches, plp = sharded(params, kv_caches, rope,
                                               inputs, lora)
-
-            if constrained:
-                # allowed-token bitmask + additive logit bias (guided
-                # decoding / allowed_token_ids / bad_words / logit_bias)
-                bits = f["logits_mask"].astype(jnp.uint32).reshape(
-                    s, mask_words)
-                mask = ((bits[:, :, None] >>
-                         jnp.arange(32, dtype=jnp.uint32)) & 1)
-                mask = mask.reshape(s, mask_words * 32)[:, :vocab] == 1
-                bias = jnp.zeros((s, vocab), jnp.float32).at[
-                    f["bias_rows"], f["bias_toks"]].add(f["bias_vals"])
-                l3 = logits.reshape(s, k1, vocab)
-                l3 = jnp.where(mask[:, None, :], l3, -1e30)
-                l3 = l3 + bias[:, None, :]
-                logits = l3.reshape(s * k1, vocab) if spec_k else l3[:, 0]
-
-            state = SamplingState(
-                temperature=f["temperature"], top_k=f["top_k"],
-                top_p=f["top_p"], min_p=f["min_p"],
-                presence_penalty=f["presence_penalty"],
-                frequency_penalty=f["frequency_penalty"],
-                repetition_penalty=f["repetition_penalty"],
-                seed=f["seed"].astype(jnp.uint32),
-                has_seed=f["has_seed"].astype(bool),
-                eos_token_id=f["eos_token_id"],
-                min_tokens=f["min_tokens"], output_len=f["output_len"])
-
-            counts = prompt_mask = None
-            if penalized:
-                # token-occurrence counts + prompt-token mask for
-                # presence/frequency/repetition penalties (reference
-                # v1 sampler penalty path)
-                hist = f["token_hist"].reshape(s, self.max_model_len)
-                npromt = f["num_prompt"][:, None]
-                ntot = npromt + state.output_len[:, None]
-                lpos = jnp.arange(self.max_model_len,
-                                  dtype=jnp.int32)[None, :]
-                rows_b = jnp.broadcast_to(
-                    jnp.arange(s, dtype=jnp.int32)[:, None], hist.shape)
-                is_out = (lpos >= npromt) & (lpos < ntot)
-                is_prompt = lpos < npromt
-                hs = jnp.maximum(hist, 0)
-                counts = jnp.zeros((s, vocab), jnp.float32).at[
-                    rows_b, hs].add(is_out.astype(jnp.float32))
-                prompt_mask = jnp.zeros((s, vocab), bool).at[
-                    rows_b, hs].max(is_prompt)
-
-            if spec_k:
-                from vllm_pq_tpu.layers.rejection import verify_and_sample
-                l3 = logits.reshape(s, k1, -1)
-                toks, gens = verify_and_sample(
-                    l3, f["drafts"].reshape(s, spec_k), f["num_drafts"],
-                    state, step_key, all_greedy=greedy)
-                lp_src, lp_tok = l3[:, 0], toks[:, 0]
-            else:
-                toks = sample(logits, state, step_key, all_greedy=greedy,
-                              counts=counts, prompt_mask=prompt_mask)
-                gens = None
-                lp_src, lp_tok = logits, toks
-            if num_logprobs > 0:
-                lp = compute_logprobs(lp_src, lp_tok, num_logprobs)
-            else:
-                lp = None
+            toks, gens, lp = self._sample_tail(
+                f, logits, step_key, greedy=greedy,
+                num_logprobs=num_logprobs, constrained=constrained,
+                penalized=penalized, spec_k=spec_k,
+                mask_words=mask_words)
             return toks, gens, lp, plp, new_caches
 
         return jax.jit(step, donate_argnums=(1,))
+
+    def _sample_tail(self, f, logits, step_key, *, greedy: bool,
+                     num_logprobs: int, constrained: bool,
+                     penalized: bool, spec_k: int, mask_words: int):
+        """Constraint masking + sampling state + (spec-verify or)
+        sampling + logprobs — traced inside a step jit; shared by the
+        dense and pipeline-parallel step functions."""
+        s = self.max_num_reqs
+        k1 = spec_k + 1
+        vocab = self.model.cfg.vocab_size
+        if constrained:
+            # allowed-token bitmask + additive logit bias (guided
+            # decoding / allowed_token_ids / bad_words / logit_bias)
+            bits = f["logits_mask"].astype(jnp.uint32).reshape(
+                s, mask_words)
+            mask = ((bits[:, :, None] >>
+                     jnp.arange(32, dtype=jnp.uint32)) & 1)
+            mask = mask.reshape(s, mask_words * 32)[:, :vocab] == 1
+            bias = jnp.zeros((s, vocab), jnp.float32).at[
+                f["bias_rows"], f["bias_toks"]].add(f["bias_vals"])
+            l3 = logits.reshape(s, k1, vocab)
+            l3 = jnp.where(mask[:, None, :], l3, -1e30)
+            l3 = l3 + bias[:, None, :]
+            logits = l3.reshape(s * k1, vocab) if spec_k else l3[:, 0]
+
+        state = SamplingState(
+            temperature=f["temperature"], top_k=f["top_k"],
+            top_p=f["top_p"], min_p=f["min_p"],
+            presence_penalty=f["presence_penalty"],
+            frequency_penalty=f["frequency_penalty"],
+            repetition_penalty=f["repetition_penalty"],
+            seed=f["seed"].astype(jnp.uint32),
+            has_seed=f["has_seed"].astype(bool),
+            eos_token_id=f["eos_token_id"],
+            min_tokens=f["min_tokens"], output_len=f["output_len"])
+
+        counts = prompt_mask = None
+        if penalized:
+            # token-occurrence counts + prompt-token mask for
+            # presence/frequency/repetition penalties (reference
+            # v1 sampler penalty path)
+            hist = f["token_hist"].reshape(s, self.max_model_len)
+            npromt = f["num_prompt"][:, None]
+            ntot = npromt + state.output_len[:, None]
+            lpos = jnp.arange(self.max_model_len,
+                              dtype=jnp.int32)[None, :]
+            rows_b = jnp.broadcast_to(
+                jnp.arange(s, dtype=jnp.int32)[:, None], hist.shape)
+            is_out = (lpos >= npromt) & (lpos < ntot)
+            is_prompt = lpos < npromt
+            hs = jnp.maximum(hist, 0)
+            counts = jnp.zeros((s, vocab), jnp.float32).at[
+                rows_b, hs].add(is_out.astype(jnp.float32))
+            prompt_mask = jnp.zeros((s, vocab), bool).at[
+                rows_b, hs].max(is_prompt)
+
+        if spec_k:
+            from vllm_pq_tpu.layers.rejection import verify_and_sample
+            l3 = logits.reshape(s, k1, -1)
+            toks, gens = verify_and_sample(
+                l3, f["drafts"].reshape(s, spec_k), f["num_drafts"],
+                state, step_key, all_greedy=greedy)
+            lp_src, lp_tok = l3[:, 0], toks[:, 0]
+        else:
+            toks = sample(logits, state, step_key, all_greedy=greedy,
+                          counts=counts, prompt_mask=prompt_mask)
+            gens = None
+            lp_src, lp_tok = logits, toks
+        if num_logprobs > 0:
+            lp = compute_logprobs(lp_src, lp_tok, num_logprobs)
+        else:
+            lp = None
+        return toks, gens, lp
 
     def debug_forward(self, inputs: Dict[str, jax.Array]):
         """Non-donating forward returning logits — tests/debug only."""
@@ -912,6 +1110,8 @@ class ModelRunner:
         """Enqueue the device step WITHOUT waiting for results. Returns
         an opaque handle for fetch_model (async scheduling splits the
         two around the next step's scheduling work)."""
+        if self.pp > 1:
+            return self._dispatch_pp(so, request_meta)
         self.update_states(so, request_meta)
         if so.total_num_scheduled_tokens == 0:
             return None
@@ -1058,6 +1258,10 @@ class ModelRunner:
         import time
         t0 = time.perf_counter()
         n = 0
+        if self.pp > 1:
+            # PP variants are keyed by (microbatch width, packing
+            # bucket); compile on demand
+            return
         for b in self.token_buckets:
             for decode_only in (False, True):
                 lay = self._layout(b, False)
@@ -1186,6 +1390,9 @@ class ModelRunner:
         for c in self.kv_caches:
             c.delete()
         self.kv_caches = []
+        if self.pp > 1 and getattr(self, "kv_stacked", None) is not None:
+            self.kv_stacked.delete()
+            self.kv_stacked = None
         self._asleep_level = level
         if level >= 2:
             self._host_params = jax.tree.map(
@@ -1199,11 +1406,17 @@ class ModelRunner:
                                              self.block_size, tp_size=1)
         kv_dtype = (jnp.bfloat16 if self.config.model.dtype == "bfloat16"
                     else jnp.float32)
-        self.kv_caches = [
-            jax.device_put(jnp.zeros(kv_shape, kv_dtype),
-                           NamedSharding(self.mesh, self.kv_spec))
-            for _ in range(self.model.cfg.num_hidden_layers)
-        ]
+        if self.pp > 1:
+            n_layers = self.model.cfg.num_hidden_layers
+            self.kv_stacked = jax.device_put(
+                jnp.zeros((n_layers,) + kv_shape, kv_dtype),
+                NamedSharding(self.mesh, self.kv_spec))
+        else:
+            self.kv_caches = [
+                jax.device_put(jnp.zeros(kv_shape, kv_dtype),
+                               NamedSharding(self.mesh, self.kv_spec))
+                for _ in range(self.model.cfg.num_hidden_layers)
+            ]
         if getattr(self, "_asleep_level", 1) >= 2 and self.params is None:
             specs = self.model.param_specs()
             self.params = jax.tree.map(

@@ -50,17 +50,26 @@ class Worker:
 
         tp = config.parallel.tensor_parallel_size
         dp = config.parallel.data_parallel_size
+        pp = config.parallel.pipeline_parallel_size
         off = config.parallel.device_offset
         devices = jax.devices()
-        need = tp * dp
+        need = tp * dp * pp
         if len(devices) < off + need:
             raise ValueError(
-                f"need devices [{off}, {off + need}) for tp={tp} dp={dp}, "
-                f"have {len(devices)}")
-        dev_array = np.array(devices[off:off + need]).reshape(dp, tp)
-        self.mesh = Mesh(dev_array, ("data", "model"))
+                f"need devices [{off}, {off + need}) for tp={tp} dp={dp} "
+                f"pp={pp}, have {len(devices)}")
+        if pp > 1:
+            # pipe axis between data and model: stage hops ride ICI
+            # neighbors, TP stays innermost (parallel/pipeline.py)
+            dev_array = np.array(devices[off:off + need]).reshape(
+                dp, pp, tp)
+            self.mesh = Mesh(dev_array, ("data", "pipe", "model"))
+        else:
+            dev_array = np.array(devices[off:off + need]).reshape(dp, tp)
+            self.mesh = Mesh(dev_array, ("data", "model"))
         self.platform = devices[0].platform
-        logger.info("mesh: %s on %s", dict(dp=dp, tp=tp), devices[0])
+        logger.info("mesh: %s on %s", dict(dp=dp, pp=pp, tp=tp),
+                    devices[0])
 
         self.model = None
         self.params = None
