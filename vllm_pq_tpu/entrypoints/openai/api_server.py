@@ -28,6 +28,8 @@ logger = init_logger(__name__)
 
 ENGINE_KEY = web.AppKey("engine", AsyncLLM)
 MODEL_KEY = web.AppKey("model_name", str)
+TOOL_PARSER_KEY = web.AppKey("tool_parser", str)
+REASONING_KEY = web.AppKey("reasoning_parser", object)
 MAX_LEN_KEY = web.AppKey("max_model_len", int)
 
 
@@ -391,24 +393,41 @@ async def chat_completions(request: web.Request) -> web.StreamResponse:
                                             "content": ""},
                                   "finish_reason": None}]}
             await resp.write(f"data: {json.dumps(first)}\n\n".encode())
+            reasoning_name = request.app[REASONING_KEY]
+            splitter = None
+            if reasoning_name:
+                from vllm_pq_tpu.entrypoints.openai.reasoning_parsers \
+                    import StreamingReasoningSplitter
+                splitter = StreamingReasoningSplitter(reasoning_name)
+
+            async def emit(delta_obj, finish=None):
+                chunk = {
+                    "id": rid, "object": "chat.completion.chunk",
+                    "created": int(time.time()), "model": model_name,
+                    "choices": [{"index": 0, "delta": delta_obj,
+                                 "finish_reason": finish}]}
+                await resp.write(
+                    f"data: {json.dumps(chunk)}\n\n".encode())
+
             sent = 0
             async for out in engine.generate(prompt, sp, rid,
                                              lora_request=lora_req):
                 c = out.outputs[0]
                 delta = c.text[sent:]
                 sent = len(c.text)
-                if delta or out.finished:
-                    chunk = {
-                        "id": rid, "object": "chat.completion.chunk",
-                        "created": int(time.time()), "model": model_name,
-                        "choices": [{"index": 0,
-                                     "delta": ({"content": delta}
-                                               if delta else {}),
-                                     "finish_reason":
-                                     c.finish_reason if out.finished
-                                     else None}]}
-                    await resp.write(
-                        f"data: {json.dumps(chunk)}\n\n".encode())
+                fin = c.finish_reason if out.finished else None
+                if splitter is not None:
+                    r_d, c_d = splitter.feed(delta)
+                    if out.finished:
+                        r2, c2 = splitter.flush()
+                        r_d, c_d = r_d + r2, c_d + c2
+                    if r_d:
+                        await emit({"reasoning_content": r_d},
+                                   None if c_d else fin)
+                    if c_d or (out.finished and not r_d):
+                        await emit({"content": c_d} if c_d else {}, fin)
+                elif delta or out.finished:
+                    await emit({"content": delta} if delta else {}, fin)
             await resp.write(b"data: [DONE]\n\n")
             await resp.write_eof()
             return resp
@@ -419,17 +438,27 @@ async def chat_completions(request: web.Request) -> web.StreamResponse:
             if out.finished:
                 final = out
         c = final.outputs[0]
-        message = {"role": "assistant", "content": c.text}
+        text = c.text
+        reasoning = None
+        if request.app[REASONING_KEY]:
+            from vllm_pq_tpu.entrypoints.openai.reasoning_parsers import \
+                extract_reasoning
+            reasoning, text = extract_reasoning(
+                text, request.app[REASONING_KEY])
+        message = {"role": "assistant", "content": text}
         finish_reason = c.finish_reason
         if tools and tool_choice != "none":
             from vllm_pq_tpu.entrypoints.openai.tool_parsers import \
                 parse_tool_calls
-            content, calls = parse_tool_calls(c.text)
+            content, calls = parse_tool_calls(
+                text, request.app[TOOL_PARSER_KEY])
             if calls:
                 message = {"role": "assistant",
                            "content": content or None,
                            "tool_calls": calls}
                 finish_reason = "tool_calls"
+        if reasoning:
+            message["reasoning_content"] = reasoning
         return web.json_response({
             "id": rid, "object": "chat.completion",
             "created": int(time.time()), "model": model_name,
@@ -500,7 +529,9 @@ async def request_id_middleware(request: web.Request, handler):
 
 
 def build_app(engine: AsyncLLM, model_name: str, max_model_len: int,
-              api_key: Optional[str] = None) -> web.Application:
+              api_key: Optional[str] = None,
+              tool_parser: str = "auto",
+              reasoning_parser: Optional[str] = None) -> web.Application:
     middlewares = [request_id_middleware]
     if api_key:
         @web.middleware
@@ -518,6 +549,8 @@ def build_app(engine: AsyncLLM, model_name: str, max_model_len: int,
     app[ENGINE_KEY] = engine
     app[MODEL_KEY] = model_name
     app[MAX_LEN_KEY] = max_model_len
+    app[TOOL_PARSER_KEY] = tool_parser
+    app[REASONING_KEY] = reasoning_parser
     app.router.add_get("/health", health)
     app.router.add_get("/ping", ping)
     app.router.add_post("/ping", ping)
@@ -549,6 +582,21 @@ def make_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--lora-modules", nargs="*", default=None,
                         metavar="NAME=PATH",
                         help="PEFT adapters served by model name")
+    from vllm_pq_tpu.entrypoints.openai.tool_parsers import \
+        tool_parser_names
+    parser.add_argument("--tool-call-parser", default="auto",
+                        choices=tool_parser_names(),
+                        help="tool-call output format of the served "
+                        "model (reference --tool-call-parser)")
+    from vllm_pq_tpu.entrypoints.openai.reasoning_parsers import \
+        reasoning_parser_names
+    parser.add_argument("--reasoning-parser", default=None,
+                        choices=reasoning_parser_names(),
+                        help="split chain-of-thought into "
+                        "reasoning_content (reference --reasoning-parser)")
+    parser.add_argument("--enable-reasoning", action="store_true",
+                        help="enable reasoning extraction (defaults the "
+                        "parser to deepseek_r1)")
     EngineArgs.add_cli_args(parser)
     return parser
 
@@ -564,8 +612,13 @@ def run_server(args) -> None:
         engine.add_lora_adapter(lname, lpath)
         logger.info("installed LoRA adapter %s from %s", lname, lpath)
     name = args.served_model_name or args.model
+    reasoning = args.reasoning_parser or (
+        "deepseek_r1" if getattr(args, "enable_reasoning", False)
+        else None)
     app = build_app(engine, name, engine_args.max_model_len,
-                    api_key=args.api_key)
+                    api_key=args.api_key,
+                    tool_parser=args.tool_call_parser,
+                    reasoning_parser=reasoning)
     logger.info("serving %s on %s:%d", name, args.host, args.port)
     web.run_app(app, host=args.host, port=args.port, print=None)
 

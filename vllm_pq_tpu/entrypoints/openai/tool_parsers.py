@@ -1,11 +1,14 @@
 """Tool-call output parsers (role of reference
-``entrypoints/openai/tool_parsers/`` — 10 model-specific parsers; here
-the two common formats cover the families this engine serves):
+``entrypoints/openai/tool_parsers/`` — 10 model-specific parsers):
 
 - hermes: ``<tool_call>{"name": ..., "arguments": {...}}</tool_call>``
   (Qwen2, Hermes finetunes)
+- mistral: ``[TOOL_CALLS] [{"name": ..., "arguments": {...}}, ...]``
+- llama3_json: bare ``{"name": ..., "parameters": {...}}`` objects,
+  optionally behind ``<|python_tag|>``, ``;``-separated for parallel
+  calls (reference llama3_json parser)
 - json: the whole completion is one JSON object (or array of objects)
-  with name/arguments — the mistral-style and guided-decoding format.
+  with name/arguments — the guided-decoding format.
 
 ``parse_tool_calls(text, parser)`` returns (content, tool_calls) where
 tool_calls is a list of OpenAI tool_call dicts, empty when none found.
@@ -18,6 +21,12 @@ from typing import List, Optional, Tuple
 
 _HERMES_RE = re.compile(r"<tool_call>\s*(\{.*?\})\s*</tool_call>",
                         re.DOTALL)
+_MISTRAL_RE = re.compile(r"\[TOOL_CALLS\]\s*(\[.*\])", re.DOTALL)
+_PYTHON_TAG = "<|python_tag|>"
+
+
+def tool_parser_names():
+    return ["auto", "hermes", "mistral", "llama3_json", "json"]
 
 
 def _mk_call(name: str, arguments) -> dict:
@@ -37,6 +46,23 @@ def _from_obj(obj) -> Optional[dict]:
     return None
 
 
+def _parse_json_objects(text: str) -> Optional[List[dict]]:
+    """One or more ';'-separated JSON tool objects (llama3_json)."""
+    calls = []
+    for part in text.split(";"):
+        part = part.strip()
+        if not part:
+            continue
+        try:
+            call = _from_obj(json.loads(part))
+        except json.JSONDecodeError:
+            return None
+        if call is None:
+            return None
+        calls.append(call)
+    return calls or None
+
+
 def parse_tool_calls(text: str, parser: str = "auto"
                      ) -> Tuple[str, List[dict]]:
     calls: List[dict] = []
@@ -54,6 +80,32 @@ def parse_tool_calls(text: str, parser: str = "auto"
         if calls:
             content = _HERMES_RE.sub("", text).strip()
             return content, calls
+
+    if parser in ("mistral", "auto"):
+        m = _MISTRAL_RE.search(text)
+        if m:
+            try:
+                arr = json.loads(m.group(1))
+            except json.JSONDecodeError:
+                arr = None
+            if isinstance(arr, list):
+                parsed = [_from_obj(o) for o in arr]
+                if parsed and all(parsed):
+                    content = (text[:m.start()] +
+                               text[m.end():]).strip()
+                    return content, parsed
+
+    if parser in ("llama3_json", "auto"):
+        body = text.strip()
+        if _PYTHON_TAG in body:
+            pre, _, body = body.partition(_PYTHON_TAG)
+        else:
+            pre = ""
+        body = body.strip()
+        if body.startswith("{"):
+            parsed = _parse_json_objects(body)
+            if parsed:
+                return pre.strip(), parsed
 
     if parser in ("json", "auto"):
         stripped = text.strip()
