@@ -109,3 +109,29 @@ def test_starcoder2_matches_hf(tmp_path):
     d = tmp_path / "starcoder2"
     hf.save_pretrained(d, safe_serialization=True)
     _compare(hf, _llm(d))
+
+
+@pytest.mark.parametrize("kind", ["7b_mqa", "40b_gqa", "rw_serial"])
+def test_falcon_matches_hf(tmp_path, kind):
+    from transformers import FalconConfig, FalconForCausalLM
+    kw = dict(vocab_size=512, hidden_size=64, num_hidden_layers=3,
+              num_attention_heads=4, layer_norm_epsilon=1e-5,
+              bias=False, alibi=False, rope_theta=10000.0,
+              max_position_embeddings=256, tie_word_embeddings=True,
+              hidden_dropout=0.0, attention_dropout=0.0)
+    if kind == "7b_mqa":
+        kw.update(multi_query=True, parallel_attn=True,
+                  new_decoder_architecture=False)
+    elif kind == "40b_gqa":
+        kw.update(multi_query=True, parallel_attn=True,
+                  new_decoder_architecture=True, num_kv_heads=2)
+    else:  # falcon-rw style: per-head fused qkv, serial residual
+        kw.update(multi_query=False, parallel_attn=False,
+                  new_decoder_architecture=False, bias=True)
+    cfg = FalconConfig(**kw)
+    torch.manual_seed(hash(kind) % 2**31)
+    hf = FalconForCausalLM(cfg).eval().float()
+    hf.generation_config.eos_token_id = None
+    d = tmp_path / f"falcon_{kind}"
+    hf.save_pretrained(d, safe_serialization=True)
+    _compare(hf, _llm(d))

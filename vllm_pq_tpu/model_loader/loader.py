@@ -153,6 +153,63 @@ def _load_llava_vision(tower: dict, model, rest: str,
         logger.warning("unmapped LLaVA vision weight %s", rest)
 
 
+def _load_falcon_weight(tree, cfg, shapes, linear_method, name,
+                        tensor) -> None:
+    from vllm_pq_tpu.quantization.methods import UnquantizedLinearMethod
+
+    def put_linear(L, ours, w):
+        L[ours] = (linear_method.quantize(w, np.float32)
+                   if not isinstance(linear_method,
+                                     UnquantizedLinearMethod)
+                   else {"weight": w})
+
+    rest = name.split("transformer.", 1)[1]
+    if rest == "word_embeddings.weight":
+        tree["embed_tokens"]["weight"] = tensor
+        return
+    if rest.startswith("ln_f."):
+        tree["norm"][rest.split(".")[-1]] = tensor
+        return
+    parts = rest.split(".")
+    li = int(parts[1])
+    sub = ".".join(parts[2:-1])
+    leaf = parts[-1]
+    L = tree["layers"][li]
+    heads, kvh = cfg.num_attention_heads, cfg.num_key_value_heads
+    d = cfg.head_dim
+    qpk = heads // kvh
+    if sub == "self_attention.query_key_value":
+        w = tensor.reshape(kvh, qpk + 2, d, *tensor.shape[1:])
+        pieces = {"q_proj": w[:, :qpk].reshape(heads * d,
+                                               *tensor.shape[1:]),
+                  "k_proj": w[:, -2].reshape(kvh * d, *tensor.shape[1:]),
+                  "v_proj": w[:, -1].reshape(kvh * d, *tensor.shape[1:])}
+        for ours, piece in pieces.items():
+            if leaf == "bias":
+                L[ours + "_bias"] = {"bias": piece}
+            else:
+                put_linear(L, ours, piece.T)
+        return
+    fmap = {"self_attention.dense": "o_proj",
+            "mlp.dense_h_to_4h": "up_proj",
+            "mlp.dense_4h_to_h": "down_proj",
+            "input_layernorm": "input_layernorm",
+            "ln_attn": "input_layernorm",
+            "ln_mlp": "post_attention_layernorm",
+            "post_attention_layernorm": "post_attention_layernorm"}
+    ours = fmap.get(sub)
+    if ours is None:
+        if "rotary" not in sub:
+            logger.warning("unmapped Falcon weight %s", name)
+        return
+    if "layernorm" in ours:
+        L.setdefault(ours, {})[leaf] = tensor
+    elif leaf == "bias":
+        L[ours + "_bias"] = {"bias": tensor}
+    else:
+        put_linear(L, ours, tensor.T)
+
+
 def load_hf(model, mesh: Mesh, model_dir: str,
             linear_method: LinearMethod) -> Any:
     """Load a local HF checkpoint directory into the model's param tree."""
@@ -197,8 +254,19 @@ def load_hf(model, mesh: Mesh, model_dir: str,
                  "mlp.c_proj": "mlp_c_proj", "ln_1": "ln_1",
                  "ln_2": "ln_2"}
 
+    is_gpt2 = model.__class__.__name__ == "GPT2Model"
     for name, tensor in _iter_safetensors(model_dir):
         tensor = np.asarray(tensor)
+        if not is_gpt2 and (name.startswith("transformer.word_embeddings")
+                            or name.startswith("transformer.h.")
+                            or name.startswith("transformer.ln_f.")):
+            # Falcon family (generalized llama decoder, registry
+            # _build_falcon). Fused query_key_value is grouped per kv
+            # head: [kvh, q_per_kv + 2, d, hidden] — covering 7B MQA
+            # (kvh=1), 40B GQA and RW-1B per-head interleaved (kvh=H).
+            _load_falcon_weight(tree, cfg, shapes, linear_method,
+                                name, tensor)
+            continue
         if is_llava:
             # LLaVA composition (models/llava.py): LM weights carry a
             # language_model. prefix (strip and fall through to the

@@ -265,6 +265,53 @@ def _build_starcoder2(hf_config, config: EngineConfig, linear_method):
     return LlamaModel(mc, linear_method)
 
 
+@register_model("FalconForCausalLM", "RWForCausalLM")
+def _build_falcon(hf_config, config: EngineConfig, linear_method):
+    # Falcon-7B: MQA + parallel residual with a single shared input
+    # norm; Falcon-40B (new_decoder_arch): GQA + separate ln_attn /
+    # ln_mlp (reference models/falcon.py)
+    from vllm_pq_tpu.models.llama import LlamaConfig, LlamaModel
+    h = getattr(hf_config, "hidden_size", 4544)
+    heads = getattr(hf_config, "num_attention_heads",
+                    getattr(hf_config, "n_head", 71))
+    new_arch = getattr(hf_config, "new_decoder_architecture",
+                       getattr(hf_config, "new_decoder_arch", False))
+    if new_arch:
+        kvh = getattr(hf_config, "num_kv_heads", heads)
+    elif getattr(hf_config, "multi_query", True):
+        kvh = 1
+    else:
+        kvh = heads
+    mc = LlamaConfig(
+        vocab_size=hf_config.vocab_size,
+        hidden_size=h,
+        intermediate_size=getattr(hf_config, "ffn_hidden_size", 4 * h),
+        num_hidden_layers=getattr(hf_config, "num_hidden_layers",
+                                  getattr(hf_config, "n_layer", 32)),
+        num_attention_heads=heads,
+        num_key_value_heads=kvh,
+        rms_norm_eps=getattr(hf_config, "layer_norm_epsilon", 1e-5),
+        rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+        max_position_embeddings=getattr(hf_config,
+                                        "max_position_embeddings", 2048),
+        tie_word_embeddings=getattr(hf_config, "tie_word_embeddings",
+                                    True),
+    )
+    mc.norm_type = "layernorm"
+    mc.mlp_style = "mlp"
+    mc.hidden_act = "gelu"
+    mc.parallel_residual = getattr(hf_config, "parallel_attn", True)
+    # 7B shares one input norm between attn and mlp; 40B has ln_attn +
+    # ln_mlp (mapped to input/post_attention layernorm)
+    mc.shared_input_norm = mc.parallel_residual and not new_arch
+    use_bias = getattr(hf_config, "bias", False)
+    mc.attention_bias = use_bias
+    mc.o_proj_bias = use_bias
+    mc.mlp_bias = use_bias
+    mc.dtype = config.model.jax_dtype
+    return LlamaModel(mc, linear_method)
+
+
 @register_model("Qwen2MoeForCausalLM")
 def _build_qwen2_moe(hf_config, config: EngineConfig, linear_method):
     from vllm_pq_tpu.models.qwen2_moe import Qwen2MoeConfig, Qwen2MoeModel
