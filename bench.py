@@ -65,6 +65,11 @@ def main():
               # ~14 ms/step (donation copies scale with pool size)
               num_kv_blocks=batch * (256 // 16) + 64 if on_tpu else None,
               enable_prefix_caching=True,
+              # multi-step windows (N fused decode iterations per
+              # dispatch) amortize per-dispatch overhead AND the PQ
+              # window dequant; composed with lag-1 async scheduling so
+              # the host schedules window i+1 while window i runs
+              num_scheduler_steps=24 if on_tpu else 1,
               # lag-1 async scheduling: dispatch step i+1 before fetching
               # step i (hides dispatch + d2h latency)
               async_scheduling=True)

@@ -1,0 +1,299 @@
+"""Per-kernel microbenchmarks: decode attention, PQ matmul, KV write,
+full fused step. The regression table lives in BENCHMARKS.md; run this on
+the real chip after touching any hot kernel.
+
+Role of the reference's kernel benches (``benchmarks/kernels/``) rebuilt
+for the TPU hot ops.
+
+Usage:
+  python benchmarks/microbench.py attn   [--batch 256] [--ctx 128]
+  python benchmarks/microbench.py pq     [--tokens 256]
+  python benchmarks/microbench.py kvw    [--batch 256]
+  python benchmarks/microbench.py step   [--batch 256] [--pool-blocks N]
+  python benchmarks/microbench.py all
+"""
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# TinyLlama-1.1B shapes (BASELINE.md staged config #2)
+LAYERS = 22
+HIDDEN = 2048
+INTER = 5632
+HQ, KVH, D = 32, 4, 64
+VOCAB = 32000
+PAGE = 16
+HBM_BW = 819e9  # v5e
+
+
+_SYNC_LAT = None
+
+
+def _sync(out):
+    """Force completion of everything enqueued before ``out``.
+
+    Under the axon tunnel ``block_until_ready`` returns at enqueue time;
+    only a device->host transfer actually waits for execution (TPU
+    executes one stream in order, so fetching ``out`` fences the queue).
+    """
+    leaf = jax.tree.leaves(out)[0]
+    np.asarray(jax.device_get(jnp.ravel(leaf)[:1]))
+
+
+def _sync_latency() -> float:
+    """One-time measurement of the d2h round-trip latency to subtract."""
+    global _SYNC_LAT
+    if _SYNC_LAT is None:
+        x = jnp.zeros((8,), jnp.float32) + 1
+        _sync(x)
+        t0 = time.perf_counter()
+        for _ in range(10):
+            _sync(x)
+        _SYNC_LAT = (time.perf_counter() - t0) / 10
+    return _SYNC_LAT
+
+
+def _timeit(fn, *args, iters=30, warmup=3):
+    lat = _sync_latency()
+    out = None
+    for _ in range(warmup):
+        out = fn(*args)
+    _sync(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    _sync(out)
+    return max((time.perf_counter() - t0 - lat) / iters, 0.0)
+
+
+def bench_attn(batch: int, ctx: int, pool_pages: int = 0):
+    """Decode attention, 22-layer chain: pallas kernel vs XLA gather."""
+    from vllm_pq_tpu.ops.attention import xla_decode_attention
+    from vllm_pq_tpu.ops import rpa_kernel
+
+    rng = np.random.default_rng(0)
+    pages_per_seq = max(8, -(-ctx // PAGE))
+    pages_per_seq = 1 << (pages_per_seq - 1).bit_length()
+    n_pages = pool_pages or (batch * pages_per_seq + 64)
+    kv = jnp.asarray(rng.standard_normal(
+        (n_pages, PAGE, 2 * KVH, D)).astype(np.float32),
+        dtype=jnp.bfloat16)
+    q = jnp.asarray(rng.standard_normal(
+        (batch, HQ, D)).astype(np.float32), dtype=jnp.bfloat16)
+    kv_lens = jnp.full((batch,), ctx, jnp.int32)
+    pi = rng.permutation(n_pages - 1)[:batch * pages_per_seq] + 1
+    page_indices = jnp.asarray(pi.reshape(batch, pages_per_seq)
+                               .astype(np.int32))
+    # null-pad pages beyond ctx
+    used = -(-ctx // PAGE)
+    page_indices = page_indices.at[:, used:].set(0)
+    cu = jnp.arange(batch + 1, dtype=jnp.int32)
+    ns = jnp.asarray([batch], jnp.int32)
+    sm = 1.0 / np.sqrt(D)
+
+    @jax.jit
+    def chain_pallas(q, kv):
+        o = q
+        for _ in range(LAYERS):
+            o = rpa_kernel.ragged_paged_attention_pallas(
+                o, kv, kv_lens, page_indices, cu, ns, sm_scale=sm,
+                decode_mode=True)
+        return o
+
+    @functools.partial(jax.jit, static_argnames=("np_",))
+    def chain_xla(q, kv, np_):
+        o = q
+        for _ in range(LAYERS):
+            o = xla_decode_attention(o, kv, kv_lens, page_indices,
+                                     n_pages=np_, sm_scale=sm)
+        return o
+
+    # bytes the chain must read: live KV
+    kv_bytes = LAYERS * batch * ctx * 2 * KVH * D * 2
+    roof = kv_bytes / HBM_BW
+    res = {}
+    try:
+        t = _timeit(chain_pallas, q, kv)
+        res["pallas_ms"] = round(t * 1e3, 3)
+    except Exception as e:  # noqa
+        res["pallas_ms"] = f"ERR {type(e).__name__}"
+    t = _timeit(functools.partial(chain_xla, np_=used), q, kv)
+    res["xla_gather_ms"] = round(t * 1e3, 3)
+    res.update(batch=batch, ctx=ctx, kv_mb=round(kv_bytes / 2**20, 1),
+               roofline_ms=round(roof * 1e3, 3))
+    print("attn", json.dumps(res))
+    return res
+
+
+def bench_pq(tokens: int, nbits: int = 8, m: int = 2):
+    """PQ dequant-matmul across one full TinyLlama layer stack of
+    linears (qkv+o+gate+up+down per layer x 22)."""
+    from vllm_pq_tpu.ops.pq_matmul import (pq_dequant_matmul_pallas,
+                                           pq_matmul_xla)
+    g = 8
+    c = 2 ** nbits
+    shapes = [(HIDDEN, HQ * D + 2 * KVH * D),   # fused qkv
+              (HQ * D, HIDDEN),                 # o
+              (HIDDEN, 2 * INTER),              # gate|up
+              (INTER, HIDDEN)]                  # down
+    rng = np.random.default_rng(0)
+    # distinct weights per layer (shared arrays would be CSE'd by XLA)
+    stack = []
+    codes_bytes = 0
+    code_dt = np.uint8 if nbits == 8 else np.int16  # stored codes
+    for _ in range(LAYERS):
+        layers = []
+        for (i, o) in shapes:
+            codes = rng.integers(0, c, (m, i // g, o)).astype(code_dt)
+            cb = rng.standard_normal((m, c, g)).astype(np.float32)
+            sc = rng.standard_normal((o,)).astype(np.float32) * 0.01
+            layers.append((jnp.asarray(codes), jnp.asarray(cb),
+                           jnp.asarray(sc)))
+            codes_bytes += codes.size * codes.itemsize
+        stack.append(layers)
+
+    xs = [jnp.asarray(rng.standard_normal((tokens, i)).astype(np.float32),
+                      dtype=jnp.bfloat16) for (i, _) in shapes]
+
+    def chain(fn):
+        @jax.jit
+        def run(xs, stack):
+            acc = jnp.zeros((), jnp.float32)
+            for layers in stack:
+                for x, (codes, cb, sc) in zip(xs, layers):
+                    # full-output reduction so nothing is DCE'd
+                    acc = acc + fn(x, codes, cb, sc).astype(
+                        jnp.float32).sum()
+            return acc
+        return run
+
+    roof = codes_bytes / HBM_BW
+    res = {"tokens": tokens, "nbits": nbits, "m": m,
+           "codes_mb": round(codes_bytes / 2**20, 1),
+           "roofline_ms": round(roof * 1e3, 3)}
+    if nbits == 8:
+        try:
+            t = _timeit(chain(pq_dequant_matmul_pallas), xs, stack)
+            res["pallas_ms"] = round(t * 1e3, 3)
+        except Exception as e:  # noqa
+            res["pallas_ms"] = f"ERR {type(e).__name__}: {e}"
+    try:
+        from vllm_pq_tpu.ops.pq_matmul import pq_matmul
+        t = _timeit(chain(pq_matmul), xs, stack)
+        res["dispatch_ms"] = round(t * 1e3, 3)
+    except Exception as e:  # noqa
+        res["dispatch_ms"] = f"ERR {type(e).__name__}: {e}"
+    try:
+        t = _timeit(chain(pq_matmul_xla), xs, stack)
+        res["xla_ms"] = round(t * 1e3, 3)
+    except Exception as e:  # noqa
+        res["xla_ms"] = f"ERR {type(e).__name__}: {e}"
+    print("pq", json.dumps(res))
+    return res
+
+
+def bench_kvw(batch: int, pool_pages: int = 4160):
+    from vllm_pq_tpu.ops.attention import write_kv_cache
+    rng = np.random.default_rng(0)
+    kv = jnp.zeros((pool_pages, PAGE, 2 * KVH, D), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((batch, KVH, D)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((batch, KVH, D)), jnp.bfloat16)
+    slots = jnp.asarray(
+        rng.choice(pool_pages * PAGE, batch, replace=False).astype(np.int32))
+
+    @jax.jit
+    def chain(kv, k, v, slots):
+        for _ in range(LAYERS):
+            kv = write_kv_cache(kv, k, v, slots)
+        return kv
+
+    t = _timeit(chain, kv, k, v, slots)
+    print("kvw", json.dumps({
+        "batch": batch, "pool_pages": pool_pages,
+        "chain_ms": round(t * 1e3, 3)}))
+
+
+def bench_step(batch: int, pool_blocks: int = 0, backend: str = ""):
+    """Full fused decode step through the real engine (one chip)."""
+    if backend:
+        os.environ["VPQ_ATTENTION_BACKEND"] = backend
+    import tempfile
+
+    from vllm_pq_tpu import LLM, SamplingParams
+    on_tpu = jax.devices()[0].platform == "tpu"
+    model_cfg = {
+        "architectures": ["LlamaForCausalLM"],
+        "vocab_size": VOCAB, "hidden_size": HIDDEN,
+        "intermediate_size": INTER, "num_hidden_layers": LAYERS,
+        "num_attention_heads": HQ, "num_key_value_heads": KVH,
+        "rms_norm_eps": 1e-5, "max_position_embeddings": 2048,
+    }
+    d = tempfile.mkdtemp()
+    with open(os.path.join(d, "config.json"), "w") as f:
+        json.dump(model_cfg, f)
+    pool = pool_blocks or batch * (256 // PAGE) + 64
+    llm = LLM(model=d, load_format="dummy", dtype="bfloat16",
+              quantization="pq", max_model_len=256, max_num_seqs=batch,
+              max_num_batched_tokens=2048, block_size=PAGE,
+              num_kv_blocks=pool, enable_prefix_caching=True)
+    rng = np.random.default_rng(0)
+    prompts = [{"prompt_token_ids":
+                rng.integers(10, VOCAB - 10, 32).tolist()}
+               for _ in range(batch)]
+    sp = SamplingParams(temperature=0.0, max_tokens=128, ignore_eos=True)
+    eng = llm.llm_engine
+    for i, p in enumerate(prompts):
+        eng.add_request(f"b{i}", p, sp)
+    while True:
+        sched = eng.engine_core.scheduler
+        if (len(sched.waiting) == 0 and sched.running and
+                all(r.num_computed_tokens >= r.num_prompt_tokens
+                    for r in sched.running)):
+            break
+        eng.step()
+    for _ in range(4):
+        eng.step()
+    n_steps = 40
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        eng.step()
+    dt = (time.perf_counter() - t0) / n_steps
+    print("step", json.dumps({
+        "batch": batch, "pool_blocks": pool, "backend": backend or "default",
+        "step_ms": round(dt * 1e3, 2),
+        "tok_s": round(batch / dt, 1)}))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("which", choices=["attn", "pq", "kvw", "step", "all"])
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--ctx", type=int, default=128)
+    ap.add_argument("--tokens", type=int, default=256)
+    ap.add_argument("--nbits", type=int, default=8)
+    ap.add_argument("--m", type=int, default=2)
+    ap.add_argument("--pool-blocks", type=int, default=0)
+    ap.add_argument("--backend", default="")
+    args = ap.parse_args()
+    if args.which in ("attn", "all"):
+        bench_attn(args.batch, args.ctx)
+    if args.which in ("pq", "all"):
+        bench_pq(args.tokens, args.nbits, args.m)
+    if args.which in ("kvw", "all"):
+        bench_kvw(args.batch)
+    if args.which == "step":
+        bench_step(args.batch, args.pool_blocks, args.backend)
+
+
+if __name__ == "__main__":
+    main()

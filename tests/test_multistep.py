@@ -112,3 +112,49 @@ def test_multistep_mixed_arrivals(tiny_model_dir):
                 results[o.request_id] = o.outputs[0].token_ids
     assert results["a"] == ref[0]
     assert results["b"] == ref[1]
+
+
+def test_multistep_async_composition(tiny_model_dir):
+    """Round-2: multi-step windows composed with lag-1 async scheduling
+    (the runner resolves window-0 input tokens on device from the
+    previous dispatch's samples) must stay token-exact vs plain
+    single-step sync execution."""
+    from vllm_pq_tpu import SamplingParams
+    sp = SamplingParams(temperature=0.0, max_tokens=21, ignore_eos=True)
+    prompts = [{"prompt_token_ids": [7, 8, 9, 10, 11]},
+               {"prompt_token_ids": [3, 4, 5]},
+               {"prompt_token_ids": [100, 101, 102, 103, 104, 105, 106]}]
+    ref = _gen(tiny_model_dir, sp, prompts)
+    got = _gen(tiny_model_dir, sp, prompts, num_scheduler_steps=4,
+               async_scheduling=True)
+    assert got == ref
+
+
+def test_multistep_async_eos_mid_window(tiny_model_dir):
+    """EOS inside a fused window under async scheduling truncates the
+    window's remaining tokens, matching sync stop behavior."""
+    from vllm_pq_tpu import SamplingParams
+    prompts = [{"prompt_token_ids": [11, 12, 13, 14]},
+               {"prompt_token_ids": [40, 41, 42]}]
+    # discover each prompt's greedy stream, pick a token mid-stream as a
+    # stop token so the stop fires inside a window
+    sp0 = SamplingParams(temperature=0.0, max_tokens=12, ignore_eos=True)
+    base = _gen(tiny_model_dir, sp0, prompts)
+    stop_tok = base[0][6]
+    sp = SamplingParams(temperature=0.0, max_tokens=12,
+                        stop_token_ids=[stop_tok])
+    ref = _gen(tiny_model_dir, sp, prompts)
+    got = _gen(tiny_model_dir, sp, prompts, num_scheduler_steps=4,
+               async_scheduling=True)
+    assert got == ref
+
+
+def test_multistep_async_max_tokens_tail(tiny_model_dir):
+    """max_tokens not a multiple of N under async multi-step."""
+    from vllm_pq_tpu import SamplingParams
+    sp = SamplingParams(temperature=0.0, max_tokens=10, ignore_eos=True)
+    prompts = [{"prompt_token_ids": [1, 2, 3]}]
+    ref = _gen(tiny_model_dir, sp, prompts)
+    got = _gen(tiny_model_dir, sp, prompts, num_scheduler_steps=4,
+               async_scheduling=True)
+    assert got == ref

@@ -287,11 +287,9 @@ class EngineConfig:
             logger.warning("speculative decoding and multi-step decoding "
                            "are mutually exclusive; disabling multi-step")
             self.scheduler.num_scheduler_steps = 1
-        if (self.scheduler.async_scheduling
-                and (self.scheduler.num_scheduler_steps > 1
-                     or self.speculative.enabled)):
-            logger.warning("async scheduling is exclusive with multi-step"
-                           "/speculative decoding; disabling async")
+        if self.scheduler.async_scheduling and self.speculative.enabled:
+            logger.warning("async scheduling is exclusive with "
+                           "speculative decoding; disabling async")
             self.scheduler.async_scheduling = False
 
     @property

@@ -382,7 +382,10 @@ class Scheduler:
         n = self.config.num_scheduler_steps
         if n <= 1 or self.waiting or not self.running:
             return None
-        if n * len(self.running) > self.max_num_batched_tokens:
+        # the device executes the window one iteration at a time, so the
+        # per-dispatch width is len(running) tokens — N does not inflate
+        # the compiled batch (the N x S accounting is host-side only)
+        if len(self.running) > self.max_num_batched_tokens:
             return None
         for r in self.running:
             sp = r.sampling_params

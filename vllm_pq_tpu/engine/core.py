@@ -219,20 +219,27 @@ class EngineCore:
 
     def _advance_optimistic(self, so) -> List[str]:
         """Advance num_computed_tokens at schedule time and append a
-        placeholder for every row that samples this step; rows that hit
-        their caps stop being scheduled (moved out of running) until
-        their finalize concludes them."""
+        placeholder for every token sampled this step (N per row for a
+        multi-step window); rows that hit their caps stop being
+        scheduled (moved out of running) until their finalize concludes
+        them."""
         sched = self.scheduler
+        multistep = so.num_scheduler_steps > 1
         sampling = []
         for rid, nt in so.num_scheduled_tokens.items():
             req = sched.requests.get(rid)
             if req is None:
                 continue
-            will_sample = req.num_computed_tokens + nt >= req.num_tokens
+            if multistep:
+                n_sample = nt  # one sampled token per fused iteration
+            else:
+                n_sample = (1 if req.num_computed_tokens + nt
+                            >= req.num_tokens else 0)
             req.num_computed_tokens += nt
-            if not will_sample:
+            if not n_sample:
                 continue
-            req.append_output_token_ids(self.PLACEHOLDER)
+            for _ in range(n_sample):
+                req.append_output_token_ids(self.PLACEHOLDER)
             sampling.append(rid)
             if (req.num_output_tokens >= req.max_tokens
                     or req.num_tokens >= sched.max_model_len):
@@ -258,41 +265,51 @@ class EngineCore:
             sampled = runner_output.sampled_token_ids.get(rid)
             if not sampled:
                 continue
-            tok = sampled[0]
             toks = req._all_token_ids
-            try:
-                idx = toks.index(self.PLACEHOLDER, req.num_prompt_tokens)
-            except ValueError:
-                continue
-            toks[idx] = tok
-            real_out = idx - req.num_prompt_tokens + 1
-            if req.guided_fsm is not None:
-                req.guided_fsm.advance(tok)
-
             sp = req.sampling_params
-            finish = None
-            if (req.num_prompt_tokens + real_out >= sched.max_model_len
-                    or real_out >= req.max_tokens):
-                finish = RequestStatus.FINISHED_LENGTH_CAPPED
-            elif real_out >= sp.min_tokens:
-                if (not sp.ignore_eos and req.eos_token_id is not None
-                        and tok == req.eos_token_id):
-                    finish = RequestStatus.FINISHED_STOPPED
-                elif tok in sp.stop_token_ids:
-                    finish = RequestStatus.FINISHED_STOPPED
-                    req.stop_reason = tok
-
-            if finish is not None:
-                # discard any newer in-flight placeholders
-                del toks[idx + 1:]
-                req.status = finish
+            new_toks: List[int] = []
+            for tok in sampled:  # one entry, or N for a fused window
                 try:
-                    sched.running.remove(req)
+                    idx = toks.index(self.PLACEHOLDER,
+                                     req.num_prompt_tokens)
                 except ValueError:
-                    pass
-                sched._free_request(req)
+                    break
+                toks[idx] = tok
+                new_toks.append(tok)
+                real_out = idx - req.num_prompt_tokens + 1
+                if req.guided_fsm is not None:
+                    req.guided_fsm.advance(tok)
+
+                finish = None
+                if (req.num_prompt_tokens + real_out
+                        >= sched.max_model_len
+                        or real_out >= req.max_tokens):
+                    finish = RequestStatus.FINISHED_LENGTH_CAPPED
+                elif real_out >= sp.min_tokens:
+                    if (not sp.ignore_eos and req.eos_token_id is not None
+                            and tok == req.eos_token_id):
+                        finish = RequestStatus.FINISHED_STOPPED
+                    elif tok in sp.stop_token_ids:
+                        finish = RequestStatus.FINISHED_STOPPED
+                        req.stop_reason = tok
+
+                if finish is not None:
+                    # discard any newer in-flight placeholders and the
+                    # window's remaining (already computed) tokens
+                    del toks[idx + 1:]
+                    req.num_computed_tokens = min(
+                        req.num_computed_tokens, len(toks) - 1)
+                    req.status = finish
+                    try:
+                        sched.running.remove(req)
+                    except ValueError:
+                        pass
+                    sched._free_request(req)
+                    break
+            if not new_toks:
+                continue
             outputs.append(EngineCoreOutput(
-                req_id=rid, new_token_ids=[tok],
+                req_id=rid, new_token_ids=new_toks,
                 finish_reason=req.get_finish_reason(),
                 stop_reason=req.stop_reason,
                 logprobs=runner_output.logprobs.get(rid),

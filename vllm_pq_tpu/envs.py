@@ -35,6 +35,15 @@ environment_variables: Dict[str, Callable[[], Any]] = {
     # Disable latent-cache (absorbed) MLA for DeepSeek models; use the
     # decompressed per-head K/V path (role of reference VLLM_MLA_DISABLE).
     "VPQ_MLA_DISABLE": lambda: os.environ.get("VPQ_MLA_DISABLE", "0") == "1",
+    # Multi-step window dequant: "auto" (on when dense weights fit the
+    # budget), "1" (force on), "0" (off). PQ codes are dequantized to
+    # dense bf16 ONCE per N-step decode window (fused per-step dequant
+    # is VPU-gather-bound on TPU; dense matmuls run at the HBM roofline).
+    "VPQ_WINDOW_DEQUANT": lambda: os.environ.get(
+        "VPQ_WINDOW_DEQUANT", "auto"),
+    # Budget (GiB) for the dense window-dequant weights.
+    "VPQ_WINDOW_DEQUANT_MAX_GB": lambda: float(os.environ.get(
+        "VPQ_WINDOW_DEQUANT_MAX_GB", "6")),
 }
 
 

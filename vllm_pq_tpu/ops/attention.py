@@ -266,13 +266,18 @@ def ragged_paged_attention(q, kv_pages, kv_lens, page_indices, cu_q_lens,
             soft_cap=soft_cap)
     if not kernel_ok and backend != "ref":
         backend = "ref"
-    # decode dispatch: the Pallas decode kernel wins in-context on TPU
-    # (the XLA gather path is ~6x faster standalone but pays ~10ms/step
-    # inside the full fused step — layout/aliasing interactions with the
-    # donated cache); the gather path is the CPU decode default and TPU
-    # opt-in (VPQ_ATTENTION_BACKEND=xla) for A/B runs.
-    if decode_mode and (backend == "xla"
-                        or (not on_tpu and backend != "pallas")):
+    # decode dispatch: the XLA gather path IS the decode default. On
+    # v5e (round-2 microbench, benchmarks/microbench.py) the 22-layer
+    # decode chain at batch 256/ctx 128 measures 1.42 ms (1.6x the KV
+    # HBM roofline) vs 16.9 ms for the per-page-DMA Pallas kernel —
+    # Mosaic's per-page async-copy issue cost dominates a decode cell
+    # whose compute is tiny, exactly the failure mode VERDICT.md #2
+    # called out. (Round 1 kept the Pallas kernel based on an in-context
+    # comparison that turned out to be mismeasured: under the tunneled
+    # runtime block_until_ready returns at enqueue time, so short
+    # benchmarks measured dispatch rate, not execution.) The Pallas
+    # decode kernel stays as VPQ_ATTENTION_BACKEND=pallas for A/B.
+    if decode_mode and backend != "pallas":
         return xla_decode_attention(
             q, kv_pages, kv_lens, page_indices,
             n_pages=decode_pages or page_indices.shape[1],

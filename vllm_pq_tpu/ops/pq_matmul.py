@@ -202,3 +202,84 @@ def pq_matmul(x: jax.Array, codes: jax.Array, codebooks: jax.Array,
     if _on_tpu() and nbits8 and codes.shape[2] % _TILE_O == 0:
         return pq_dequant_matmul_pallas(x, codes, codebooks, scales)
     return pq_matmul_xla(x, codes, codebooks, scales)
+
+
+# ---------------------------------------------------------------------------
+# Dequant-only kernel (multi-step window dequant): codes -> dense bf16
+# weights in HBM, paid ONCE per N-step decode window and amortized. On
+# v5e the VPU table-gather rate (~40 G weights/s measured in-chain,
+# benchmarks/microbench.py) makes fused per-step dequant compute-bound at
+# ~20 ms per TinyLlama step; a dense bf16 matmul streams the same layer
+# stack at the HBM roofline (~2.4 ms). Role of the reference's
+# aqlm_dequant + F.linear crossover (aqlm.py:352-364,
+# csrc/quantization/aqlm/gemm_kernels.cu:544) — the reference also
+# dequantizes for batched shapes; here the result is cached for a window.
+# ---------------------------------------------------------------------------
+
+
+def _dequant_kernel(codes_ref, cb_lo_ref, cb_hi_ref, scales_ref, out_ref,
+                    *, m: int, g: int, tile_j: int):
+    codes = codes_ref[:].astype(jnp.int32)  # [m, tile_j, 128]
+    lows = [codes[k] & 127 for k in range(m)]
+    is_his = [codes[k] >= 128 for k in range(m)]
+    sc = scales_ref[0, :][None, :]
+    for p in range(g):
+        w_p = None
+        for k in range(m):
+            t_lo = jnp.broadcast_to(cb_lo_ref[k, p, :][None, :],
+                                    (tile_j, 128))
+            t_hi = jnp.broadcast_to(cb_hi_ref[k, p, :][None, :],
+                                    (tile_j, 128))
+            g_lo = jnp.take_along_axis(t_lo, lows[k], axis=1)
+            g_hi = jnp.take_along_axis(t_hi, lows[k], axis=1)
+            val = jnp.where(is_his[k], g_hi, g_lo)
+            w_p = val if w_p is None else w_p + val
+        out_ref[:, p, :] = (w_p * sc).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
+def pq_dequant_full_pallas(codes: jax.Array, codebooks: jax.Array,
+                           scales: jax.Array, out_dtype=jnp.bfloat16,
+                           interpret: bool = False) -> jax.Array:
+    """Dequantize the whole weight: returns dense [in, out]."""
+    m, j, o = codes.shape
+    c, g = codebooks.shape[1], codebooks.shape[2]
+    assert c == 256, "pallas dequant supports 8-bit codebooks"
+    assert o % _TILE_O == 0, o
+    tile_j = min(_TILE_J, j)
+    j_pad = -j % tile_j
+    if j_pad:
+        codes = jnp.pad(codes, ((0, 0), (0, j_pad), (0, 0)))
+    jp = j + j_pad
+    cb = codebooks.transpose(0, 2, 1)  # [m, g, C]
+    cb_lo, cb_hi = cb[:, :, :128], cb[:, :, 128:]
+    scales2d = scales.reshape(1, o).astype(jnp.float32)
+    grid = (jp // tile_j, o // _TILE_O)
+    out = pl.pallas_call(
+        functools.partial(_dequant_kernel, m=m, g=g, tile_j=tile_j),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m, tile_j, _TILE_O), lambda ji, oi: (0, ji, oi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _TILE_O), lambda ji, oi: (0, oi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_j, g, _TILE_O),
+                               lambda ji, oi: (ji, 0, oi),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((jp, g, o), out_dtype),
+        interpret=interpret,
+    )(codes, cb_lo, cb_hi, scales2d)
+    return out[:j].reshape(j * g, o)
+
+
+def pq_dequantize(codes: jax.Array, codebooks: jax.Array,
+                  scales: jax.Array, out_dtype=jnp.bfloat16) -> jax.Array:
+    """Full dequantization dispatch (used by the window-dequant path)."""
+    if (_on_tpu() and codebooks.shape[1] == 256
+            and codes.shape[2] % _TILE_O == 0):
+        return pq_dequant_full_pallas(codes, codebooks, scales,
+                                      out_dtype=out_dtype)
+    return pq_dequantize_ref(codes, codebooks, scales, out_dtype=out_dtype)

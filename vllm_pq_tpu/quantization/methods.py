@@ -246,9 +246,21 @@ class PQLinearMethod(LinearMethod):
         }
 
     def apply(self, params, x):
+        if "weight" in params:
+            # multi-step window dequant replaced the codes with a dense
+            # bf16 weight (runner._build_multistep); matmul at MXU speed
+            return jnp.dot(x, params["weight"],
+                           preferred_element_type=jnp.float32
+                           ).astype(x.dtype)
         from vllm_pq_tpu.ops.pq_matmul import pq_matmul
         return pq_matmul(x, params["codes"], params["codebooks"],
                          params["scales"])
+
+    def dequantize(self, params, dtype) -> jax.Array:
+        """Dense [in, out] weight for the window-dequant cache."""
+        from vllm_pq_tpu.ops.pq_matmul import pq_dequantize
+        return pq_dequantize(params["codes"], params["codebooks"],
+                             params["scales"], out_dtype=dtype)
 
     def quantize(self, w, dtype):
         return pq_quantize_weight(np.asarray(w, np.float32), self.cfg)

@@ -645,12 +645,126 @@ class ModelRunner:
     # ------------------------------------------------------------------
     # multi-step decode: N forward+sample iterations in one dispatch
 
+    def _pq_dense_walk(self, node, spec_node, dtype):
+        """Recursively map a params tree (and its PartitionSpec tree) to
+        the window-dequant form: PQ linear dicts become dense
+        ``{"weight": ...}``; everything else passes through."""
+        from jax.sharding import PartitionSpec
+        if isinstance(node, dict):
+            if "codes" in node and "codebooks" in node:
+                if node is spec_node or not isinstance(spec_node, dict):
+                    spec_node = {}
+                cs = spec_node.get("codes", PartitionSpec())
+                axes = tuple(cs) + (None,) * (3 - len(tuple(cs)))
+                if axes[2] is not None:      # column-parallel: out sharded
+                    wspec = PartitionSpec(None, axes[2])
+                elif axes[1] is not None:    # row-parallel: in sharded
+                    wspec = PartitionSpec(axes[1], None)
+                else:
+                    wspec = PartitionSpec(None, None)
+                return ("pq", wspec)
+            out = {}
+            for k, v in node.items():
+                out[k] = self._pq_dense_walk(
+                    v, spec_node.get(k) if isinstance(spec_node, dict)
+                    else None, dtype)
+            return out
+        if isinstance(node, (list, tuple)):
+            sub = (spec_node if isinstance(spec_node, (list, tuple))
+                   and not isinstance(spec_node, PartitionSpec)
+                   else [None] * len(node))
+            return [self._pq_dense_walk(v, sp, dtype)
+                    for v, sp in zip(node, sub)]
+        return None  # leaf marker: pass through
+
+    def _window_dequant_plan(self):
+        """Returns (dense_specs, transform) when window dequant is
+        enabled and the dense weights fit the budget, else None.
+
+        Rationale (round-2 microbench): fused per-step PQ dequant is
+        VPU-gather-bound (~20 ms/step for the TinyLlama stack) while a
+        dense bf16 matmul streams the layers at the HBM roofline
+        (~2.4 ms); paying the dequant ONCE per N-step window amortizes
+        it to ~dequant/N. Mirrors the reference's dequant+F.linear
+        crossover for batched shapes (aqlm.py:352-364)."""
+        import vllm_pq_tpu.envs as envs
+        mode = envs.VPQ_WINDOW_DEQUANT
+        if mode == "0":
+            return None
+        from vllm_pq_tpu.quantization.methods import PQLinearMethod
+        method = self.model.linear_method
+        if not isinstance(method, PQLinearMethod):
+            return None
+        specs = self.model.param_specs()
+        shape_tree = self._pq_dense_walk(self.params, specs, None)
+
+        dense_bytes = [0]
+
+        def count(node, marker):
+            if isinstance(marker, tuple) and marker and marker[0] == "pq":
+                m, j, o = node["codes"].shape
+                g = node["codebooks"].shape[2]
+                dense_bytes[0] += j * g * o * 2
+                return
+            if isinstance(marker, dict):
+                for k in marker:
+                    count(node[k], marker[k])
+            elif isinstance(marker, list):
+                for v, mk in zip(node, marker):
+                    count(v, mk)
+
+        count(self.params, shape_tree)
+        budget = envs.VPQ_WINDOW_DEQUANT_MAX_GB * 2**30
+        if mode != "1" and dense_bytes[0] > budget:
+            logger.info("window dequant disabled: dense weights %.2f GiB "
+                        "exceed budget %.1f GiB", dense_bytes[0] / 2**30,
+                        budget / 2**30)
+            return None
+        kv_dtype = (jnp.bfloat16 if self.config.model.dtype == "bfloat16"
+                    else jnp.float32)
+
+        def build_specs(node, spec, marker):
+            if isinstance(marker, tuple) and marker and marker[0] == "pq":
+                return {"weight": marker[1]}
+            if isinstance(marker, dict):
+                return {k: build_specs(node[k],
+                                       spec[k] if isinstance(spec, dict)
+                                       else None, marker[k])
+                        for k in marker}
+            if isinstance(marker, list):
+                subs = (spec if isinstance(spec, list)
+                        else [None] * len(marker))
+                return [build_specs(v, sp, mk)
+                        for v, sp, mk in zip(node, subs, marker)]
+            return spec
+
+        dense_specs = build_specs(self.params, specs, shape_tree)
+
+        def transform(params):
+            def walk(node, marker):
+                if isinstance(marker, tuple) and marker \
+                        and marker[0] == "pq":
+                    return {"weight": method.dequantize(node, kv_dtype)}
+                if isinstance(marker, dict):
+                    return {k: walk(node[k], marker[k]) for k in marker}
+                if isinstance(marker, list):
+                    return [walk(v, mk) for v, mk in zip(node, marker)]
+                return node
+            return walk(params, shape_tree)
+
+        logger.info("window dequant enabled: %.2f GiB dense weights "
+                    "per decode window", dense_bytes[0] / 2**30)
+        return dense_specs, transform
+
     def _build_multistep(self, n_steps: int, greedy: bool, t_bucket: int):
-        """lax.scan of n_steps decode iterations. Token/position/slot
+        """N decode iterations in one dispatch. Token/position/slot
         metadata for iterations > 0 is DERIVED ON DEVICE from the paged
         layout (pos+1; slot from the block table), so the host transfers
         one packed buffer and fetches one [N, S] token matrix per N
-        generated tokens."""
+        generated tokens. Composes with async scheduling: iteration 0's
+        input tokens may be -1 placeholders resolved on device from the
+        previous dispatch's samples (prev_rows routing, like
+        _build_step)."""
         model = self.model
         mesh = self.mesh
         s = self.max_num_reqs
@@ -663,22 +777,36 @@ class ModelRunner:
                      "logits_indices")
         input_specs = {k: P() for k in attn_keys}
 
+        plan = self._window_dequant_plan()
+        fwd_param_specs = plan[0] if plan is not None else param_specs
+
         def fwd(params, kv_caches, rope, inputs):
             hidden, new_caches = model(
                 params, inputs["token_ids"], inputs["positions"],
-                kv_caches, inputs, rope, decode_mode=True)
+                kv_caches, inputs, rope, decode_mode=True,
+                decode_pages=self._pages_bucket(
+                    self.max_model_len))
             sel = hidden[inputs["logits_indices"]]
             logits = model.compute_logits(params, sel)
             return logits, new_caches
 
         sharded = _shard_map(
             fwd, mesh,
-            in_specs=(param_specs, [self.kv_spec] * n_layers, P(None, None),
-                      input_specs),
+            in_specs=(fwd_param_specs, [self.kv_spec] * n_layers,
+                      P(None, None), input_specs),
             out_specs=(P(), [self.kv_spec] * n_layers),
         )
 
-        def run(params, kv_caches, rope, packed, step_key):
+        dequant = None
+        if plan is not None:
+            dense_specs, transform = plan
+            dequant = _shard_map(transform, mesh,
+                                 in_specs=(param_specs,),
+                                 out_specs=dense_specs)
+
+        def run(params, kv_caches, rope, packed, step_key, prev_toks):
+            if dequant is not None:
+                params = dequant(params)
             f = lay.unpack(packed)
             page_indices = f["page_indices"].reshape(
                 s, self.max_blocks_per_req)
@@ -694,9 +822,13 @@ class ModelRunner:
                 eos_token_id=f["eos_token_id"],
                 min_tokens=f["min_tokens"], output_len=f["output_len"])
 
+            # async scheduling: -1 placeholder inputs take their value
+            # from the previous dispatch's on-device samples
+            pr = f["prev_rows"]
+            tok_in = jnp.where(pr >= 0, prev_toks[jnp.maximum(pr, 0)],
+                               f["token_ids"])
             m0 = min(s, t_bucket)
-            last0 = jnp.zeros(s, jnp.int32).at[:m0].set(
-                f["token_ids"][:m0])
+            last0 = jnp.zeros(s, jnp.int32).at[:m0].set(tok_in[:m0])
             pos0 = jnp.maximum(f["kv_lens"] - 1, 0)
 
             m = min(s, t_bucket)  # rows in flight never exceed the bucket
@@ -890,10 +1022,10 @@ class ModelRunner:
                 (ib.req_ids[r] in so.num_scheduled_tokens
                  for r in range(n)), bool, count=n)
             if not sched_mask.all():
-                if one_per_row:
-                    fast = False  # multi-step packs only scheduled rows
-                else:
-                    total = max(total, n)  # row i lives at flat slot i
+                # row-aligned packing with kv_len-0 gaps covers both the
+                # single-step decode variant and the multi-step scan
+                # (async scheduling can park rows at their caps)
+                total = max(total, n)  # row i lives at flat slot i
         t_bucket = self._pick_bucket(max(total, 1))
         constrained = bool(so.guided_masks or so.logit_bias)
         penalized = not ib.no_penalties
@@ -1451,13 +1583,19 @@ class ModelRunner:
         n = so.num_scheduler_steps
         t_bucket, buf, row_req_ids, _, _ = self.prepare_inputs(
             so, one_per_row=True)  # scheduler excludes constrained rows
+        # the scan derives per-iteration metadata assuming q row i ==
+        # seq row i; prepare_inputs' fast path guarantees it (gaps
+        # become kv_len-0 masked rows)
+        assert getattr(self, "_decode_aligned", False), \
+            "multi-step dispatch requires row-aligned decode packing"
         ib = self.input_batch
         fn = self._get_multistep(n, ib.all_greedy, t_bucket)
         self._step_count += 1
         step_key = jax.random.fold_in(self._rng_key, self._step_count)
         packed = jnp.asarray(buf.copy())
         all_toks, self.kv_caches = fn(self.params, self.kv_caches,
-                                      self.rope_cache, packed, step_key)
+                                      self.rope_cache, packed, step_key,
+                                      self._prev_toks_or_zeros())
         self._prev_toks = all_toks[-1]
         self._prev_row_of = {rid: row
                              for row, rid in enumerate(row_req_ids)
