@@ -49,6 +49,20 @@ class StepBroadcaster:
     def publish(self, scheduler_output, request_meta) -> None:
         self.sock.send(encode_step(scheduler_output, request_meta))
 
+    def wait_ready(self, n_followers: int, endpoint: str,
+                   timeout_s: float = 300.0) -> None:
+        """Block until every follower has connected its SUB socket (ZMQ
+        PUB drops messages sent before subscription propagation — the
+        classic slow-joiner race)."""
+        import zmq
+        rep = self.ctx.socket(zmq.REP)
+        rep.bind(endpoint)
+        rep.setsockopt(zmq.RCVTIMEO, int(timeout_s * 1000))
+        for _ in range(n_followers):
+            rep.recv()
+            rep.send(b"ok")
+        rep.close()
+
     def stop(self) -> None:
         try:
             self.sock.send(STOP)
@@ -73,6 +87,15 @@ class HostAgent:
         self.sock = ctx.socket(zmq.SUB)
         self.sock.connect(endpoint)
         self.sock.setsockopt(zmq.SUBSCRIBE, b"")
+
+    def notify_ready(self, endpoint: str) -> None:
+        """Handshake with rank-0's wait_ready (after the SUB connect)."""
+        import zmq
+        req = zmq.Context.instance().socket(zmq.REQ)
+        req.connect(endpoint)
+        req.send(b"ready")
+        req.recv()
+        req.close()
 
     def run(self) -> None:
         logger.info("host agent: following rank-0 step broadcast")

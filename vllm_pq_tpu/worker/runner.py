@@ -347,23 +347,28 @@ class ModelRunner:
                 off += nt
             mb_cu[g, ib.num_reqs + 1:] = mb_cu[g, ib.num_reqs]
 
+        # numpy (uncommitted) inputs: in multi-host mode every process
+        # calls the same jit with identical host values — jit treats
+        # them as replicated over the global mesh, whereas jnp.asarray
+        # would commit them to a process-local device
         mb_inputs = {
-            "token_ids": jnp.asarray(mb_tok),
-            "positions": jnp.asarray(mb_pos),
-            "slot_mapping": jnp.asarray(mb_slot),
-            "kv_lens": jnp.asarray(mb_kv),
-            "page_indices": jnp.asarray(np.broadcast_to(
+            "token_ids": mb_tok,
+            "positions": mb_pos,
+            "slot_mapping": mb_slot,
+            "kv_lens": mb_kv,
+            "page_indices": np.broadcast_to(
                 ib.block_table[:, :self.max_blocks_per_req],
-                (n_mb, s, self.max_blocks_per_req)).copy()),
-            "cu_q_lens": jnp.asarray(mb_cu),
-            "num_seqs": jnp.asarray(mb_ns),
+                (n_mb, s, self.max_blocks_per_req)).copy(),
+            "cu_q_lens": mb_cu,
+            "num_seqs": mb_ns,
         }
         num_logprobs = ib.max_num_logprobs
         fn = self._get_pp_step(tm, n_mb, t_bucket, ib.all_greedy,
                                num_logprobs, constrained, penalized)
         self._step_count += 1
-        step_key = jax.random.fold_in(self._rng_key, self._step_count)
-        packed = jnp.asarray(buf.copy())
+        step_key = np.asarray(jax.random.fold_in(self._rng_key,
+                                                 self._step_count))
+        packed = buf.copy()
         toks, gens, lp, self.kv_stacked = fn(
             self.params, self.kv_stacked, self.rope_cache, packed,
             mb_inputs, step_key)
