@@ -53,7 +53,9 @@ def main():
     # dominant cost on tunneled TPUs); decode throughput is the metric.
     batch = 256 if on_tpu else 8
     prompt_len = 32
-    decode_steps = 96 if on_tpu else 16
+    # 192 decode tokens = 8 multi-step windows of 24: 2 warm/compile
+    # windows untimed, ~6 timed
+    decode_steps = 192 if on_tpu else 16
 
     llm = LLM(model=d, load_format="dummy",
               dtype="bfloat16" if on_tpu else "float32",
@@ -102,14 +104,24 @@ def main():
         if not eng.has_unfinished_requests():
             break
 
-    # a few untimed decode steps so the decode-bucket compile and any
-    # lazy init don't pollute the measurement
-    untimed = 0
-    for _ in range(4):
+    # a few untimed decode steps (2 multi-step windows) so the window
+    # compile and any lazy init don't pollute the measurement
+    emitted = {}
+
+    def _new_tokens(outs):
+        n = 0
+        for o in outs:
+            if not o.outputs:
+                continue
+            tot = len(o.outputs[0].token_ids)
+            n += tot - emitted.get(o.request_id, 0)
+            emitted[o.request_id] = tot
+        return n
+
+    for _ in range(2):
         if not eng.has_unfinished_requests():
             break
-        outs = eng.step()
-        untimed += sum(1 for o in outs if o.outputs)
+        _new_tokens(eng.step())
 
     # steady-state decode throughput: stop at the first finished request
     # so tail-bucket recompiles / drain don't pollute the measurement
@@ -117,7 +129,7 @@ def main():
     decode_tokens = 0
     while eng.has_unfinished_requests():
         outs = eng.step()
-        decode_tokens += sum(1 for o in outs if o.outputs)
+        decode_tokens += _new_tokens(outs)
         if any(o.finished for o in outs):
             break
     dt = time.perf_counter() - t0

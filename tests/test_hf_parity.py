@@ -121,3 +121,90 @@ def test_prompt_logprobs_match_hf(hf_and_ours):
         ours = plp[pos][prompt[pos]].logprob
         ref = float(hf_logp[pos - 1, prompt[pos]])
         assert abs(ours - ref) < 2e-3, (pos, ours, ref)
+
+
+def _tiny_kw():
+    return dict(vocab_size=512, hidden_size=128, intermediate_size=256,
+                num_hidden_layers=2, num_attention_heads=4,
+                num_key_value_heads=2, max_position_embeddings=512)
+
+
+def _build_round2_family(family):
+    """Tiny HF reference models for the round-2 breadth families."""
+    kw = _tiny_kw()
+    if family == "qwen3":
+        from transformers import Qwen3Config, Qwen3ForCausalLM
+        return Qwen3ForCausalLM(Qwen3Config(**kw, head_dim=32))
+    if family == "granite":
+        from transformers import GraniteConfig, GraniteForCausalLM
+        return GraniteForCausalLM(GraniteConfig(
+            **kw, embedding_multiplier=2.0, residual_multiplier=0.5,
+            attention_multiplier=0.15, logits_scaling=3.0))
+    if family == "cohere":
+        from transformers import CohereConfig, CohereForCausalLM
+        return CohereForCausalLM(CohereConfig(
+            **kw, logit_scale=0.25, use_qk_norm=False,
+            layer_norm_eps=1e-5))
+    if family == "cohere_qknorm":
+        from transformers import CohereConfig, CohereForCausalLM
+        return CohereForCausalLM(CohereConfig(
+            **kw, logit_scale=0.0625, use_qk_norm=True,
+            layer_norm_eps=1e-5))
+    if family == "gptj":
+        from transformers import GPTJConfig, GPTJForCausalLM
+        return GPTJForCausalLM(GPTJConfig(
+            vocab_size=512, n_embd=128, n_layer=2, n_head=4,
+            n_positions=512, rotary_dim=16))
+    if family == "olmo":
+        from transformers import OlmoConfig, OlmoForCausalLM
+        return OlmoForCausalLM(OlmoConfig(**kw, clip_qkv=8.0))
+    if family == "olmo2":
+        from transformers import Olmo2Config, Olmo2ForCausalLM
+        return Olmo2ForCausalLM(Olmo2Config(**kw))
+    if family == "glm":
+        from transformers import GlmConfig, GlmForCausalLM
+        return GlmForCausalLM(GlmConfig(
+            **kw, partial_rotary_factor=0.5, attention_bias=True,
+            head_dim=32, pad_token_id=0, eos_token_id=1,
+            bos_token_id=2))
+    if family == "bloom":
+        from transformers import BloomConfig, BloomForCausalLM
+        return BloomForCausalLM(BloomConfig(
+            vocab_size=512, hidden_size=128, n_layer=2, n_head=4))
+    if family == "mpt":
+        from transformers import MptConfig, MptForCausalLM
+        from transformers.models.mpt.configuration_mpt import \
+            MptAttentionConfig
+        return MptForCausalLM(MptConfig(
+            vocab_size=512, d_model=128, n_layers=2, n_heads=4,
+            max_seq_len=512, expansion_ratio=2, no_bias=True,
+            attn_config=MptAttentionConfig(alibi=True)))
+    raise ValueError(family)
+
+
+@pytest.mark.parametrize("family", [
+    "qwen3", "granite", "cohere", "cohere_qknorm", "gptj", "olmo",
+    "olmo2", "glm", "bloom", "mpt"])
+def test_greedy_matches_hf_round2_families(family, tmp_path):
+    """Round-2 breadth: each new family pins greedy tokens to HF."""
+    torch.manual_seed(3)
+    hf_model = _build_round2_family(family).eval().float()
+    d = tmp_path / family
+    hf_model.save_pretrained(d, safe_serialization=True)
+
+    from vllm_pq_tpu import LLM, SamplingParams
+    llm = LLM(model=str(d), dtype="float32", max_model_len=128,
+              max_num_seqs=4, max_num_batched_tokens=128, block_size=16,
+              num_kv_blocks=64, enable_prefix_caching=False)
+    rng = np.random.default_rng(11)
+    prompt = rng.integers(5, 500, 9).tolist()
+    with torch.no_grad():
+        hf_out = hf_model.generate(torch.tensor([prompt]),
+                                   max_new_tokens=10, do_sample=False,
+                                   num_beams=1, pad_token_id=0)
+    expected = hf_out[0, len(prompt):].tolist()
+    got = llm.generate([{"prompt_token_ids": prompt}],
+                       SamplingParams(temperature=0.0, max_tokens=10,
+                                      ignore_eos=True)
+                       )[0].outputs[0].token_ids
+    assert got == expected, (family, got, expected)

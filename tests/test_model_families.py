@@ -30,6 +30,13 @@ FAMILIES = {
                           "sliding_window": 64},
     "Phi3ForCausalLM": {},
     "MistralForCausalLM": {"sliding_window": 64},
+    # round-2 breadth: no local HF reference implementation
+    # (trust_remote_code archs) — dummy-weight generation coverage;
+    # weight-name mapping is exercised via the loader branches
+    "BaiChuanForCausalLM": {},                     # Baichuan-7B (rope)
+    "BaichuanForCausalLM": {"hidden_size": 128,
+                            "position_embedding": "ALIBI"},
+    "InternLM2ForCausalLM": {"bias": False},
 }
 
 

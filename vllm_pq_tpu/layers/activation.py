@@ -17,7 +17,9 @@ def gelu_and_mul(x: jax.Array, approximate: bool = True) -> jax.Array:
 
 ACT2FN = {
     "silu": jax.nn.silu,
-    "gelu": jax.nn.gelu,
+    # HF "gelu" is the exact erf form; the tanh approximation is the
+    # separate "gelu_new"/"gelu_pytorch_tanh" entries
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
     "gelu_new": lambda x: jax.nn.gelu(x, approximate=True),
     "gelu_pytorch_tanh": lambda x: jax.nn.gelu(x, approximate=True),
     "relu": jax.nn.relu,

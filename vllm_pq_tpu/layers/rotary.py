@@ -162,12 +162,27 @@ def build_rope_cache(max_len: int, head_dim: int, base: float = 10000.0,
 
 
 def apply_rope(q: jax.Array, k: jax.Array, positions: jax.Array,
-               rope_cache: jax.Array):
-    """q [T, Hq, D], k [T, Hk, D], positions [T] -> rotated (q, k)."""
+               rope_cache: jax.Array, style: str = "neox"):
+    """q [T, Hq, D], k [T, Hk, D], positions [T] -> rotated (q, k).
+
+    ``style``: "neox" rotates [first half | second half] (HF llama);
+    "gptj" rotates interleaved even/odd lane pairs (GPT-J
+    rotate_every_two; reference rotary_embedding.py ``is_neox_style``
+    False)."""
     d = q.shape[-1]
     cs = rope_cache[positions]            # [T, D]
     cos = cs[:, :d // 2][:, None, :]      # [T, 1, D/2]
     sin = cs[:, d // 2:][:, None, :]
+
+    if style == "gptj":
+        def rot(x):
+            x1 = x[..., 0::2]
+            x2 = x[..., 1::2]
+            o1 = x1 * cos - x2 * sin
+            o2 = x2 * cos + x1 * sin
+            return jnp.stack([o1, o2], axis=-1).reshape(
+                x.shape).astype(x.dtype)
+        return rot(q), rot(k)
 
     def rot(x):
         x1 = x[..., :d // 2]

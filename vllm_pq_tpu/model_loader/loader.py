@@ -49,6 +49,8 @@ _HF_LAYER_MAP = {
     "post_attention_layernorm": "post_attention_layernorm",
     "pre_feedforward_layernorm": "pre_feedforward_layernorm",
     "post_feedforward_layernorm": "post_feedforward_layernorm",
+    "self_attn.q_norm": "q_norm",       # Qwen3 / OLMo2 / Cohere
+    "self_attn.k_norm": "k_norm",
 }
 
 
@@ -210,6 +212,202 @@ def _load_falcon_weight(tree, cfg, shapes, linear_method, name,
         put_linear(L, ours, tensor.T)
 
 
+def _mk_put_linear(tree, linear_method):
+    """Closure placing a dense [in, out] weight into the tree, applying
+    online quantization when a quantized method is configured."""
+    def put(L, ours, w_in_out):
+        L[ours] = (linear_method.quantize(w_in_out, np.float32)
+                   if not isinstance(linear_method, UnquantizedLinearMethod)
+                   else {"weight": w_in_out})
+    return put
+
+
+def _load_gptj_weight(tree, cfg, shapes, linear_method, name, w):
+    """GPT-J naming (reference models/gpt_j.py): transformer.h.N.*."""
+    put = _mk_put_linear(tree, linear_method)
+    if name == "transformer.wte.weight":
+        tree["embed_tokens"]["weight"] = w
+        return
+    if name.startswith("transformer.ln_f."):
+        tree["norm"][name.split(".")[-1]] = w
+        return
+    if name == "lm_head.weight":
+        if "lm_head" in shapes:
+            tree["lm_head"] = {"weight": w.T}
+        return
+    if name == "lm_head.bias":
+        tree["lm_head_bias"] = {"bias": w}
+        return
+    if not name.startswith("transformer.h."):
+        return
+    parts = name.split(".")
+    li = int(parts[2])
+    sub = ".".join(parts[3:-1])
+    leaf = parts[-1]
+    L = tree["layers"][li]
+    m = {"attn.q_proj": "q_proj", "attn.k_proj": "k_proj",
+         "attn.v_proj": "v_proj", "attn.out_proj": "o_proj",
+         "mlp.fc_in": "up_proj", "mlp.fc_out": "down_proj"}
+    if sub == "ln_1":
+        L.setdefault("input_layernorm", {})[leaf] = w
+    elif sub in m:
+        if leaf == "bias":
+            L[m[sub] + "_bias"] = {"bias": w}
+        else:
+            put(L, m[sub], w.T)
+    elif "attn.masked_bias" in sub or "attn.bias" in name:
+        pass  # causal-mask buffers
+    else:
+        logger.warning("unmapped GPT-J weight %s", name)
+
+
+def _load_bloom_weight(tree, cfg, shapes, linear_method, name, w):
+    """Bloom naming; fused query_key_value is HEAD-interleaved
+    [heads, (q,k,v), d] (reference models/bloom.py weight loader)."""
+    put = _mk_put_linear(tree, linear_method)
+    rest = name.split("transformer.", 1)[-1]
+    heads, d = cfg.num_attention_heads, cfg.head_dim
+    if rest == "word_embeddings.weight":
+        tree["embed_tokens"]["weight"] = w
+        return
+    if rest.startswith("word_embeddings_layernorm."):
+        tree.setdefault("embed_norm", {})[rest.split(".")[-1]] = w
+        return
+    if rest.startswith("ln_f."):
+        tree["norm"][rest.split(".")[-1]] = w
+        return
+    if not rest.startswith("h."):
+        return
+    parts = rest.split(".")
+    li = int(parts[1])
+    sub = ".".join(parts[2:-1])
+    leaf = parts[-1]
+    L = tree["layers"][li]
+    if sub == "self_attention.query_key_value":
+        g = w.reshape(heads, 3, d, *w.shape[1:])
+        for idx, ours in enumerate(("q_proj", "k_proj", "v_proj")):
+            piece = g[:, idx].reshape(heads * d, *w.shape[1:])
+            if leaf == "bias":
+                L[ours + "_bias"] = {"bias": piece}
+            else:
+                put(L, ours, piece.T)
+    elif sub == "self_attention.dense":
+        if leaf == "bias":
+            L["o_proj_bias"] = {"bias": w}
+        else:
+            put(L, "o_proj", w.T)
+    elif sub in ("input_layernorm", "post_attention_layernorm"):
+        L.setdefault(sub, {})[leaf] = w
+    elif sub == "mlp.dense_h_to_4h":
+        if leaf == "bias":
+            L["up_proj_bias"] = {"bias": w}
+        else:
+            put(L, "up_proj", w.T)
+    elif sub == "mlp.dense_4h_to_h":
+        if leaf == "bias":
+            L["down_proj_bias"] = {"bias": w}
+        else:
+            put(L, "down_proj", w.T)
+    else:
+        logger.warning("unmapped Bloom weight %s", name)
+
+
+def _load_mpt_weight(tree, cfg, shapes, linear_method, name, w):
+    """MPT naming: transformer.blocks.N.*; Wqkv is [q|k|v] contiguous
+    (reference models/mpt.py)."""
+    put = _mk_put_linear(tree, linear_method)
+    rest = name.split("transformer.", 1)[-1]
+    if rest == "wte.weight":
+        tree["embed_tokens"]["weight"] = w
+        return
+    if rest.startswith("norm_f."):
+        tree["norm"][rest.split(".")[-1]] = w
+        return
+    if not rest.startswith("blocks."):
+        return
+    parts = rest.split(".")
+    li = int(parts[1])
+    sub = ".".join(parts[2:-1])
+    leaf = parts[-1]
+    L = tree["layers"][li]
+    d = cfg.head_dim
+    nq = cfg.num_attention_heads * d
+    nkv = cfg.num_key_value_heads * d
+    if sub == "attn.Wqkv":
+        splits = {"q_proj": w[:nq], "k_proj": w[nq:nq + nkv],
+                  "v_proj": w[nq + nkv:nq + 2 * nkv]}
+        for ours, piece in splits.items():
+            if leaf == "bias":
+                L[ours + "_bias"] = {"bias": piece}
+            else:
+                put(L, ours, piece.T)
+    elif sub == "attn.out_proj":
+        if leaf == "bias":
+            L["o_proj_bias"] = {"bias": w}
+        else:
+            put(L, "o_proj", w.T)
+    elif sub == "norm_1":
+        L.setdefault("input_layernorm", {})[leaf] = w
+    elif sub == "norm_2":
+        L.setdefault("post_attention_layernorm", {})[leaf] = w
+    elif sub == "ffn.up_proj":
+        put(L, "up_proj", w.T)
+    elif sub == "ffn.down_proj":
+        put(L, "down_proj", w.T)
+    else:
+        logger.warning("unmapped MPT weight %s", name)
+
+
+def _load_internlm2_weight(tree, cfg, shapes, linear_method, name, w):
+    """InternLM2 naming: model.layers.N.attention.wqkv is grouped
+    [kvh, rep+2, d, hidden] (reference models/internlm2.py)."""
+    put = _mk_put_linear(tree, linear_method)
+    if name == "model.tok_embeddings.weight":
+        tree["embed_tokens"]["weight"] = w
+        return
+    if name == "model.norm.weight":
+        tree["norm"]["weight"] = w
+        return
+    if name == "output.weight":
+        if "lm_head" in shapes:
+            tree["lm_head"] = {"weight": w.T}
+        return
+    if not name.startswith("model.layers."):
+        return
+    parts = name.split(".")
+    li = int(parts[2])
+    sub = ".".join(parts[3:-1])
+    leaf = parts[-1]
+    L = tree["layers"][li]
+    d = cfg.head_dim
+    kvh = cfg.num_key_value_heads
+    rep = cfg.num_attention_heads // kvh
+    if sub == "attention.wqkv":
+        g = w.reshape(kvh, rep + 2, d, *w.shape[1:])
+        q = g[:, :rep].reshape(kvh * rep * d, *w.shape[1:])
+        k = g[:, rep].reshape(kvh * d, *w.shape[1:])
+        v = g[:, rep + 1].reshape(kvh * d, *w.shape[1:])
+        for ours, piece in (("q_proj", q), ("k_proj", k), ("v_proj", v)):
+            if leaf == "bias":
+                L[ours + "_bias"] = {"bias": piece}
+            else:
+                put(L, ours, piece.T)
+    elif sub == "attention.wo":
+        put(L, "o_proj", w.T)
+    elif sub == "attention_norm":
+        L.setdefault("input_layernorm", {})[leaf] = w
+    elif sub == "ffn_norm":
+        L.setdefault("post_attention_layernorm", {})[leaf] = w
+    elif sub == "feed_forward.w1":
+        put(L, "gate_proj", w.T)
+    elif sub == "feed_forward.w3":
+        put(L, "up_proj", w.T)
+    elif sub == "feed_forward.w2":
+        put(L, "down_proj", w.T)
+    else:
+        logger.warning("unmapped InternLM2 weight %s", name)
+
+
 def load_hf(model, mesh: Mesh, model_dir: str,
             linear_method: LinearMethod) -> Any:
     """Load a local HF checkpoint directory into the model's param tree."""
@@ -255,8 +453,29 @@ def load_hf(model, mesh: Mesh, model_dir: str,
                  "ln_2": "ln_2"}
 
     is_gpt2 = model.__class__.__name__ == "GPT2Model"
+    fam = getattr(cfg, "hf_family", "llama")
+    fam_loaders = {"gptj": _load_gptj_weight, "bloom": _load_bloom_weight,
+                   "mpt": _load_mpt_weight,
+                   "internlm2": _load_internlm2_weight}
     for name, tensor in _iter_safetensors(model_dir):
         tensor = np.asarray(tensor)
+        if fam in fam_loaders:
+            fam_loaders[fam](tree, cfg, shapes, linear_method, name,
+                             tensor)
+            continue
+        if fam == "baichuan" and name.endswith("self_attn.W_pack.weight"):
+            # fused qkv [q|k|v] contiguous rows (reference
+            # models/baichuan.py W_pack weight loader)
+            li = int(name.split(".")[2])
+            d = cfg.head_dim
+            nq = cfg.num_attention_heads * d
+            nkv = cfg.num_key_value_heads * d
+            put = _mk_put_linear(tree, linear_method)
+            for ours, piece in (("q_proj", tensor[:nq]),
+                                ("k_proj", tensor[nq:nq + nkv]),
+                                ("v_proj", tensor[nq + nkv:nq + 2 * nkv])):
+                put(tree["layers"][li], ours, piece.T)
+            continue
         if not is_gpt2 and (name.startswith("transformer.word_embeddings")
                             or name.startswith("transformer.h.")
                             or name.startswith("transformer.ln_f.")):
@@ -526,7 +745,9 @@ def load_hf(model, mesh: Mesh, model_dir: str,
             if ours is None:
                 logger.warning("unmapped weight %s", name)
                 continue
-            if "layernorm" in ours:  # weight or bias leaf of a norm
+            # weight or bias leaf of a norm (incl. q/k norms, whose
+            # Cohere [heads, d] weights load unreshaped)
+            if "layernorm" in ours or ours in ("q_norm", "k_norm"):
                 tree["layers"][li].setdefault(ours, {})[leaf] = tensor
             elif leaf in ("codes", "codebooks", "scales"):
                 pending_aqlm.setdefault((li, ours), {})[leaf] = tensor
@@ -554,6 +775,21 @@ def load_hf(model, mesh: Mesh, model_dir: str,
 
     if getattr(cfg, "tie_word_embeddings", True):
         tree.pop("lm_head", None)
+
+    # param-less entries (e.g. OLMo's non-parametric layernorms) exist
+    # in the template as EMPTY dicts; mirror them so trees match
+    def _fill_empty(sh, tr):
+        if isinstance(sh, dict):
+            for k, v in sh.items():
+                if isinstance(v, dict) and not v:
+                    tr.setdefault(k, {})
+                elif k in tr:
+                    _fill_empty(v, tr[k])
+        elif isinstance(sh, list):
+            for s2, t2 in zip(sh, tr):
+                _fill_empty(s2, t2)
+
+    _fill_empty(shapes, tree)
     return _tree_device_put(tree, model.param_specs(), mesh)
 
 

@@ -68,6 +68,23 @@ class LlamaConfig:
     mlp_bias: bool = False            # biases on the mlp linears
     o_proj_bias: bool = False         # bias on o_proj (after TP psum)
     lm_head_bias: bool = False        # Phi-style biased lm_head
+    # round-2 breadth knobs (reference models/{qwen3,olmo,olmo2,cohere,
+    # granite,bloom,mpt,baichuan,gpt_j}.py):
+    qk_norm: Optional[str] = None     # "head" (Qwen3, RMS) | "full"
+    #                                   (OLMo2) | "head_ln" (Cohere
+    #                                   per-head bias-free layernorm)
+    block_style: str = "pre"          # "olmo2": norm AFTER each branch,
+    #                                   no input norms
+    hf_family: str = "llama"          # loader name-mapping family
+    alibi: bool = False               # ALiBi biases instead of rope
+    rope_style: str = "neox"          # "gptj" = interleaved lane pairs
+    clip_qkv: Optional[float] = None  # OLMo/MPT/DBRX qkv clamp
+    norm_bias: bool = True            # layernorm bias (Cohere/MPT: no)
+    norm_affine: bool = True          # OLMo-1: non-parametric layernorm
+    embed_norm: bool = False          # Bloom word_embeddings_layernorm
+    residual_multiplier: float = 1.0  # Granite
+    attention_multiplier: Optional[float] = None  # Granite sm_scale
+    logit_scale: Optional[float] = None  # Cohere x, Granite 1/scaling
 
     def __post_init__(self):
         if self.head_dim is None:
@@ -94,6 +111,35 @@ class LlamaConfig:
             sliding_window=getattr(hf, "sliding_window", None),
             hidden_act=getattr(hf, "hidden_act", "silu") or "silu",
         )
+
+
+def alibi_slopes(n_heads: int) -> np.ndarray:
+    """ALiBi head slopes (reference utils get_alibi_slopes / the ALiBi
+    paper's geometric construction)."""
+    import math
+    cp = 2 ** math.floor(math.log2(n_heads))
+    base = 2.0 ** (-8.0 / cp)
+    slopes = [base ** (i + 1) for i in range(cp)]
+    if cp != n_heads:
+        extra_base = 2.0 ** (-4.0 / cp)
+        extra = [extra_base ** (i + 1)
+                 for i in range(2 * (n_heads - cp))][0::2]
+        slopes += extra
+    return np.asarray(slopes, np.float32)
+
+
+def _full_rms(x: jax.Array, weight: jax.Array, eps: float,
+              tp_axis) -> jax.Array:
+    """RMSNorm over a TP-sharded full vector: the mean square reduces
+    across shards."""
+    x32 = x.astype(jnp.float32)
+    ss = jnp.sum(x32 * x32, axis=-1, keepdims=True)
+    n = x.shape[-1]
+    if tp_axis:
+        ss = jax.lax.psum(ss, tp_axis)
+        n = n * jax.lax.psum(1, tp_axis)
+    x32 = x32 * jax.lax.rsqrt(ss / n + eps)
+    return (x32 * weight.astype(jnp.float32)).astype(x.dtype)
 
 
 # The linear sublayers of one decoder block: (name, in_dim_fn, out_dim_fn,
@@ -146,6 +192,10 @@ class LlamaModel:
 
     def _norm_names(self):
         cfg = self.cfg
+        if cfg.block_style == "olmo2":
+            # OLMo2: only branch-output norms, no input norms
+            return ["post_attention_layernorm",
+                    "post_feedforward_layernorm"]
         names = ["input_layernorm"]
         if not (cfg.parallel_residual and cfg.shared_input_norm):
             names.append("post_attention_layernorm")
@@ -154,11 +204,14 @@ class LlamaModel:
                       "post_feedforward_layernorm"]
         return names
 
-    def _norm_shape(self):
+    def _norm_shape(self, dim: Optional[int] = None):
         cfg = self.cfg
-        d = {"weight": ((cfg.hidden_size,), cfg.dtype)}
-        if cfg.norm_type == "layernorm":
-            d["bias"] = ((cfg.hidden_size,), cfg.dtype)
+        if not cfg.norm_affine:
+            return {}
+        n = dim or cfg.hidden_size
+        d = {"weight": ((n,), cfg.dtype)}
+        if cfg.norm_type == "layernorm" and cfg.norm_bias:
+            d["bias"] = ((n,), cfg.dtype)
         return d
 
     def param_shapes(self) -> Dict:
@@ -171,12 +224,29 @@ class LlamaModel:
                 layer[name + "_bias"] = {"bias": ((o,), cfg.dtype)}
         for n in self._norm_names():
             layer[n] = self._norm_shape()
+        if cfg.qk_norm == "head":
+            layer["q_norm"] = {"weight": ((cfg.head_dim,), cfg.dtype)}
+            layer["k_norm"] = {"weight": ((cfg.head_dim,), cfg.dtype)}
+        elif cfg.qk_norm == "head_ln":
+            d = cfg.head_dim
+            layer["q_norm"] = {"weight": ((cfg.num_attention_heads, d),
+                                          cfg.dtype)}
+            layer["k_norm"] = {"weight": ((cfg.num_key_value_heads, d),
+                                          cfg.dtype)}
+        elif cfg.qk_norm == "full":
+            d = cfg.head_dim
+            layer["q_norm"] = {"weight": ((cfg.num_attention_heads * d,),
+                                          cfg.dtype)}
+            layer["k_norm"] = {"weight": ((cfg.num_key_value_heads * d,),
+                                          cfg.dtype)}
         shapes = {
             "embed_tokens": {"weight": ((cfg.vocab_size, cfg.hidden_size),
                                         cfg.dtype)},
             "layers": [dict(layer) for _ in range(cfg.num_hidden_layers)],
             "norm": self._norm_shape(),
         }
+        if cfg.embed_norm:
+            shapes["embed_norm"] = self._norm_shape()
         if not cfg.tie_word_embeddings:
             shapes["lm_head"] = self.lm_head_method.param_shapes(
                 cfg.hidden_size, cfg.vocab_size, cfg.dtype)
@@ -188,8 +258,7 @@ class LlamaModel:
     def param_specs(self) -> Dict:
         cfg = self.cfg
         biased = self._biased_linears()
-        norm_spec = ({"weight": P(None), "bias": P(None)}
-                     if cfg.norm_type == "layernorm" else {"weight": P(None)})
+        norm_spec = {k: P(None) for k in self._norm_shape()}
         layer = {}
         for name, _i, _o, kind in _linear_defs(cfg):
             layer[name] = self.linear_method.partition_specs(kind)
@@ -200,11 +269,23 @@ class LlamaModel:
                     "bias": P(None) if kind == "row" else P(TP_AXIS)}
         for n in self._norm_names():
             layer[n] = dict(norm_spec)
+        if cfg.qk_norm == "head":
+            layer["q_norm"] = {"weight": P(None)}
+            layer["k_norm"] = {"weight": P(None)}
+        elif cfg.qk_norm == "head_ln":
+            layer["q_norm"] = {"weight": P(TP_AXIS, None)}
+            layer["k_norm"] = {"weight": P(TP_AXIS, None)}
+        elif cfg.qk_norm == "full":
+            # full-width qk norm: weight shards with the heads
+            layer["q_norm"] = {"weight": P(TP_AXIS)}
+            layer["k_norm"] = {"weight": P(TP_AXIS)}
         specs = {
             "embed_tokens": {"weight": P(TP_AXIS, None)},  # vocab-parallel
             "layers": [dict(layer) for _ in range(cfg.num_hidden_layers)],
             "norm": dict(norm_spec),
         }
+        if cfg.embed_norm:
+            specs["embed_norm"] = dict(norm_spec)
         if not cfg.tie_word_embeddings:
             specs["lm_head"] = self.lm_head_method.partition_specs("column")
             if cfg.lm_head_bias:
@@ -264,13 +345,17 @@ class LlamaModel:
         heads = cfg.num_attention_heads // tp
         kv_heads = cfg.num_key_value_heads // tp
         d = cfg.head_dim
-        sm_scale = 1.0 / ((cfg.query_pre_attn_scalar or d)**0.5)
+        sm_scale = (cfg.attention_multiplier
+                    if cfg.attention_multiplier is not None
+                    else 1.0 / ((cfg.query_pre_attn_scalar or d)**0.5))
         norm = self.make_norm()
 
         x = self._embed(params["embed_tokens"], input_ids, tp_axis)
         if cfg.embed_scale is not None:
             # Gemma scales embeddings by sqrt(hidden) in the input dtype
             x = x * jnp.asarray(cfg.embed_scale, x.dtype)
+        if cfg.embed_norm:
+            x = norm(x, params["embed_norm"])
         if mm is not None:
             mm_mask, mm_embeds = mm
             x = jnp.where(mm_mask[:, None] != 0,
@@ -316,8 +401,9 @@ class LlamaModel:
         (parallel/pipeline.py)."""
         cfg = self.cfg
         d = cfg.head_dim
-        # self-attention
-        h = norm(x, lp["input_layernorm"])
+        # self-attention (OLMo2 block_style norms branch OUTPUTS only)
+        h = (x if cfg.block_style == "olmo2"
+             else norm(x, lp["input_layernorm"]))
         q = self._lin(lp, "q_proj", h, lora_layer, lora_md)
         k = self._lin(lp, "k_proj", h, lora_layer, lora_md)
         v = self._lin(lp, "v_proj", h, lora_layer, lora_md)
@@ -325,18 +411,46 @@ class LlamaModel:
             q = q + lp["q_proj_bias"]["bias"]
             k = k + lp["k_proj_bias"]["bias"]
             v = v + lp["v_proj_bias"]["bias"]
+        if cfg.clip_qkv is not None:
+            q = jnp.clip(q, -cfg.clip_qkv, cfg.clip_qkv)
+            k = jnp.clip(k, -cfg.clip_qkv, cfg.clip_qkv)
+            v = jnp.clip(v, -cfg.clip_qkv, cfg.clip_qkv)
         t = q.shape[0]
+        if cfg.qk_norm == "full":
+            # OLMo2: RMSNorm over the FULL projected q/k vector; under
+            # TP the mean-square reduces across shards (psum)
+            q = _full_rms(q, lp["q_norm"]["weight"], cfg.rms_norm_eps,
+                          tp_axis)
+            k = _full_rms(k, lp["k_norm"]["weight"], cfg.rms_norm_eps,
+                          tp_axis)
         q = q.reshape(t, heads, d)
         k = k.reshape(t, kv_heads, d)
         v = v.reshape(t, kv_heads, d)
-        if cfg.partial_rotary_factor < 1.0:
+        if cfg.qk_norm == "head":
+            # Qwen3: per-head RMSNorm on head_dim before rope
+            q = rms_norm(q, lp["q_norm"]["weight"], cfg.rms_norm_eps)
+            k = rms_norm(k, lp["k_norm"]["weight"], cfg.rms_norm_eps)
+        elif cfg.qk_norm == "head_ln":
+            # Cohere: per-head bias-free layernorm (weight [heads, d])
+            def _hln(u, w):
+                u32 = u.astype(jnp.float32)
+                mu = jnp.mean(u32, axis=-1, keepdims=True)
+                var = jnp.var(u32, axis=-1, keepdims=True)
+                y = (u32 - mu) * jax.lax.rsqrt(var + cfg.rms_norm_eps)
+                return (y * w[None].astype(jnp.float32)).astype(u.dtype)
+            q = _hln(q, lp["q_norm"]["weight"])
+            k = _hln(k, lp["k_norm"]["weight"])
+        alibi = None
+        if cfg.alibi:
+            alibi = self._alibi_local(heads, tp_axis)
+        elif cfg.partial_rotary_factor < 1.0:
             rd = rope_cache.shape[-1]
             qr, kr = apply_rope(q[..., :rd], k[..., :rd], positions,
-                                rope_cache)
+                                rope_cache, cfg.rope_style)
             q = jnp.concatenate([qr, q[..., rd:]], axis=-1)
             k = jnp.concatenate([kr, k[..., rd:]], axis=-1)
         else:
-            q, k = apply_rope(q, k, positions, rope_cache)
+            q, k = apply_rope(q, k, positions, rope_cache, cfg.rope_style)
 
         cache = write_kv_cache(kv_cache, k, v, attn_md["slot_mapping"])
         attn = ragged_paged_attention(
@@ -344,7 +458,7 @@ class LlamaModel:
             attn_md["cu_q_lens"], attn_md["num_seqs"],
             sm_scale=sm_scale, sliding_window=self.layer_window(li),
             soft_cap=cfg.attn_logit_softcap, decode_mode=decode_mode,
-            decode_pages=decode_pages)
+            decode_pages=decode_pages, alibi_slopes=alibi)
         attn = attn.reshape(t, heads * d)
         o = self._lin(lp, "o_proj", attn, lora_layer, lora_md)
         if tp_axis:
@@ -354,14 +468,22 @@ class LlamaModel:
         if cfg.use_post_norms:  # Gemma2: norm the branch pre-residual
             o = norm(o, lp["post_attention_layernorm"])
 
+        rm = cfg.residual_multiplier
+        if cfg.block_style == "olmo2":
+            # OLMo2: x += norm(attn(x)); x += norm(mlp(x))
+            o = norm(o, lp["post_attention_layernorm"])
+            x = x + rm * o
+            mlp = norm(self._mlp(lp, x, tp_axis, lora_layer, lora_md),
+                       lp["post_feedforward_layernorm"])
+            return x + rm * mlp, cache
         if cfg.parallel_residual:
-            # GPT-NeoX / Phi: attn and mlp both branch off x; Phi
-            # (shared_input_norm) feeds the SAME ln1(x) to the mlp
+            # GPT-NeoX / Phi / Cohere: attn and mlp both branch off x;
+            # shared_input_norm feeds the SAME ln1(x) to the mlp
             h2 = (h if cfg.shared_input_norm
                   else norm(x, lp["post_attention_layernorm"]))
-            return x + o + self._mlp(lp, h2, tp_axis, lora_layer,
-                                     lora_md), cache
-        x = x + o
+            return x + rm * (o + self._mlp(lp, h2, tp_axis, lora_layer,
+                                           lora_md)), cache
+        x = x + rm * o
 
         # mlp (overridable: Mixtral swaps in a routed MoE block)
         if cfg.use_post_norms:
@@ -371,8 +493,17 @@ class LlamaModel:
         else:
             h = norm(x, lp["post_attention_layernorm"])
             mlp = self._mlp(lp, h, tp_axis, lora_layer, lora_md)
-        x = x + mlp
+        x = x + rm * mlp
         return x, cache
+
+    def _alibi_local(self, heads_local: int, tp_axis) -> jax.Array:
+        """This shard's ALiBi slopes [heads_local]."""
+        full = jnp.asarray(alibi_slopes(self.cfg.num_attention_heads))
+        if not tp_axis:
+            return full
+        rank = jax.lax.axis_index(tp_axis)
+        return jax.lax.dynamic_slice(full, (rank * heads_local,),
+                                     (heads_local,))
 
     def make_norm(self):
         """The norm closure used by forward: ``norm(x, norm_params)``
@@ -381,8 +512,13 @@ class LlamaModel:
         cfg = self.cfg
         if cfg.norm_type == "layernorm":
             from vllm_pq_tpu.layers.norm import layer_norm
-            return lambda x, nd: layer_norm(x, nd["weight"], nd["bias"],
-                                            cfg.rms_norm_eps)
+
+            def ln(x, nd):
+                one = jnp.ones((x.shape[-1],), jnp.float32)
+                w = nd.get("weight", one) if cfg.norm_affine else one
+                b = nd.get("bias", jnp.zeros_like(one))
+                return layer_norm(x, w, b, cfg.rms_norm_eps)
+            return ln
         if cfg.gemma_norm:
             return lambda x, nd: rms_norm(
                 x, nd["weight"].astype(jnp.float32) + 1.0, cfg.rms_norm_eps)
@@ -465,6 +601,8 @@ class LlamaModel:
         if cfg.lm_head_bias and not cfg.tie_word_embeddings:
             logits = logits + params["lm_head_bias"]["bias"].astype(
                 jnp.float32)
+        if cfg.logit_scale is not None:
+            logits = logits * cfg.logit_scale
         if self.cfg.final_logit_softcap:
             c = self.cfg.final_logit_softcap
             logits = jnp.tanh(logits / c) * c

@@ -312,6 +312,229 @@ def _build_falcon(hf_config, config: EngineConfig, linear_method):
     return LlamaModel(mc, linear_method)
 
 
+@register_model("Qwen3ForCausalLM")
+def _build_qwen3(hf_config, config: EngineConfig, linear_method):
+    # Qwen3 = llama + per-head RMS q/k norms, no qkv bias (reference
+    # models/qwen3.py)
+    from vllm_pq_tpu.models.llama import LlamaConfig, LlamaModel
+    mc = (LlamaConfig.from_hf_config(hf_config) if hf_config is not None
+          else LlamaConfig())
+    mc.qk_norm = "head"
+    mc.dtype = config.model.jax_dtype
+    return LlamaModel(mc, linear_method)
+
+
+@register_model("GraniteForCausalLM")
+def _build_granite(hf_config, config: EngineConfig, linear_method):
+    # IBM Granite: llama + embedding/residual/attention multipliers and
+    # logits_scaling divisor (reference models/granite.py)
+    from vllm_pq_tpu.models.llama import LlamaConfig, LlamaModel
+    mc = LlamaConfig.from_hf_config(hf_config)
+    mc.embed_scale = getattr(hf_config, "embedding_multiplier", 1.0)
+    if mc.embed_scale == 1.0:
+        mc.embed_scale = None
+    mc.residual_multiplier = getattr(hf_config, "residual_multiplier",
+                                     1.0)
+    mc.attention_multiplier = getattr(hf_config, "attention_multiplier",
+                                      None)
+    ls = getattr(hf_config, "logits_scaling", 1.0)
+    mc.logit_scale = (1.0 / ls) if ls and ls != 1.0 else None
+    mc.dtype = config.model.jax_dtype
+    return LlamaModel(mc, linear_method)
+
+
+@register_model("CohereForCausalLM", "Cohere2ForCausalLM")
+def _build_cohere(hf_config, config: EngineConfig, linear_method):
+    # Command-R: bias-free layernorm, parallel residual sharing ONE
+    # input norm, interleaved rope, logit_scale, tied embeddings
+    # (reference models/commandr.py)
+    from vllm_pq_tpu.models.llama import LlamaConfig, LlamaModel
+    mc = LlamaConfig.from_hf_config(hf_config)
+    mc.norm_type = "layernorm"
+    mc.norm_bias = False
+    mc.rms_norm_eps = getattr(hf_config, "layer_norm_eps", 1e-5)
+    mc.parallel_residual = True
+    mc.shared_input_norm = True
+    mc.rope_style = "gptj"
+    mc.tie_word_embeddings = True
+    mc.logit_scale = getattr(hf_config, "logit_scale", 1.0)
+    if getattr(hf_config, "use_qk_norm", False):
+        mc.qk_norm = "head_ln"
+    mc.dtype = config.model.jax_dtype
+    return LlamaModel(mc, linear_method)
+
+
+@register_model("GPTJForCausalLM")
+def _build_gptj(hf_config, config: EngineConfig, linear_method):
+    # GPT-J: parallel residual off ONE norm, interleaved partial rotary,
+    # biased two-linear MLP + biased lm_head (reference models/gpt_j.py)
+    from vllm_pq_tpu.models.llama import LlamaConfig, LlamaModel
+    h = getattr(hf_config, "n_embd", 4096)
+    heads = getattr(hf_config, "n_head", 16)
+    mc = LlamaConfig(
+        vocab_size=hf_config.vocab_size,
+        hidden_size=h,
+        intermediate_size=getattr(hf_config, "n_inner", None) or 4 * h,
+        num_hidden_layers=getattr(hf_config, "n_layer", 28),
+        num_attention_heads=heads,
+        num_key_value_heads=heads,
+        max_position_embeddings=getattr(hf_config, "n_positions", 2048),
+        rope_theta=10000.0,
+    )
+    mc.norm_type = "layernorm"
+    mc.rms_norm_eps = getattr(hf_config, "layer_norm_epsilon", 1e-5)
+    mc.parallel_residual = True
+    mc.shared_input_norm = True
+    mc.rope_style = "gptj"
+    mc.partial_rotary_factor = (getattr(hf_config, "rotary_dim", None)
+                                or mc.head_dim) / mc.head_dim
+    mc.mlp_style = "mlp"
+    mc.mlp_bias = True
+    mc.hidden_act = getattr(hf_config, "activation_function", "gelu_new")
+    mc.lm_head_bias = True
+    mc.hf_family = "gptj"
+    mc.dtype = config.model.jax_dtype
+    return LlamaModel(mc, linear_method)
+
+
+@register_model("OlmoForCausalLM")
+def _build_olmo(hf_config, config: EngineConfig, linear_method):
+    # OLMo: non-parametric layernorm, optional qkv clamp (reference
+    # models/olmo.py)
+    from vllm_pq_tpu.models.llama import LlamaConfig, LlamaModel
+    mc = LlamaConfig.from_hf_config(hf_config)
+    mc.norm_type = "layernorm"
+    mc.norm_affine = False
+    mc.rms_norm_eps = 1e-5
+    mc.clip_qkv = getattr(hf_config, "clip_qkv", None)
+    mc.dtype = config.model.jax_dtype
+    return LlamaModel(mc, linear_method)
+
+
+@register_model("Olmo2ForCausalLM")
+def _build_olmo2(hf_config, config: EngineConfig, linear_method):
+    # OLMo2: branch-output norms (no input norms), full-width q/k RMS
+    # norms (reference models/olmo2.py)
+    from vllm_pq_tpu.models.llama import LlamaConfig, LlamaModel
+    mc = LlamaConfig.from_hf_config(hf_config)
+    mc.block_style = "olmo2"
+    mc.qk_norm = "full"
+    mc.dtype = config.model.jax_dtype
+    return LlamaModel(mc, linear_method)
+
+
+@register_model("GlmForCausalLM")
+def _build_glm(hf_config, config: EngineConfig, linear_method):
+    # GLM-4: llama structure + interleaved partial rotary + qkv bias +
+    # packed gate_up (reference models/glm.py via transformers backend)
+    from vllm_pq_tpu.models.llama import LlamaConfig, LlamaModel
+    mc = LlamaConfig.from_hf_config(hf_config)
+    mc.rope_style = "gptj"
+    mc.partial_rotary_factor = getattr(hf_config,
+                                       "partial_rotary_factor", 0.5)
+    mc.attention_bias = getattr(hf_config, "attention_bias", True)
+    mc.dtype = config.model.jax_dtype
+    return LlamaModel(mc, linear_method)
+
+
+@register_model("BloomForCausalLM")
+def _build_bloom(hf_config, config: EngineConfig, linear_method):
+    # Bloom: ALiBi, layernorm everywhere incl. post-embedding norm,
+    # head-interleaved fused qkv (reference models/bloom.py)
+    from vllm_pq_tpu.models.llama import LlamaConfig, LlamaModel
+    h = getattr(hf_config, "hidden_size", getattr(hf_config, "n_embed",
+                                                  1024))
+    heads = getattr(hf_config, "n_head",
+                    getattr(hf_config, "num_attention_heads", 16))
+    mc = LlamaConfig(
+        vocab_size=hf_config.vocab_size,
+        hidden_size=h,
+        intermediate_size=4 * h,
+        num_hidden_layers=getattr(hf_config, "n_layer", 24),
+        num_attention_heads=heads,
+        num_key_value_heads=heads,
+        max_position_embeddings=getattr(hf_config,
+                                        "max_position_embeddings", 2048),
+    )
+    mc.alibi = True
+    mc.norm_type = "layernorm"
+    mc.rms_norm_eps = getattr(hf_config, "layer_norm_epsilon", 1e-5)
+    mc.embed_norm = True
+    mc.mlp_style = "mlp"
+    mc.mlp_bias = True
+    mc.attention_bias = True
+    mc.o_proj_bias = True
+    mc.hidden_act = "gelu_pytorch_tanh"
+    mc.tie_word_embeddings = True
+    mc.hf_family = "bloom"
+    mc.dtype = config.model.jax_dtype
+    return LlamaModel(mc, linear_method)
+
+
+@register_model("MPTForCausalLM", "MptForCausalLM")
+def _build_mpt(hf_config, config: EngineConfig, linear_method):
+    # MPT: ALiBi, bias-free layernorm + linears, fused Wqkv with
+    # optional clamp (reference models/mpt.py)
+    from vllm_pq_tpu.models.llama import LlamaConfig, LlamaModel
+    h = getattr(hf_config, "d_model", 2048)
+    heads = getattr(hf_config, "n_heads", 16)
+    attn_cfg = getattr(hf_config, "attn_config", {}) or {}
+    if not isinstance(attn_cfg, dict):
+        attn_cfg = attn_cfg.__dict__
+    kvh = attn_cfg.get("kv_n_heads", heads)
+    mc = LlamaConfig(
+        vocab_size=hf_config.vocab_size,
+        hidden_size=h,
+        intermediate_size=getattr(hf_config, "expansion_ratio", 4) * h,
+        num_hidden_layers=getattr(hf_config, "n_layers", 24),
+        num_attention_heads=heads,
+        num_key_value_heads=kvh,
+        max_position_embeddings=getattr(hf_config, "max_seq_len", 2048),
+    )
+    mc.alibi = attn_cfg.get("alibi", True)
+    mc.clip_qkv = attn_cfg.get("clip_qkv", None)
+    mc.norm_type = "layernorm"
+    mc.norm_bias = not getattr(hf_config, "no_bias", True)
+    mc.rms_norm_eps = 1e-5
+    mc.mlp_style = "mlp"
+    mc.mlp_bias = not getattr(hf_config, "no_bias", True)
+    mc.attention_bias = not getattr(hf_config, "no_bias", True)
+    mc.hidden_act = "gelu"
+    mc.tie_word_embeddings = True
+    mc.hf_family = "mpt"
+    mc.dtype = config.model.jax_dtype
+    return LlamaModel(mc, linear_method)
+
+
+@register_model("BaichuanForCausalLM", "BaiChuanForCausalLM")
+def _build_baichuan(hf_config, config: EngineConfig, linear_method):
+    # Baichuan: llama structure with fused W_pack qkv; the 13B variant
+    # (arch spelled "BaichuanForCausalLM" with 40 layers / no rope in
+    # HF's impl) uses ALiBi (reference models/baichuan.py:330-349
+    # position_embedding selection)
+    from vllm_pq_tpu.models.llama import LlamaConfig, LlamaModel
+    mc = LlamaConfig.from_hf_config(hf_config)
+    # vLLM keys alibi off the model size: 13B (hidden 5120) = ALiBi
+    if getattr(hf_config, "position_embedding", None) == "ALIBI" or \
+            mc.hidden_size >= 5120:
+        mc.alibi = True
+    mc.hf_family = "baichuan"
+    mc.dtype = config.model.jax_dtype
+    return LlamaModel(mc, linear_method)
+
+
+@register_model("InternLM2ForCausalLM")
+def _build_internlm2(hf_config, config: EngineConfig, linear_method):
+    # InternLM2: llama math, grouped fused wqkv + renamed tree
+    # (reference models/internlm2.py)
+    from vllm_pq_tpu.models.llama import LlamaConfig, LlamaModel
+    mc = LlamaConfig.from_hf_config(hf_config)
+    mc.attention_bias = getattr(hf_config, "bias", False)
+    mc.hf_family = "internlm2"
+    mc.dtype = config.model.jax_dtype
+    return LlamaModel(mc, linear_method)
+
+
 @register_model("Qwen2MoeForCausalLM")
 def _build_qwen2_moe(hf_config, config: EngineConfig, linear_method):
     from vllm_pq_tpu.models.qwen2_moe import Qwen2MoeConfig, Qwen2MoeModel

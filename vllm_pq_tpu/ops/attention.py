@@ -59,6 +59,7 @@ def ref_ragged_paged_attention(
     sm_scale: float = 1.0,
     sliding_window: Optional[int] = None,
     soft_cap: Optional[float] = None,
+    alibi_slopes: Optional[jax.Array] = None,  # f32[HQ] (local shard)
 ) -> jax.Array:
     """Jittable masked reference. O(S * pages_per_seq * page_size * T)
     memory — fine for tests/CPU, not for production TPU."""
@@ -91,6 +92,14 @@ def ref_ragged_paged_attention(
     qf = q.astype(jnp.float32).reshape(t, kvh, rep, d)
     scores = jnp.einsum("tkrd,tlkd->tkrl", qf * sm_scale,
                         kq.astype(jnp.float32))
+    if alibi_slopes is not None:
+        # bias = slope_h * (col_pos - q_pos): 0 at the query, more
+        # negative further back (ALiBi; reference alibi handling in
+        # attention backends / csrc paged_attention alibi_slopes)
+        lpos_a = jnp.arange(pages_per_seq * ps, dtype=jnp.float32)
+        dist = lpos_a[None, :] - qpos[:, None].astype(jnp.float32)
+        sl = alibi_slopes.reshape(kvh, rep)
+        scores = scores + sl[None, :, :, None] * dist[:, None, None, :]
     if soft_cap is not None:
         scores = jnp.tanh(scores / soft_cap) * soft_cap
 
@@ -110,7 +119,9 @@ def ref_ragged_paged_attention(
 def xla_decode_attention(q, kv_pages, kv_lens, page_indices, *,
                          n_pages: int, sm_scale: float = 1.0,
                          sliding_window: Optional[int] = None,
-                         soft_cap: Optional[float] = None) -> jax.Array:
+                         soft_cap: Optional[float] = None,
+                         alibi_slopes: Optional[jax.Array] = None
+                         ) -> jax.Array:
     """Pure-XLA decode attention: gather this step's KV pages densely
     and run one batched masked attention.
 
@@ -140,6 +151,12 @@ def xla_decode_attention(q, kv_pages, kv_lens, page_indices, *,
     scores = jnp.einsum("sgrd,slgd->sgrl",
                         qh.astype(jnp.float32) * sm_scale,
                         k.astype(jnp.float32))
+    if alibi_slopes is not None:
+        lpos_a = jnp.arange(n_pages * ps, dtype=jnp.float32)
+        qpos_a = (kv_lens[:s] - 1).astype(jnp.float32)
+        dist = lpos_a[None, :] - qpos_a[:, None]  # [S, L]
+        sl = alibi_slopes.reshape(kvh, rep)
+        scores = scores + sl[None, :, :, None] * dist[:, None, None, :]
     if soft_cap is not None:
         scores = jnp.tanh(scores / soft_cap) * soft_cap
     pos = jnp.arange(n_pages * ps, dtype=jnp.int32)[None, None, None, :]
@@ -247,7 +264,9 @@ def ragged_paged_attention(q, kv_pages, kv_lens, page_indices, cu_q_lens,
                            sliding_window: Optional[int] = None,
                            soft_cap: Optional[float] = None,
                            decode_mode: bool = False,
-                           decode_pages: Optional[int] = None) -> jax.Array:
+                           decode_pages: Optional[int] = None,
+                           alibi_slopes: Optional[jax.Array] = None
+                           ) -> jax.Array:
     """Dispatch to the best implementation for the current device.
 
     ``decode_mode`` (static): every sequence has exactly one query token
@@ -258,12 +277,12 @@ def ragged_paged_attention(q, kv_pages, kv_lens, page_indices, cu_q_lens,
     # the Pallas kernels' lane packing supports head_dim 64/128; other
     # dims (e.g. DeepSeek MLA's 192) take the XLA paths
     kernel_ok = q.shape[-1] in (64, 128)
-    if decode_mode and not kernel_ok:
+    if decode_mode and (not kernel_ok or alibi_slopes is not None):
         return xla_decode_attention(
             q, kv_pages, kv_lens, page_indices,
             n_pages=decode_pages or page_indices.shape[1],
             sm_scale=sm_scale, sliding_window=sliding_window,
-            soft_cap=soft_cap)
+            soft_cap=soft_cap, alibi_slopes=alibi_slopes)
     if not kernel_ok and backend != "ref":
         backend = "ref"
     # decode dispatch: the XLA gather path IS the decode default. On
@@ -287,9 +306,12 @@ def ragged_paged_attention(q, kv_pages, kv_lens, page_indices, cu_q_lens,
         return ref_ragged_paged_attention(
             q, kv_pages, kv_lens, page_indices, cu_q_lens, num_seqs,
             sm_scale=sm_scale, sliding_window=sliding_window,
-            soft_cap=soft_cap)
+            soft_cap=soft_cap, alibi_slopes=alibi_slopes)
     from vllm_pq_tpu.ops.rpa_kernel import ragged_paged_attention_pallas
+    if alibi_slopes is not None:
+        alibi_slopes = jnp.asarray(alibi_slopes, jnp.float32)
     return ragged_paged_attention_pallas(
         q, kv_pages, kv_lens, page_indices, cu_q_lens, num_seqs,
         sm_scale=sm_scale, sliding_window=sliding_window,
-        soft_cap=soft_cap, decode_mode=decode_mode)
+        soft_cap=soft_cap, decode_mode=decode_mode,
+        alibi_slopes=alibi_slopes)

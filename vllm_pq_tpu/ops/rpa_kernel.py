@@ -51,18 +51,7 @@ def _rpa_kernel(
     page_indices_ref,   # i32[S * pages_per_seq]
     cu_q_lens_ref,      # i32[S+1]
     seq_range_ref,      # i32[2 * n_q_blks]: (first_seq, last_seq+1) per blk
-    # inputs
-    q_ref,              # [TQ, HQ, D] VMEM (block)
-    kv_hbm_ref,         # [P, ps, 2*KVH, D] HBM (full)
-    # outputs
-    out_ref,            # [TQ, HQ, D] VMEM (block)
-    # scratch
-    kv_buf,             # [2, ps*ppb, C, LANES] VMEM
-    acc_ref,            # [KVH, TQ*rep, LANES] f32
-    m_ref,              # [KVH, TQ*rep, 128] f32 (max, col-bcast)
-    l_ref,              # [KVH, TQ*rep, 128] f32 (denominator)
-    sems,               # DMA sems [2]
-    *,
+    *args,
     sm_scale: float,
     num_kv_heads: int,
     rep: int,
@@ -74,7 +63,21 @@ def _rpa_kernel(
     pack: int,          # heads-per-128-lane-group packing (1 if D%128==0)
     sliding_window: Optional[int],
     soft_cap: Optional[float],
+    use_alibi: bool = False,
 ):
+    # optional 5th prefetch arg: ALiBi slopes (f32 bitcast to i32 —
+    # scalar prefetch is integer-typed)
+    if use_alibi:
+        alibi_ref, args = args[0], args[1:]
+    (q_ref,              # [TQ, HQ, D] VMEM (block)
+     kv_hbm_ref,         # [P, ps, 2*KVH, D] HBM (full)
+     out_ref,            # [TQ, HQ, D] VMEM (block)
+     kv_buf,             # [2, ps*ppb, C, LANES] VMEM
+     acc_ref,            # [KVH, TQ*rep, LANES] f32
+     m_ref,              # [KVH, TQ*rep, 128] f32 (max, col-bcast)
+     l_ref,              # [KVH, TQ*rep, 128] f32 (denominator)
+     sems,               # DMA sems [2]
+     ) = args
     blk = pl.program_id(0)
     q_blk_start = blk * tile_q
     first_seq = seq_range_ref[2 * blk]
@@ -157,6 +160,12 @@ def _rpa_kernel(
                 k.astype(jnp.float32),
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)  # [TQ*rep, L]
+            if use_alibi:
+                sl = jax.lax.bitcast_convert_type(
+                    alibi_ref[h * rep:(h + 1) * rep], jnp.float32)
+                slope_row = jnp.tile(sl, tile_q)[:, None]  # [TQ*rep, 1]
+                scores = scores + slope_row * (
+                    col_ids - qpos).astype(jnp.float32)
             if soft_cap is not None:
                 scores = jnp.tanh(scores / soft_cap) * soft_cap
             scores = jnp.where(mask, scores, MASK_VALUE)
@@ -406,6 +415,7 @@ def ragged_paged_attention_pallas(
     num_queries_per_block: int = 32,
     decode_mode: bool = False,
     interpret: bool = False,
+    alibi_slopes: Optional[jax.Array] = None,  # f32[HQ]
 ) -> jax.Array:
     t, hq, d = q.shape
     p, ps, ckv, _ = kv_pages.shape
@@ -459,6 +469,8 @@ def ragged_paged_attention_pallas(
     lanes = d if pack == 1 else 128
 
     if decode_mode:
+        assert alibi_slopes is None, \
+            "alibi decode uses the XLA gather path (ops/attention.py)"
         # one query token per sequence (token index == seq index); use
         # the per-seq small-tile kernel
         spb = 8
@@ -501,8 +513,9 @@ def ragged_paged_attention_pallas(
             out = jnp.pad(out, ((0, t - q_rows), (0, 0), (0, 0)))
         return out
 
+    use_alibi = alibi_slopes is not None
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5 if use_alibi else 4,
         grid=(n_q_blks,),
         in_specs=[
             pl.BlockSpec((tile_q, hq, lanes), lambda i, *_: (i, 0, 0),
@@ -532,12 +545,16 @@ def ragged_paged_attention_pallas(
         pack=pack,
         sliding_window=sliding_window,
         soft_cap=soft_cap,
+        use_alibi=use_alibi,
     )
+    prefetch = [kv_lens, page_indices.reshape(-1), cu_q_lens, seq_range]
+    if use_alibi:
+        prefetch.append(jax.lax.bitcast_convert_type(
+            jnp.asarray(alibi_slopes, jnp.float32), jnp.int32))
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t, hq, d), q.dtype),
         interpret=interpret,
-    )(kv_lens, page_indices.reshape(-1), cu_q_lens, seq_range,
-      q_in, kv_pages)
+    )(*prefetch, q_in, kv_pages)
     return out
