@@ -4,6 +4,8 @@ wrapper lives in ``engine/core_proc.py``."""
 
 from typing import Dict, List, Optional
 
+import numpy as np
+
 from vllm_pq_tpu.config import EngineConfig
 from vllm_pq_tpu.core.scheduler import EngineCoreOutput, Scheduler
 from vllm_pq_tpu.logger import init_logger
@@ -339,6 +341,21 @@ class EngineCore:
                 req.spec_token_ids = drafts
 
     # -- utility RPCs (role of reference EngineCore utility methods) ----
+
+    def encode(self, ids_list, pool: Optional[str] = None):
+        """Pooled embeddings (works over the MP-engine RPC too — kills
+        the round-1 /v1/embeddings 501). Default pooling: "cls" for
+        encoder-only models, "last" for decoders."""
+        if pool is None:
+            pool = ("cls" if getattr(self.runner, "is_encoder_runner",
+                                     False) else "last")
+        return [np.asarray(a) for a in
+                self.runner.encode(ids_list, pool=pool)]
+
+    def classify(self, ids_list, type_ids_list=None):
+        """Sequence-classification logits (cross-encoder score/rerank)."""
+        return [np.asarray(a) for a in
+                self.runner.classify(ids_list, type_ids_list)]
 
     def reset_prefix_cache(self) -> bool:
         return self.scheduler.reset_prefix_cache()

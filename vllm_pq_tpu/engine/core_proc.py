@@ -228,6 +228,12 @@ class MPEngineCoreClient:
         raise EngineDeadProcError(f"rpc {method} timed out")
 
     # facades matching EngineCore utility methods
+    def encode(self, ids_list, pool=None):
+        return self.call("encode", ids_list, pool)
+
+    def classify(self, ids_list, type_ids_list=None):
+        return self.call("classify", ids_list, type_ids_list)
+
     def reset_prefix_cache(self) -> bool:
         return self.call("reset_prefix_cache")
 

@@ -174,12 +174,7 @@ class LLM:
             ))
         return results
 
-    def encode(self, prompts: Union[PromptType, Sequence[PromptType]],
-               pooling_type: str = "last") -> List["np.ndarray"]:
-        """Pooled hidden-state embeddings (role of reference
-        LLM.encode/embed; pooling models use last-token or mean pooling).
-        Requires the in-process engine."""
-        import numpy as np  # noqa: F401
+    def _prompt_ids(self, prompts) -> List[List[int]]:
         if isinstance(prompts, (str, dict)):
             prompts = [prompts]
         tok = self.get_tokenizer()
@@ -190,12 +185,51 @@ class LLM:
                                 or tok.encode(p["prompt"])))
             else:
                 ids.append(tok.encode(p))
-        core = self.llm_engine.engine_core
-        runner = getattr(core, "runner", None)
-        if runner is None:
-            raise RuntimeError("encode requires the in-process engine")
-        arr = runner.encode(ids, pool=pooling_type)
-        return [arr[i] for i in range(len(ids))]
+        return ids
+
+    def encode(self, prompts: Union[PromptType, Sequence[PromptType]],
+               pooling_type: Optional[str] = None) -> List["np.ndarray"]:
+        """Pooled hidden-state embeddings (role of reference
+        LLM.encode/embed): CLS pooling for encoder-only models,
+        last-token for decoders; works over the MP engine via the
+        encode RPC."""
+        ids = self._prompt_ids(prompts)
+        return list(self.llm_engine.engine_core.encode(ids, pooling_type))
+
+    def classify(self, prompts) -> List["np.ndarray"]:
+        """Sequence-classification logits (encoder-only cross-encoder
+        models; role of reference LLM.classify)."""
+        ids = self._prompt_ids(prompts)
+        return list(self.llm_engine.engine_core.classify(ids))
+
+    def score(self, text_1, text_2) -> List[float]:
+        """Cross-encoder similarity scores for (text_1[i], text_2[i])
+        pairs (role of reference LLM.score / serving_score.py). The two
+        texts are packed as one sequence with token_type_ids 0/1, the
+        classifier head's (sigmoided when 1-label) output is the score."""
+        import numpy as np
+        if isinstance(text_1, str):
+            text_1 = [text_1]
+        if isinstance(text_2, str):
+            text_2 = [text_2]
+        if len(text_1) == 1 and len(text_2) > 1:
+            text_1 = text_1 * len(text_2)
+        tok = self.get_tokenizer()
+        ids, types = [], []
+        for a, b in zip(text_1, text_2):
+            ia = list(tok.encode(a))
+            ib = list(tok.encode(b))
+            ids.append(ia + ib)
+            types.append([0] * len(ia) + [1] * len(ib))
+        logits = self.llm_engine.engine_core.classify(ids, types)
+        out = []
+        for lg in logits:
+            lg = np.asarray(lg)
+            if lg.shape[-1] == 1:
+                out.append(float(1.0 / (1.0 + np.exp(-lg[0]))))
+            else:
+                out.append(float(lg.max()))
+        return out
 
     def embed(self, prompts, **kw):
         return self.encode(prompts, **kw)

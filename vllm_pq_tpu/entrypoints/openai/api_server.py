@@ -489,23 +489,96 @@ async def embeddings(request: web.Request) -> web.Response:
         inputs = [inputs]
     engine = request.app[ENGINE_KEY]
     core = engine.engine.engine_core
-    runner = getattr(core, "runner", None)
-    if runner is None:
-        return _error(501, "embeddings require the in-process engine",
-                      "not_implemented")
     tok = engine.get_tokenizer()
     ids = [list(p) if isinstance(p, list) else tok.encode(p)
            for p in inputs]
     import asyncio
-    arr = await asyncio.get_event_loop().run_in_executor(
-        None, lambda: runner.encode(ids))
+    # works for in-proc AND MP engines (EngineCore.encode RPC)
+    arrs = await asyncio.get_event_loop().run_in_executor(
+        None, lambda: core.encode(ids, None))
     data = [{"object": "embedding", "index": i,
-             "embedding": arr[i].tolist()} for i in range(len(ids))]
+             "embedding": a.tolist()} for i, a in enumerate(arrs)]
     return web.json_response({
         "object": "list", "data": data,
         "model": request.app[MODEL_KEY],
         "usage": {"prompt_tokens": sum(len(x) for x in ids),
                   "total_tokens": sum(len(x) for x in ids)},
+    })
+
+
+def _pair_scores(engine, text_1, text_2):
+    """Cross-encoder scores for zipped (text_1, text_2) pairs (role of
+    reference serving_score.py)."""
+    import numpy as np
+    tok = engine.get_tokenizer()
+    core = engine.engine.engine_core
+    ids, types = [], []
+    for a, b in zip(text_1, text_2):
+        ia, ib = list(tok.encode(a)), list(tok.encode(b))
+        ids.append(ia + ib)
+        types.append([0] * len(ia) + [1] * len(ib))
+    logits = core.classify(ids, types)
+    scores = []
+    for lg in logits:
+        lg = np.asarray(lg)
+        scores.append(float(1.0 / (1.0 + np.exp(-lg[0])))
+                      if lg.shape[-1] == 1 else float(lg.max()))
+    return scores, sum(len(x) for x in ids)
+
+
+async def score(request: web.Request) -> web.Response:
+    """/v1/score (reference api_server.py:323 create_score): pairwise
+    cross-encoder similarity."""
+    body = await request.json()
+    t1, t2 = body.get("text_1"), body.get("text_2")
+    if t1 is None or t2 is None:
+        return _error(400, "missing 'text_1'/'text_2'")
+    if isinstance(t1, str):
+        t1 = [t1]
+    if isinstance(t2, str):
+        t2 = [t2]
+    if len(t1) == 1 and len(t2) > 1:
+        t1 = t1 * len(t2)
+    if len(t1) != len(t2):
+        return _error(400, "text_1 and text_2 length mismatch")
+    engine = request.app[ENGINE_KEY]
+    import asyncio
+    try:
+        scores, ntok = await asyncio.get_event_loop().run_in_executor(
+            None, lambda: _pair_scores(engine, t1, t2))
+    except Exception as e:  # noqa: BLE001
+        return _error(400, str(e))
+    return web.json_response({
+        "object": "list", "model": request.app[MODEL_KEY],
+        "data": [{"object": "score", "index": i, "score": s}
+                 for i, s in enumerate(scores)],
+        "usage": {"prompt_tokens": ntok, "total_tokens": ntok},
+    })
+
+
+async def rerank(request: web.Request) -> web.Response:
+    """/v1/rerank + /v2/rerank (reference api_server.py:327
+    do_rerank): query vs documents, sorted by relevance."""
+    body = await request.json()
+    query = body.get("query")
+    docs = body.get("documents")
+    if query is None or not docs:
+        return _error(400, "missing 'query'/'documents'")
+    top_n = int(body.get("top_n", len(docs)))
+    engine = request.app[ENGINE_KEY]
+    import asyncio
+    try:
+        scores, ntok = await asyncio.get_event_loop().run_in_executor(
+            None,
+            lambda: _pair_scores(engine, [query] * len(docs), docs))
+    except Exception as e:  # noqa: BLE001
+        return _error(400, str(e))
+    order = sorted(range(len(docs)), key=lambda i: -scores[i])[:top_n]
+    return web.json_response({
+        "id": random_uuid(), "model": request.app[MODEL_KEY],
+        "results": [{"index": i, "document": {"text": docs[i]},
+                     "relevance_score": scores[i]} for i in order],
+        "usage": {"total_tokens": ntok},
     })
 
 
@@ -559,6 +632,11 @@ def build_app(engine: AsyncLLM, model_name: str, max_model_len: int,
     app.router.add_post("/v1/completions", completions)
     app.router.add_post("/v1/chat/completions", chat_completions)
     app.router.add_post("/v1/embeddings", embeddings)
+    app.router.add_post("/v1/score", score)
+    app.router.add_post("/score", score)
+    app.router.add_post("/v1/rerank", rerank)
+    app.router.add_post("/v2/rerank", rerank)
+    app.router.add_post("/rerank", rerank)
     app.router.add_post("/tokenize", tokenize)
     app.router.add_post("/detokenize", detokenize)
     app.router.add_get("/metrics", metrics)

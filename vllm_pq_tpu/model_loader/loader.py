@@ -408,6 +408,54 @@ def _load_internlm2_weight(tree, cfg, shapes, linear_method, name, w):
         logger.warning("unmapped InternLM2 weight %s", name)
 
 
+def _load_bert_weight(tree, cfg, shapes, name, w):
+    """BERT naming (reference models/bert.py weight mapping); handles
+    both bare BertModel and task-head (bert.*) checkpoints."""
+    if name.startswith(("bert.", "roberta.")):
+        name = name.split(".", 1)[1]
+    if name.startswith("cls."):
+        return  # MaskedLM head: not served
+    if name.startswith("embeddings."):
+        sub = name.split(".")
+        if sub[1] in ("word_embeddings", "position_embeddings",
+                      "token_type_embeddings"):
+            tree[sub[1]]["weight"] = w
+        elif sub[1] == "LayerNorm":
+            tree["embed_norm"][sub[-1]] = w
+        return
+    if name.startswith("pooler.dense."):
+        leaf = name.split(".")[-1]
+        tree["pooler"][leaf] = w.T if leaf == "weight" else w
+        return
+    if name.startswith("classifier."):
+        leaf = name.split(".")[-1]
+        if "classifier" in shapes:
+            tree.setdefault("classifier", {})[leaf] = (
+                w.T if leaf == "weight" else w)
+        return
+    if not name.startswith("encoder.layer."):
+        return
+    parts = name.split(".")
+    li = int(parts[2])
+    sub = ".".join(parts[3:-1])
+    leaf = parts[-1]
+    L = tree["layers"][li]
+    m = {"attention.self.query": "query", "attention.self.key": "key",
+         "attention.self.value": "value",
+         "attention.output.dense": "attn_out",
+         "attention.output.LayerNorm": "attn_norm",
+         "intermediate.dense": "inter", "output.dense": "out",
+         "output.LayerNorm": "out_norm"}
+    ours = m.get(sub)
+    if ours is None:
+        logger.warning("unmapped BERT weight %s", name)
+        return
+    if ours.endswith("_norm"):
+        L.setdefault(ours, {})[leaf] = w
+    else:
+        L.setdefault(ours, {})[leaf] = w.T if leaf == "weight" else w
+
+
 def load_hf(model, mesh: Mesh, model_dir: str,
             linear_method: LinearMethod) -> Any:
     """Load a local HF checkpoint directory into the model's param tree."""
@@ -453,12 +501,16 @@ def load_hf(model, mesh: Mesh, model_dir: str,
                  "ln_2": "ln_2"}
 
     is_gpt2 = model.__class__.__name__ == "GPT2Model"
+    is_bert = model.__class__.__name__ == "BertModel"
     fam = getattr(cfg, "hf_family", "llama")
     fam_loaders = {"gptj": _load_gptj_weight, "bloom": _load_bloom_weight,
                    "mpt": _load_mpt_weight,
                    "internlm2": _load_internlm2_weight}
     for name, tensor in _iter_safetensors(model_dir):
         tensor = np.asarray(tensor)
+        if is_bert:
+            _load_bert_weight(tree, cfg, shapes, name, tensor)
+            continue
         if fam in fam_loaders:
             fam_loaders[fam](tree, cfg, shapes, linear_method, name,
                              tensor)

@@ -535,6 +535,31 @@ def _build_internlm2(hf_config, config: EngineConfig, linear_method):
     return LlamaModel(mc, linear_method)
 
 
+@register_model("BertModel", "BertForMaskedLM")
+def _build_bert(hf_config, config: EngineConfig, linear_method):
+    # Encoder-only embedding model (reference models/bert.py
+    # BertEmbeddingModel — the /v1/embeddings serving family)
+    from vllm_pq_tpu.models.bert import BertConfig, BertModel
+    mc = (BertConfig.from_hf_config(hf_config) if hf_config is not None
+          else BertConfig())
+    mc.dtype = config.model.jax_dtype
+    return BertModel(mc)
+
+
+@register_model("BertForSequenceClassification",
+                "RobertaForSequenceClassification")
+def _build_bert_classifier(hf_config, config: EngineConfig,
+                           linear_method):
+    # Cross-encoder (reference models/bert.py
+    # BertForSequenceClassification — the /score and /rerank family)
+    from vllm_pq_tpu.models.bert import BertConfig, BertModel
+    mc = BertConfig.from_hf_config(hf_config)
+    mc.num_labels = getattr(hf_config, "num_labels", None) or len(
+        getattr(hf_config, "id2label", None) or {0: 0})
+    mc.dtype = config.model.jax_dtype
+    return BertModel(mc)
+
+
 @register_model("Qwen2MoeForCausalLM")
 def _build_qwen2_moe(hf_config, config: EngineConfig, linear_method):
     from vllm_pq_tpu.models.qwen2_moe import Qwen2MoeConfig, Qwen2MoeModel

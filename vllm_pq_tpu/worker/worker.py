@@ -116,6 +116,8 @@ class Worker:
         """KV block budget from the memory probe (reference
         determine_available_memory + num_blocks derivation)."""
         cfg = self.config
+        if getattr(self.model, "is_encoder_only", False):
+            return 16  # encoder-only models hold no KV cache
         if cfg.cache.num_blocks_override:
             return cfg.cache.num_blocks_override
         total, used = self._device_memory()
@@ -145,7 +147,12 @@ class Worker:
             num * bytes_per_block / tp / 2**30, max_concurrency)
         return num
 
-    def init_runner(self, num_kv_blocks: int) -> ModelRunner:
+    def init_runner(self, num_kv_blocks: int):
+        if getattr(self.model, "is_encoder_only", False):
+            from vllm_pq_tpu.worker.encoder_runner import EncoderRunner
+            self.runner = EncoderRunner(self.config, self.mesh,
+                                        self.model, self.params)
+            return self.runner
         self.runner = ModelRunner(self.config, self.mesh, self.model,
                                   self.params, num_kv_blocks)
         return self.runner
