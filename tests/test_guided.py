@@ -152,3 +152,108 @@ def test_e2e_bad_words_bans_continuation(llm):
                         logit_bias=bias, bad_words=["C"])
     got = llm.generate(["w"], sp)[0].outputs[0].token_ids[0]
     assert got != 70
+
+
+# ---------------------------------------------------------------------------
+# EBNF grammar-guided decoding (round 2; reference
+# guided_decoding/__init__.py:106 grammar routing via xgrammar)
+
+JSON_GRAMMAR = r'''
+root ::= object
+object ::= "{" ws (pair ("," ws pair)*)? ws "}"
+pair ::= string ":" ws value
+value ::= string | number | object | "true" | "false" | "null"
+string ::= "\"" [a-zA-Z0-9 _-]* "\""
+number ::= "-"? [0-9]+ ("." [0-9]+)?
+ws ::= [ ]*
+'''
+
+
+def _grammar_matches(grammar, text):
+    from vllm_pq_tpu.guided.grammar import GrammarNFA
+    from vllm_pq_tpu.guided.fsm import _advance_chars, _eps_closure
+    g = GrammarNFA(grammar)
+    state = _eps_closure(g.nfa, frozenset([g.start]))
+    state = _advance_chars(g.nfa, state, text)
+    return bool(state) and g.accept in state
+
+
+def test_grammar_nfa_json():
+    ok = ['{}', '{"a":1}', '{"a":"x", "b":2}', '{"a":{"b":{"c":3}}}',
+          '{"n":-3.25}']
+    bad = ['{', '{"a":}', '{"a":1,}', '{a:1}', '{"a":1}}']
+    for t in ok:
+        assert _grammar_matches(JSON_GRAMMAR, t), t
+    for t in bad:
+        assert not _grammar_matches(JSON_GRAMMAR, t), t
+
+
+def test_grammar_recursion_bounded():
+    # nesting beyond max_depth is not generatable (guided generation
+    # steers the model away from it) but never accepts invalid strings
+    deep = '{"a":' * 30 + '1' + '}' * 30
+    assert not _grammar_matches(JSON_GRAMMAR, deep)
+
+
+def test_grammar_fsm_token_walk():
+    from vllm_pq_tpu.guided.grammar import build_grammar_fsm
+    tok = _CharTok()
+    strs = [tok.decode([i]) or None for i in range(tok.vocab_size)]
+    fsm = build_grammar_fsm(JSON_GRAMMAR, strs, tok.eos_token_id)
+    text = '{"k":"v"}'
+    for ch in text:
+        mask = fsm.allowed_mask()
+        assert mask[ord(ch)], ch
+        fsm.advance(ord(ch))
+    assert fsm.allowed_mask()[tok.eos_token_id]
+
+
+def test_e2e_guided_grammar(llm):
+    """A nontrivial grammar drives generation to a valid string."""
+    from vllm_pq_tpu import SamplingParams
+    from vllm_pq_tpu.sampling_params import GuidedDecodingParams
+    grammar = r'''
+root ::= "move " direction " " steps
+direction ::= "north" | "south" | "east" | "west"
+steps ::= [1-9] [0-9]?
+'''
+    sp = SamplingParams(
+        temperature=0.0, max_tokens=24,
+        guided_decoding=GuidedDecodingParams(grammar=grammar))
+    outs = llm.generate(["go:"], sp)
+    text = outs[0].outputs[0].text
+    import re
+    assert re.fullmatch(r"move (north|south|east|west) [1-9][0-9]?",
+                        text), text
+
+
+def test_json_schema_nested_anyof_optional():
+    pat = _json_schema_to_regex({
+        "type": "object",
+        "properties": {
+            "user": {"type": "object",
+                     "properties": {"id": {"type": "integer"}}},
+            "tags": {"type": "array", "items": {"type": "string"}},
+            "note": {"anyOf": [{"type": "string"}, {"type": "null"}]},
+        },
+        "required": ["user", "tags"],
+    })
+    ok = '{"user": {"id": 7},"tags": ["a","b"],"note": null}'
+    assert _matches(pat, ok.replace(", ", ","))
+    ok2 = '{"user": {"id": 7},"tags": []}'
+    assert _matches(pat, ok2.replace(", ", ","))
+    bad = '{"tags": ["a"]}'
+    assert not _matches(pat, bad)
+
+
+def test_json_schema_ref():
+    pat = _json_schema_to_regex({
+        "$defs": {"pt": {"type": "object",
+                         "properties": {"x": {"type": "integer"},
+                                        "y": {"type": "integer"}}}},
+        "type": "object",
+        "properties": {"a": {"$ref": "#/$defs/pt"},
+                       "b": {"$ref": "#/$defs/pt"}},
+    })
+    assert _matches(pat, '{"a": {"x":1,"y":2},"b": {"x":3,"y":4}}'
+                    .replace(", ", ","))

@@ -82,6 +82,8 @@ def _guided_from_request(body: dict):
         return GuidedDecodingParams(regex=body["guided_regex"])
     if body.get("guided_json"):
         return GuidedDecodingParams(json=body["guided_json"])
+    if body.get("guided_grammar"):
+        return GuidedDecodingParams(grammar=body["guided_grammar"])
     rf = body.get("response_format") or {}
     if rf.get("type") == "json_object":
         return GuidedDecodingParams(json=True)

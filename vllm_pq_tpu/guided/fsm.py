@@ -280,6 +280,21 @@ class RegexFSM:
             = {}
         self.state = self.start
 
+    @classmethod
+    def from_nfa(cls, nfa: "_NFA", start: int, accept: int,
+                 token_strs: Sequence[Optional[str]],
+                 eos_token_id: Optional[int]) -> "RegexFSM":
+        """Token FSM over a prebuilt NFA (guided/grammar.py EBNF path)."""
+        self = cls.__new__(cls)
+        self.nfa = nfa
+        self.accept = accept
+        self.start = _eps_closure(nfa, frozenset([start]))
+        self.token_strs = token_strs
+        self.eos_token_id = eos_token_id
+        self._allowed_cache = {}
+        self.state = self.start
+        return self
+
     def _allowed(self, state: FrozenSet[int]):
         hit = self._allowed_cache.get(state)
         if hit is not None:
@@ -331,17 +346,40 @@ class RegexFSM:
 
 
 def _json_schema_to_regex(schema) -> str:
-    """Small JSON-schema subset -> regex (reference delegates to
-    outlines' build_regex_from_schema; this covers the common cases:
-    object with typed properties, string/integer/number/boolean/enum,
-    arrays of those)."""
+    """JSON-schema subset -> regex (reference delegates to outlines'
+    build_regex_from_schema; this covers the common cases: nested
+    objects/arrays of typed values, string/integer/number/boolean/enum,
+    anyOf/oneOf alternation, $defs/$ref with bounded recursion,
+    optional (non-required) properties)."""
     ws = r"[ ]?"
+    root = schema if isinstance(schema, dict) else {}
+    defs = {}
+    for key in ("$defs", "definitions"):
+        defs.update(root.get(key, {}) if isinstance(root, dict) else {})
+    depth_budget = [48]  # $ref expansion budget (bounded recursion)
 
     def value_re(s) -> str:
         if s is True or s is None or s == {}:
             return (r'("([^"\\]|\\.){0,64}"|-?\d+(\.\d+)?'
                     r'|true|false|null)')
+        if "$ref" in s:
+            name = s["$ref"].split("/")[-1]
+            sub = defs.get(name)
+            if sub is None:
+                raise ValueError(f"unresolvable $ref {s['$ref']!r}")
+            depth_budget[0] -= 1
+            if depth_budget[0] < 0:
+                # beyond the budget the reference becomes ungeneratable
+                # depth — fall back to a scalar leaf
+                return r'("([^"\\]|\\.){0,64}"|-?\d+|true|false|null)'
+            return value_re(sub)
+        alts = s.get("anyOf") or s.get("oneOf")
+        if alts:
+            return "(" + "|".join(value_re(a) for a in alts) + ")"
         t = s.get("type")
+        if isinstance(t, list):
+            return "(" + "|".join(value_re(dict(s, type=x))
+                                  for x in t) + ")"
         if "enum" in s:
             import re as _re
             opts = []
@@ -369,20 +407,58 @@ def _json_schema_to_regex(schema) -> str:
             props = s.get("properties", {})
             if not props:
                 return r"\{[^{}]{0,256}\}"
-            parts = []
+            required = set(s.get("required", list(props)))
+            names = list(props)
+            # optional properties are supported when they trail the
+            # required ones (outlines emits property order too); mixed
+            # order falls back to all-required
+            last_req = max((i for i, n in enumerate(names)
+                            if n in required), default=-1)
+            if any(n not in required for n in names[:last_req + 1]):
+                required = set(names)
             import re as _re
-            for name, sub in props.items():
-                parts.append('"' + _re.escape(name) + '":' + ws +
-                             value_re(sub))
-            return (r"\{" + ws + ("," + ws).join(parts) + ws + r"\}")
+            parts = []
+            emitted_req = False
+            for name in names:
+                piece = ('"' + _re.escape(name) + '":' + ws +
+                         value_re(props[name]))
+                if name in required:
+                    if emitted_req:
+                        piece = "," + ws + piece
+                    parts.append(piece)
+                    emitted_req = True
+                else:
+                    piece2 = (("," + ws) if emitted_req else "") + piece
+                    parts.append("(" + piece2 + ")?")
+            return (r"\{" + ws + "".join(parts) + ws + r"\}")
         raise ValueError(f"unsupported schema: {s!r}")
 
     return value_re(schema)
 
 
+def _vocab_token_strs(tokenizer) -> List[Optional[str]]:
+    vocab = getattr(tokenizer, "vocab_size", None) or 259
+    token_strs: List[Optional[str]] = []
+    for tid in range(vocab):
+        try:
+            s = tokenizer.decode([tid])
+        except Exception:  # noqa: BLE001
+            s = None
+        # skip specials / undecodable
+        if s in (None, ""):
+            s = None
+        token_strs.append(s)
+    return token_strs
+
+
 def build_guided_fsm(params, tokenizer) -> RegexFSM:
     """Compile GuidedDecodingParams into a token FSM for this vocab."""
     import re as _re
+    token_strs = _vocab_token_strs(tokenizer)
+    eos = getattr(tokenizer, "eos_token_id", None)
+    if getattr(params, "grammar", None) is not None:
+        from vllm_pq_tpu.guided.grammar import build_grammar_fsm
+        return build_grammar_fsm(params.grammar, token_strs, eos)
     if params.choice is not None:
         pattern = "(" + "|".join(_re.escape(c) for c in params.choice) + ")"
     elif params.regex is not None:
@@ -395,17 +471,4 @@ def build_guided_fsm(params, tokenizer) -> RegexFSM:
         pattern = _json_schema_to_regex(schema)
     else:
         raise ValueError("unsupported guided decoding params")
-
-    vocab = getattr(tokenizer, "vocab_size", None) or 259
-    token_strs: List[Optional[str]] = []
-    for tid in range(vocab):
-        try:
-            s = tokenizer.decode([tid])
-        except Exception:  # noqa: BLE001
-            s = None
-        # skip specials / undecodable
-        if s in (None, ""):
-            s = None
-        token_strs.append(s)
-    eos = getattr(tokenizer, "eos_token_id", None)
     return RegexFSM(pattern, token_strs, eos)

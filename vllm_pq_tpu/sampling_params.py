@@ -42,9 +42,6 @@ class GuidedDecodingParams:
         if sum(given) != 1:
             raise ValueError(
                 "exactly one of json/regex/choice/grammar required")
-        if self.grammar is not None:
-            raise ValueError("grammar-guided decoding is not supported "
-                             "yet (use regex/choice/json)")
 
 
 @dataclass
