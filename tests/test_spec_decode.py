@@ -183,3 +183,58 @@ def test_e2e_spec_with_random_mix(tiny_model_dir):
          SamplingParams(temperature=0.9, max_tokens=16, seed=7,
                         ignore_eos=True)])
     assert all(len(o.outputs[0].token_ids) == 16 for o in outs)
+
+
+# ---------------------------------------------------------------------------
+# draft-model proposer (round 2; reference spec_decode/multi_step_worker
+# + top1_proposer.py)
+
+
+def test_e2e_draft_model_equivalence(tiny_model_dir):
+    """Draft == target: greedy drafts are (nearly) always accepted and
+    outputs stay token-exact vs non-speculative greedy."""
+    from vllm_pq_tpu import LLM, SamplingParams
+    sp = SamplingParams(temperature=0.0, max_tokens=20, ignore_eos=True)
+    prompts = [
+        {"prompt_token_ids": [7, 8, 9, 10, 11]},
+        {"prompt_token_ids": [3, 4, 5]},
+        {"prompt_token_ids": [100, 101, 102, 103, 104]},
+    ]
+    kwargs = dict(model=tiny_model_dir, load_format="dummy",
+                  dtype="float32", max_model_len=128, max_num_seqs=8,
+                  max_num_batched_tokens=128, block_size=16,
+                  num_kv_blocks=64)
+    base = LLM(**kwargs)
+    ref = [o.outputs[0].token_ids for o in base.generate(prompts, sp)]
+    del base
+
+    spec = LLM(speculative_method="draft_model",
+               speculative_model=tiny_model_dir,
+               num_speculative_tokens=3, **kwargs)
+    got = [o.outputs[0].token_ids for o in spec.generate(prompts, sp)]
+    stats = spec.llm_engine.engine_core.make_stats()
+    assert got == ref
+    assert stats["spec_tokens_proposed"] > 0
+    # identical draft: acceptance must be high (draft KV near a page
+    # boundary may degrade an occasional late draft)
+    assert (stats["spec_tokens_accepted"]
+            >= 0.5 * stats["spec_tokens_proposed"]), stats
+
+
+def test_e2e_draft_model_mixed_sampling(tiny_model_dir):
+    """Non-greedy rows are excluded from drafting but still correct."""
+    from vllm_pq_tpu import LLM, SamplingParams
+    kwargs = dict(model=tiny_model_dir, load_format="dummy",
+                  dtype="float32", max_model_len=128, max_num_seqs=8,
+                  max_num_batched_tokens=128, block_size=16,
+                  num_kv_blocks=64)
+    spec = LLM(speculative_method="draft_model",
+               speculative_model=tiny_model_dir,
+               num_speculative_tokens=2, **kwargs)
+    outs = spec.generate(
+        [{"prompt_token_ids": [5, 6, 7]},
+         {"prompt_token_ids": [8, 9, 10]}],
+        [SamplingParams(temperature=0.0, max_tokens=12, ignore_eos=True),
+         SamplingParams(temperature=0.9, seed=7, max_tokens=12,
+                        ignore_eos=True)])
+    assert all(len(o.outputs[0].token_ids) == 12 for o in outs)

@@ -150,16 +150,25 @@ class SpeculativeConfig:
     on-device verification, ``v1/spec_decode/ngram_proposer.py`` and
     ``v1/sample/rejection_sampler.py``)."""
 
-    # Proposer: None disables spec decode; "ngram" = prompt-lookup.
+    # Proposer: None disables spec decode; "ngram" = prompt-lookup;
+    # "draft_model" = a small causal LM proposes K tokens per step
+    # (role of reference draft-model spec decode,
+    # spec_decode/multi_step_worker.py + top1_proposer.py:44).
     method: Optional[str] = None
     num_spec_tokens: int = 0
+    # draft-model checkpoint directory (method="draft_model")
+    model: Optional[str] = None
     # ngram window: match the last n in [min, max] tokens against history.
     prompt_lookup_min: int = 2
     prompt_lookup_max: int = 4
 
     def __post_init__(self):
-        if self.method is not None and self.method != "ngram":
+        if self.method is not None and self.method not in (
+                "ngram", "draft_model"):
             raise ValueError(f"Unknown speculative method {self.method!r}")
+        if self.method == "draft_model" and not self.model:
+            raise ValueError("speculative method 'draft_model' requires "
+                             "a draft model path (speculative_model)")
         if self.method and self.num_spec_tokens <= 0:
             self.num_spec_tokens = 3
         if self.prompt_lookup_min > self.prompt_lookup_max:

@@ -56,6 +56,7 @@ class EngineArgs:
 
     # speculative decoding (ngram prompt-lookup)
     speculative_method: Optional[str] = None
+    speculative_model: Optional[str] = None
     num_speculative_tokens: int = 0
     prompt_lookup_min: int = 2
     prompt_lookup_max: int = 4
@@ -99,6 +100,7 @@ class EngineArgs:
                 kv_role=self.kv_role, kv_endpoint=self.kv_endpoint),
             speculative=SpeculativeConfig(
                 method=self.speculative_method,
+                model=self.speculative_model,
                 num_spec_tokens=self.num_speculative_tokens,
                 prompt_lookup_min=self.prompt_lookup_min,
                 prompt_lookup_max=self.prompt_lookup_max),
@@ -108,7 +110,8 @@ class EngineArgs:
     # type information for argparse)
     _OPTIONAL_TYPES = {"num_kv_blocks": int, "tokenizer": str,
                        "quantization": str, "revision": str,
-                       "speculative_method": str, "kv_role": str}
+                       "speculative_method": str,
+                       "speculative_model": str, "kv_role": str}
 
     @staticmethod
     def add_cli_args(parser: argparse.ArgumentParser

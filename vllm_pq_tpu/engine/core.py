@@ -58,12 +58,19 @@ class EngineCore:
 
         # speculative decoding: host-side draft proposer
         self.proposer = None
+        self.draft_proposer = None
         if config.speculative.enabled:
-            from vllm_pq_tpu.spec_decode import NgramProposer
             sc = config.speculative
-            self.proposer = NgramProposer(sc.prompt_lookup_min,
-                                          sc.prompt_lookup_max,
-                                          sc.num_spec_tokens)
+            if sc.method == "draft_model":
+                from vllm_pq_tpu.spec_decode.draft_proposer import \
+                    DraftModelProposer
+                self.draft_proposer = DraftModelProposer(
+                    config, self.worker.mesh, num_blocks)
+            else:
+                from vllm_pq_tpu.spec_decode import NgramProposer
+                self.proposer = NgramProposer(sc.prompt_lookup_min,
+                                              sc.prompt_lookup_max,
+                                              sc.num_spec_tokens)
 
     # ------------------------------------------------------------------
 
@@ -145,6 +152,8 @@ class EngineCore:
                                       self._pending_meta)
         runner_output = self.runner.execute_model(scheduler_output,
                                                   self._pending_meta)
+        step_meta = (dict(self._pending_meta)
+                     if self.draft_proposer is not None else None)
         for nr in scheduler_output.scheduled_new_reqs:
             self._pending_meta.pop(nr.req_id, None)
         outputs = self.scheduler.update_from_output(scheduler_output,
@@ -158,6 +167,9 @@ class EngineCore:
             self.scheduler.ignored_req_ids.clear()
         if self.proposer is not None:
             self._propose_drafts()
+        if self.draft_proposer is not None:
+            self.draft_proposer.on_step(scheduler_output, step_meta,
+                                        self.scheduler)
         return outputs
 
     # ------------------------------------------------------------------
