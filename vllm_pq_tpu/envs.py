@@ -44,6 +44,12 @@ environment_variables: Dict[str, Callable[[], Any]] = {
     # Budget (GiB) for the dense window-dequant weights.
     "VPQ_WINDOW_DEQUANT_MAX_GB": lambda: float(os.environ.get(
         "VPQ_WINDOW_DEQUANT_MAX_GB", "6")),
+    # Decode-window dense KV arena (ops/window_attention.py): "auto"
+    # (on when it fits the budget), "1" force, "0" off.
+    "VPQ_WINDOW_ARENA": lambda: os.environ.get("VPQ_WINDOW_ARENA",
+                                               "auto"),
+    "VPQ_WINDOW_ARENA_MAX_GB": lambda: float(os.environ.get(
+        "VPQ_WINDOW_ARENA_MAX_GB", "6")),
 }
 
 

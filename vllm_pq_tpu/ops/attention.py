@@ -29,14 +29,24 @@ import vllm_pq_tpu.envs as envs
 MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
 
 
-def write_kv_cache(kv_cache: jax.Array, k: jax.Array, v: jax.Array,
-                   slot_mapping: jax.Array) -> jax.Array:
+def write_kv_cache(kv_cache, k: jax.Array, v: jax.Array,
+                   slot_mapping: jax.Array):
     """Scatter new K/V rows into the paged cache.
 
     kv_cache [P, page_size, 2*KVH, D]; k, v [T, KVH, D];
     slot_mapping [T] flat slot ids (page*page_size + offset); padding
     slots must point into page 0.
-    """
+
+    Inside a decode window the cache is a ``WindowCache`` (immutable
+    arena + ring, ops/window_attention.py): the write appends to the
+    ring instead (the paged fold happens in a separate dispatch)."""
+    from vllm_pq_tpu.ops.window_attention import WindowCache, append_ring
+    if isinstance(kv_cache, WindowCache):
+        t = k.shape[0]
+        s = kv_cache.aK.shape[0]
+        ks = k[:s] if t >= s else jnp.pad(k, ((0, s - t), (0, 0), (0, 0)))
+        vs = v[:s] if t >= s else jnp.pad(v, ((0, s - t), (0, 0), (0, 0)))
+        return append_ring(kv_cache, ks, vs)
     p, ps, ckv, d = kv_cache.shape
     kv = jnp.stack([k, v], axis=2).reshape(k.shape[0], ckv, d)
     if (jax.default_backend() == "tpu"
@@ -272,6 +282,16 @@ def ragged_paged_attention(q, kv_pages, kv_lens, page_indices, cu_q_lens,
     ``decode_mode`` (static): every sequence has exactly one query token
     at flat position == its row index; uses the gather-based XLA decode
     path (``decode_pages`` = static bucketed max pages per sequence)."""
+    from vllm_pq_tpu.ops.window_attention import (WindowCache,
+                                                  window_attention)
+    if isinstance(kv_pages, WindowCache):
+        # decode-window arena path: row i's kv length at window start =
+        # current kv_len minus the ring tokens written so far
+        base_lens = kv_lens - (kv_pages.step + 1)
+        return window_attention(
+            q, kv_pages, base_lens, sm_scale=sm_scale,
+            sliding_window=sliding_window, soft_cap=soft_cap,
+            alibi_slopes=alibi_slopes)
     backend = envs.VPQ_ATTENTION_BACKEND
     on_tpu = jax.default_backend() == "tpu"
     # the Pallas kernels' lane packing supports head_dim 64/128; other

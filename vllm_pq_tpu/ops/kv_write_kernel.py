@@ -27,10 +27,34 @@ def _kvw_kernel(slots_ref, kv_new_ref, cache_in_ref, cache_ref, sem, *,
             sem,
         )
 
-    for i in range(t):
+    if t <= 512:
+        # fully unrolled: all copies in flight simultaneously
+        for i in range(t):
+            copy(i).start()
+        for i in range(t):
+            copy(i).wait()
+        return
+
+    # large row counts (window fold: N*S rows): fori-loop with a
+    # sliding in-flight window so code size and outstanding-DMA count
+    # stay bounded
+    lag = 256
+
+    def body(i, _):
         copy(i).start()
-    for i in range(t):
+
+        @pl.when(i >= lag)
+        def _():
+            copy(i - lag).wait()
+        return 0
+
+    jax.lax.fori_loop(0, t, body, 0)
+
+    def tail(i, _):
         copy(i).wait()
+        return 0
+
+    jax.lax.fori_loop(max(t - lag, 0), t, tail, 0)
 
 
 @functools.partial(jax.jit, donate_argnums=(0,),

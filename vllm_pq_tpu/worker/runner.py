@@ -761,7 +761,31 @@ class ModelRunner:
                     "per decode window", dense_bytes[0] / 2**30)
         return dense_specs, transform
 
-    def _build_multistep(self, n_steps: int, greedy: bool, t_bucket: int):
+    def _window_arena_enabled(self, n_pages: int) -> bool:
+        """Decode windows use the dense-arena attention (see
+        ops/window_attention.py) when the model has a standard 4D paged
+        cache and the arena fits the budget."""
+        import vllm_pq_tpu.envs as envs
+        mode = envs.VPQ_WINDOW_ARENA
+        if mode == "0":
+            return False
+        kv_shape = self.model.kv_cache_shape(1, self.block_size, tp_size=1)
+        if len(kv_shape) != 4:
+            return False  # MLA latent caches: paged path
+        kvh = kv_shape[2] // 2
+        d = kv_shape[3]
+        itemsize = 2
+        arena = (self.model.cfg.num_hidden_layers * self.max_num_reqs *
+                 n_pages * self.block_size * kvh * d * itemsize * 2)
+        budget = envs.VPQ_WINDOW_ARENA_MAX_GB * 2**30
+        if mode != "1" and arena > budget:
+            logger.info("window arena disabled: %.2f GiB exceeds budget",
+                        arena / 2**30)
+            return False
+        return True
+
+    def _build_multistep(self, n_steps: int, greedy: bool, t_bucket: int,
+                         ctx_pages: int):
         """N decode iterations in one dispatch. Token/position/slot
         metadata for iterations > 0 is DERIVED ON DEVICE from the paged
         layout (pos+1; slot from the block table), so the host transfers
@@ -769,7 +793,16 @@ class ModelRunner:
         generated tokens. Composes with async scheduling: iteration 0's
         input tokens may be -1 placeholders resolved on device from the
         previous dispatch's samples (prev_rows routing, like
-        _build_step)."""
+        _build_step).
+
+        When the window arena is enabled, the paged caches are READ
+        ONLY: the live KV prefix is gathered into immutable dense
+        arenas, new K/V accumulates in per-layer rings, and a separate
+        fold dispatch (``_get_fold``) scatters the rings back — the
+        structure that avoids XLA's pallas-alias protective copies
+        (ops/window_attention.py)."""
+        from vllm_pq_tpu.ops.window_attention import (WindowCache,
+                                                      build_window_cache)
         model = self.model
         mesh = self.mesh
         s = self.max_num_reqs
@@ -784,22 +817,47 @@ class ModelRunner:
 
         plan = self._window_dequant_plan()
         fwd_param_specs = plan[0] if plan is not None else param_specs
+        use_arena = self._window_arena_enabled(ctx_pages)
+
+        if use_arena:
+            from jax.sharding import PartitionSpec as PS
+            kv_axes = tuple(self.kv_spec) + (None,) * (
+                4 - len(tuple(self.kv_spec)))
+            head_ax = kv_axes[2]
+            wc_spec = WindowCache(
+                aK=PS(None, None, head_ax, None),
+                aV=PS(None, None, head_ax, None),
+                ringK=PS(None, None, head_ax, None),
+                ringV=PS(None, None, head_ax, None),
+                step=PS())
+            cache_specs = [wc_spec] * n_layers
+
+            def build_all(kv_caches, page_indices):
+                return [build_window_cache(c, page_indices, ctx_pages,
+                                           n_steps) for c in kv_caches]
+
+            build_sharded = _shard_map(
+                build_all, mesh,
+                in_specs=([self.kv_spec] * n_layers, P()),
+                out_specs=cache_specs)
+        else:
+            cache_specs = [self.kv_spec] * n_layers
+            build_sharded = None
 
         def fwd(params, kv_caches, rope, inputs):
             hidden, new_caches = model(
                 params, inputs["token_ids"], inputs["positions"],
                 kv_caches, inputs, rope, decode_mode=True,
-                decode_pages=self._pages_bucket(
-                    self.max_model_len))
+                decode_pages=ctx_pages)
             sel = hidden[inputs["logits_indices"]]
             logits = model.compute_logits(params, sel)
             return logits, new_caches
 
         sharded = _shard_map(
             fwd, mesh,
-            in_specs=(fwd_param_specs, [self.kv_spec] * n_layers,
-                      P(None, None), input_specs),
-            out_specs=(P(), [self.kv_spec] * n_layers),
+            in_specs=(fwd_param_specs, cache_specs, P(None, None),
+                      input_specs),
+            out_specs=(P(), cache_specs),
         )
 
         dequant = None
@@ -866,6 +924,11 @@ class ModelRunner:
                               all_greedy=greedy)
                 return (kv_caches, toks, pos + 1, out_len + 1), toks
 
+            if use_arena:
+                kv_caches = build_sharded(kv_caches,
+                                          f["page_indices"].reshape(
+                                              s, self.max_blocks_per_req))
+
             # Unrolled rather than lax.scan: the graph is identical per
             # iteration, XLA can overlap across iterations, and the
             # current TPU runtime miscompiles the pallas-in-scan carry
@@ -876,15 +939,58 @@ class ModelRunner:
                 carry, toks = body(carry, i)
                 toks_list.append(toks)
             kv_caches = carry[0]
-            return jnp.stack(toks_list), kv_caches  # [N, S]
+            toks_all = jnp.stack(toks_list)  # [N, S]
+            if use_arena:
+                # rings only: the paged fold runs in its own dispatch
+                ringsK = jnp.stack([wc.ringK for wc in kv_caches])
+                ringsV = jnp.stack([wc.ringV for wc in kv_caches])
+                return toks_all, (ringsK, ringsV)
+            return toks_all, kv_caches
 
-        return jax.jit(run, donate_argnums=(1,))
+        if use_arena:
+            return jax.jit(run), True
+        return jax.jit(run, donate_argnums=(1,)), False
 
-    def _get_multistep(self, n_steps: int, greedy: bool, t_bucket: int):
-        key = ("ms", n_steps, greedy, t_bucket)
+    def _get_fold(self, n_steps: int):
+        """Fold dispatch: scatter a window's rings into the paged
+        caches (the ONLY writer of the caches in its graph — donation
+        aliases cleanly, no protective copies)."""
+        key = ("fold", n_steps)
+        fn = self._step_fns.get(key)
+        if fn is not None:
+            return fn
+        from vllm_pq_tpu.ops.attention import write_kv_cache
+        n_layers = self.model.cfg.num_hidden_layers
+        mesh = self.mesh
+        kv_axes = tuple(self.kv_spec) + (None,) * (
+            4 - len(tuple(self.kv_spec)))
+        ring_spec = P(None, None, None, kv_axes[2], None)
+
+        def fold(kv_caches, ringsK, ringsV, slots):
+            out = []
+            for li, c in enumerate(kv_caches):
+                n, s2 = ringsK.shape[1], ringsK.shape[2]
+                k = ringsK[li].reshape(n * s2, *ringsK.shape[3:])
+                v = ringsV[li].reshape(n * s2, *ringsV.shape[3:])
+                out.append(write_kv_cache(c, k, v, slots))
+            return out
+
+        sharded = _shard_map(
+            fold, mesh,
+            in_specs=([self.kv_spec] * n_layers, ring_spec, ring_spec,
+                      P()),
+            out_specs=[self.kv_spec] * n_layers)
+        fn = jax.jit(sharded, donate_argnums=(0,))
+        self._step_fns[key] = fn
+        return fn
+
+    def _get_multistep(self, n_steps: int, greedy: bool, t_bucket: int,
+                       ctx_pages: int):
+        key = ("ms", n_steps, greedy, t_bucket, ctx_pages)
         fn = self._step_fns.get(key)
         if fn is None:
-            fn = self._build_multistep(n_steps, greedy, t_bucket)
+            fn = self._build_multistep(n_steps, greedy, t_bucket,
+                                       ctx_pages)
             self._step_fns[key] = fn
         return fn
 
@@ -1594,13 +1700,38 @@ class ModelRunner:
         assert getattr(self, "_decode_aligned", False), \
             "multi-step dispatch requires row-aligned decode packing"
         ib = self.input_batch
-        fn = self._get_multistep(n, ib.all_greedy, t_bucket)
+        ctx_pages = self._pages_bucket(
+            getattr(self, "_last_max_kv_len", 1) + n)
+        fn, use_arena = self._get_multistep(n, ib.all_greedy, t_bucket,
+                                            ctx_pages)
         self._step_count += 1
         step_key = jax.random.fold_in(self._rng_key, self._step_count)
         packed = jnp.asarray(buf.copy())
-        all_toks, self.kv_caches = fn(self.params, self.kv_caches,
-                                      self.rope_cache, packed, step_key,
-                                      self._prev_toks_or_zeros())
+        all_toks, aux = fn(self.params, self.kv_caches,
+                           self.rope_cache, packed, step_key,
+                           self._prev_toks_or_zeros())
+        if use_arena:
+            # window-end fold: scatter the rings into the paged caches
+            # (separate dispatch so donation aliases cleanly)
+            s = self.max_num_reqs
+            bs = self.block_size
+            slots = np.zeros((n, s), np.int32)
+            start = ib.num_computed_tokens[:s].copy()
+            active = np.zeros(s, bool)
+            for row, rid in enumerate(row_req_ids):
+                if rid is not None:
+                    active[row] = True
+            for j in range(n):
+                pos = start + j
+                pos_c = np.minimum(pos, self.max_model_len - 1)
+                blk = ib.block_table[np.arange(s), pos_c // bs]
+                slots[j] = np.where(active, blk * bs + pos_c % bs, 0)
+            ringsK, ringsV = aux
+            fold = self._get_fold(n)
+            self.kv_caches = fold(self.kv_caches, ringsK, ringsV,
+                                  jnp.asarray(slots.reshape(-1)))
+        else:
+            self.kv_caches = aux
         self._prev_toks = all_toks[-1]
         self._prev_row_of = {rid: row
                              for row, rid in enumerate(row_req_ids)
