@@ -208,3 +208,50 @@ def test_greedy_matches_hf_round2_families(family, tmp_path):
                                       ignore_eos=True)
                        )[0].outputs[0].token_ids
     assert got == expected, (family, got, expected)
+
+
+@pytest.mark.parametrize("family", ["dbrx", "phimoe"])
+def test_greedy_matches_hf_moe_families(family, tmp_path):
+    """Round-2 MoE breadth: DBRX and Phi-3.5-MoE pin greedy tokens."""
+    torch.manual_seed(5)
+    if family == "dbrx":
+        from transformers import DbrxConfig, DbrxForCausalLM
+        from transformers.models.dbrx.configuration_dbrx import (
+            DbrxAttentionConfig, DbrxFFNConfig)
+        cfg = DbrxConfig(
+            d_model=128, n_heads=4, n_layers=2, max_seq_len=512,
+            vocab_size=512,
+            attn_config=DbrxAttentionConfig(kv_n_heads=2, clip_qkv=8.0,
+                                            rope_theta=10000.0),
+            ffn_config=DbrxFFNConfig(ffn_hidden_size=256,
+                                     moe_num_experts=4, moe_top_k=2))
+        hf_model = DbrxForCausalLM(cfg).eval().float()
+    else:
+        from transformers import PhimoeConfig, PhimoeForCausalLM
+        cfg = PhimoeConfig(
+            vocab_size=512, hidden_size=128, intermediate_size=256,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=512,
+            num_local_experts=4, num_experts_per_tok=2,
+            attention_bias=True, lm_head_bias=True,
+            rope_scaling=None)
+        hf_model = PhimoeForCausalLM(cfg).eval().float()
+    d = tmp_path / family
+    hf_model.save_pretrained(d, safe_serialization=True)
+
+    from vllm_pq_tpu import LLM, SamplingParams
+    llm = LLM(model=str(d), dtype="float32", max_model_len=128,
+              max_num_seqs=4, max_num_batched_tokens=128, block_size=16,
+              num_kv_blocks=64, enable_prefix_caching=False)
+    rng = np.random.default_rng(13)
+    prompt = rng.integers(5, 500, 9).tolist()
+    with torch.no_grad():
+        hf_out = hf_model.generate(torch.tensor([prompt]),
+                                   max_new_tokens=10, do_sample=False,
+                                   num_beams=1, pad_token_id=0)
+    expected = hf_out[0, len(prompt):].tolist()
+    got = llm.generate([{"prompt_token_ids": prompt}],
+                       SamplingParams(temperature=0.0, max_tokens=10,
+                                      ignore_eos=True)
+                       )[0].outputs[0].token_ids
+    assert got == expected, (family, got, expected)

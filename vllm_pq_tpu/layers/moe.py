@@ -46,7 +46,8 @@ class FusedMoE:
                  expert_parallel: bool = False,
                  n_group: int = 1, topk_group: int = 1,
                  routed_scaling_factor: float = 1.0,
-                 scoring_func: str = "softmax"):
+                 scoring_func: str = "softmax",
+                 router_jitter: float = 0.01):
         self.hidden_size = hidden_size
         self.intermediate_size = intermediate_size
         self.num_experts = num_experts
@@ -60,7 +61,8 @@ class FusedMoE:
         self.n_group = n_group
         self.topk_group = topk_group
         self.routed_scaling_factor = routed_scaling_factor
-        self.scoring_func = scoring_func  # "softmax" (V2) | "sigmoid" (V3)
+        self.scoring_func = scoring_func  # softmax | sigmoid | sparsemixer
+        self.router_jitter = router_jitter  # sparsemixer mask width
 
     def param_shapes(self, dtype) -> Dict:
         h, i, e = self.hidden_size, self.intermediate_size, self.num_experts
@@ -103,6 +105,33 @@ class FusedMoE:
         router_logits = jnp.dot(
             x, params["router"]["weight"],
             preferred_element_type=jnp.float32)         # [T, E]
+        if self.scoring_func == "sparsemixer":
+            # Phi-3.5-MoE routing (reference models/phimoe.py
+            # sparsemixer eval path): per pick, experts whose relative
+            # distance from the max exceeds 2*jitter_eps are masked out
+            # of the weight softmax; pick = argmax; second pick repeats
+            # with the first expert removed.
+            eps2 = 2.0 * self.router_jitter
+            topi_l, topw_l = [], []
+            scores = router_logits
+            for _ in range(2):
+                mx = jnp.max(scores, axis=-1, keepdims=True)
+                factor = jnp.maximum(jnp.abs(router_logits), mx)
+                far = ((mx - router_logits) / factor) > eps2
+                masked = jnp.where(far, -jnp.inf, scores)
+                sel = jnp.argmax(scores, axis=-1)
+                gates = jax.nn.softmax(masked, axis=-1)
+                topi_l.append(sel)
+                topw_l.append(jnp.take_along_axis(
+                    gates, sel[:, None], axis=1)[:, 0])
+                scores = scores.at[jnp.arange(t), sel].set(-jnp.inf)
+            topi = jnp.stack(topi_l, axis=1)
+            topw = jnp.stack(topw_l, axis=1)
+            tok_ids = jnp.repeat(jnp.arange(t, dtype=jnp.int32), 2)
+            exp_ids = topi.reshape(-1).astype(jnp.int32)
+            weights = topw.reshape(-1).astype(jnp.float32)
+            return self._dispatch(params, x, tok_ids, exp_ids, weights,
+                                  tp_axis)
         if self.scoring_func == "sigmoid":
             probs = jax.nn.sigmoid(router_logits)
         else:
@@ -127,7 +156,18 @@ class FusedMoE:
         tok_ids = jnp.repeat(jnp.arange(t, dtype=jnp.int32), k)   # [T*K]
         exp_ids = topi.reshape(-1).astype(jnp.int32)
         weights = topw.reshape(-1).astype(jnp.float32)
+        return self._dispatch(params, x, tok_ids, exp_ids, weights,
+                              tp_axis)
 
+    def _dispatch(self, params: Dict, x: jax.Array, tok_ids, exp_ids,
+                  weights, tp_axis) -> jax.Array:
+        """Sorted ragged_dot expert compute shared by all routing
+        modes."""
+        t, h = x.shape
+        e = self.num_experts
+        w1 = params["experts"]["w1"]
+        w3 = params["experts"]["w3"]
+        w2 = params["experts"]["w2"]
         e_groups = e
         if self.expert_parallel and tp_axis:
             # expert-partition EP: keep only assignments to this shard's

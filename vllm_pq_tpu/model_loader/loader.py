@@ -456,6 +456,62 @@ def _load_bert_weight(tree, cfg, shapes, name, w):
         L.setdefault(ours, {})[leaf] = w.T if leaf == "weight" else w
 
 
+def _load_dbrx_weight(tree, cfg, shapes, linear_method, name, w):
+    """DBRX naming: transformer.blocks.N.{norm_attn_norm, ffn} with
+    fused Wqkv and per-projection expert stacks [E*ffn, d] (reference
+    models/dbrx.py weight mapping)."""
+    put = _mk_put_linear(tree, linear_method)
+    rest = name.split("transformer.", 1)[-1]
+    if rest == "wte.weight":
+        tree["embed_tokens"]["weight"] = w
+        return
+    if rest.startswith("norm_f."):
+        tree["norm"][rest.split(".")[-1]] = w
+        return
+    if name == "lm_head.weight":
+        if "lm_head" in shapes:
+            tree["lm_head"] = {"weight": w.T}
+        return
+    if not rest.startswith("blocks."):
+        return
+    parts = rest.split(".")
+    li = int(parts[1])
+    sub = ".".join(parts[2:-1])
+    leaf = parts[-1]
+    L = tree["layers"][li]
+    d = cfg.head_dim
+    nq = cfg.num_attention_heads * d
+    nkv = cfg.num_key_value_heads * d
+    if sub == "norm_attn_norm.attn.Wqkv":
+        for ours, piece in (("q_proj", w[:nq]),
+                            ("k_proj", w[nq:nq + nkv]),
+                            ("v_proj", w[nq + nkv:nq + 2 * nkv])):
+            put(L, ours, piece.T)
+    elif sub == "norm_attn_norm.attn.out_proj":
+        put(L, "o_proj", w.T)
+    elif sub == "norm_attn_norm.norm_1":
+        L.setdefault("input_layernorm", {})[leaf] = w
+    elif sub == "norm_attn_norm.norm_2":
+        L.setdefault("post_attention_layernorm", {})[leaf] = w
+    elif sub == "ffn.router.layer":
+        L.setdefault("moe", {}).setdefault("router", {})["weight"] = w.T
+    elif sub == "ffn.experts.mlp":
+        # leaf in (w1, v1, w2): fused per-expert stacks
+        e = cfg.num_local_experts
+        inter = cfg.intermediate_size
+        h = cfg.hidden_size
+        g = w.reshape(e, inter, h)
+        key = {"w1": "w1", "v1": "w3", "w2": "w2"}.get(leaf)
+        if key is None:
+            logger.warning("unmapped DBRX expert tensor %s", name)
+            return
+        # w1/v1 map hidden->inter ([E, h, inter]); w2 maps inter->hidden
+        arr = g if key == "w2" else g.transpose(0, 2, 1)
+        L.setdefault("moe", {}).setdefault("experts", {})[key] = arr
+    else:
+        logger.warning("unmapped DBRX weight %s", name)
+
+
 def load_hf(model, mesh: Mesh, model_dir: str,
             linear_method: LinearMethod) -> Any:
     """Load a local HF checkpoint directory into the model's param tree."""
@@ -505,7 +561,8 @@ def load_hf(model, mesh: Mesh, model_dir: str,
     fam = getattr(cfg, "hf_family", "llama")
     fam_loaders = {"gptj": _load_gptj_weight, "bloom": _load_bloom_weight,
                    "mpt": _load_mpt_weight,
-                   "internlm2": _load_internlm2_weight}
+                   "internlm2": _load_internlm2_weight,
+                   "dbrx": _load_dbrx_weight}
     for name, tensor in _iter_safetensors(model_dir):
         tensor = np.asarray(tensor)
         if is_bert:

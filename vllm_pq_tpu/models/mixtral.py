@@ -53,19 +53,26 @@ class MixtralModel(LlamaModel):
             layer[name] = self.linear_method.param_shapes(i, o, cfg.dtype)
             if cfg.attention_bias and name in ("q_proj", "k_proj", "v_proj"):
                 layer[name + "_bias"] = {"bias": ((o,), cfg.dtype)}
+        if cfg.o_proj_bias:
+            layer["o_proj_bias"] = {"bias": ((cfg.hidden_size,),
+                                             cfg.dtype)}
         layer["moe"] = self.moe.param_shapes(cfg.dtype)
-        layer["input_layernorm"] = {"weight": ((cfg.hidden_size,), cfg.dtype)}
-        layer["post_attention_layernorm"] = {
-            "weight": ((cfg.hidden_size,), cfg.dtype)}
+        # norm shapes honor the base-config knobs (DBRX: bias-free
+        # layernorm; Phi-MoE: biased layernorm)
+        layer["input_layernorm"] = self._norm_shape()
+        layer["post_attention_layernorm"] = self._norm_shape()
         shapes = {
             "embed_tokens": {"weight": ((cfg.vocab_size, cfg.hidden_size),
                                         cfg.dtype)},
             "layers": [dict(layer) for _ in range(cfg.num_hidden_layers)],
-            "norm": {"weight": ((cfg.hidden_size,), cfg.dtype)},
+            "norm": self._norm_shape(),
         }
         if not cfg.tie_word_embeddings:
             shapes["lm_head"] = self.lm_head_method.param_shapes(
                 cfg.hidden_size, cfg.vocab_size, cfg.dtype)
+            if cfg.lm_head_bias:
+                shapes["lm_head_bias"] = {"bias": ((cfg.vocab_size,),
+                                                   cfg.dtype)}
         return shapes
 
     def param_specs(self) -> Dict:
@@ -76,17 +83,22 @@ class MixtralModel(LlamaModel):
             if cfg.attention_bias and name in ("q_proj", "k_proj", "v_proj"):
                 from vllm_pq_tpu.quantization.methods import TP_AXIS
                 layer[name + "_bias"] = {"bias": P(TP_AXIS)}
+        if cfg.o_proj_bias:
+            layer["o_proj_bias"] = {"bias": P(None)}
         layer["moe"] = self.moe.partition_specs()
-        layer["input_layernorm"] = {"weight": P(None)}
-        layer["post_attention_layernorm"] = {"weight": P(None)}
+        norm_spec = {k: P(None) for k in self._norm_shape()}
+        layer["input_layernorm"] = dict(norm_spec)
+        layer["post_attention_layernorm"] = dict(norm_spec)
         from vllm_pq_tpu.quantization.methods import TP_AXIS
         specs = {
             "embed_tokens": {"weight": P(TP_AXIS, None)},
             "layers": [dict(layer) for _ in range(cfg.num_hidden_layers)],
-            "norm": {"weight": P(None)},
+            "norm": dict(norm_spec),
         }
         if not cfg.tie_word_embeddings:
             specs["lm_head"] = self.lm_head_method.partition_specs("column")
+            if cfg.lm_head_bias:
+                specs["lm_head_bias"] = {"bias": P(None)}
         return specs
 
     def lora_linear_defs(self):

@@ -535,6 +535,61 @@ def _build_internlm2(hf_config, config: EngineConfig, linear_method):
     return LlamaModel(mc, linear_method)
 
 
+@register_model("DbrxForCausalLM")
+def _build_dbrx(hf_config, config: EngineConfig, linear_method):
+    # DBRX: 16-expert MoE, bias-free layernorm, fused clipped Wqkv, GQA
+    # (reference models/dbrx.py)
+    from vllm_pq_tpu.models.mixtral import MixtralConfig, MixtralModel
+    attn = getattr(hf_config, "attn_config", {}) or {}
+    ffn = getattr(hf_config, "ffn_config", {}) or {}
+    if not isinstance(attn, dict):
+        attn = attn.__dict__
+    if not isinstance(ffn, dict):
+        ffn = ffn.__dict__
+    h = getattr(hf_config, "d_model", 2048)
+    heads = getattr(hf_config, "n_heads", 16)
+    mc = MixtralConfig(
+        vocab_size=hf_config.vocab_size,
+        hidden_size=h,
+        intermediate_size=ffn.get("ffn_hidden_size", 4 * h),
+        num_hidden_layers=getattr(hf_config, "n_layers", 24),
+        num_attention_heads=heads,
+        num_key_value_heads=attn.get("kv_n_heads", heads),
+        rope_theta=attn.get("rope_theta", 10000.0),
+        max_position_embeddings=getattr(hf_config, "max_seq_len", 2048),
+        num_local_experts=ffn.get("moe_num_experts", 16),
+        num_experts_per_tok=ffn.get("moe_top_k", 4),
+    )
+    mc.norm_type = "layernorm"
+    mc.norm_bias = False
+    mc.rms_norm_eps = 1e-5
+    mc.clip_qkv = attn.get("clip_qkv", None)
+    mc.hf_family = "dbrx"
+    mc.dtype = config.model.jax_dtype
+    ep = config.parallel.enable_expert_parallel
+    return MixtralModel(mc, linear_method, expert_parallel=ep)
+
+
+@register_model("PhiMoEForCausalLM", "PhimoeForCausalLM")
+def _build_phimoe(hf_config, config: EngineConfig, linear_method):
+    # Phi-3.5-MoE: mixtral structure + biased layernorms, qkv bias and
+    # biased lm_head (reference models/phimoe.py)
+    from vllm_pq_tpu.models.mixtral import MixtralConfig, MixtralModel
+    mc = MixtralConfig.from_hf_config(hf_config)
+    mc.norm_type = "layernorm"
+    mc.rms_norm_eps = getattr(hf_config, "rms_norm_eps", 1e-5)
+    mc.attention_bias = getattr(hf_config, "attention_bias", True)
+    mc.o_proj_bias = mc.attention_bias
+    mc.lm_head_bias = getattr(hf_config, "lm_head_bias", True)
+    mc.dtype = config.model.jax_dtype
+    ep = config.parallel.enable_expert_parallel
+    model = MixtralModel(mc, linear_method, expert_parallel=ep)
+    model.moe.scoring_func = "sparsemixer"
+    model.moe.router_jitter = getattr(hf_config, "router_jitter_noise",
+                                      0.01)
+    return model
+
+
 @register_model("BertModel", "BertForMaskedLM")
 def _build_bert(hf_config, config: EngineConfig, linear_method):
     # Encoder-only embedding model (reference models/bert.py
