@@ -53,9 +53,10 @@ def main():
     # dominant cost on tunneled TPUs); decode throughput is the metric.
     batch = 256 if on_tpu else 8
     prompt_len = 32
-    # 192 decode tokens = 8 multi-step windows of 24: 2 warm/compile
-    # windows untimed, ~6 timed
-    decode_steps = 192 if on_tpu else 16
+    # 193 decode tokens = the prefill-step sample + 8 multi-step
+    # windows of 24; 4 windows warm (covers compiles + the ctx-bucket
+    # transition), 3 timed
+    decode_steps = 193 if on_tpu else 16
 
     llm = LLM(model=d, load_format="dummy",
               dtype="bfloat16" if on_tpu else "float32",
@@ -118,7 +119,10 @@ def main():
             emitted[o.request_id] = tot
         return n
 
-    for _ in range(2):
+    # 4 windows untimed: covers the decode-window compile AND the
+    # ctx-pages bucket transition (kv crosses the 128-token arena
+    # bucket around output 72), so the timed region sees no compiles
+    for _ in range(4):
         if not eng.has_unfinished_requests():
             break
         _new_tokens(eng.step())
@@ -127,10 +131,17 @@ def main():
     # so tail-bucket recompiles / drain don't pollute the measurement
     t0 = time.perf_counter()
     decode_tokens = 0
+    dbg = os.environ.get("BENCH_DEBUG")
+    target = 3 * batch * 24  # exactly 3 steady-state windows
     while eng.has_unfinished_requests():
+        ts = time.perf_counter()
         outs = eng.step()
-        decode_tokens += _new_tokens(outs)
-        if any(o.finished for o in outs):
+        nt = _new_tokens(outs)
+        decode_tokens += nt
+        if dbg:
+            print(f"timed step: {(time.perf_counter()-ts)*1e3:.1f} ms, "
+                  f"{nt} toks", flush=True)
+        if decode_tokens >= target or any(o.finished for o in outs):
             break
     dt = time.perf_counter() - t0
     tput = decode_tokens / dt

@@ -397,7 +397,11 @@ class Scheduler:
                     or sp.presence_penalty != 0
                     or sp.frequency_penalty != 0
                     or sp.repetition_penalty != 1.0
-                    or r.num_tokens + n > self.max_model_len):
+                    or r.num_tokens + n > self.max_model_len
+                    # a request that will finish inside the window wastes
+                    # most of it (and a near-empty batch would compile a
+                    # whole window variant for a handful of tokens)
+                    or r.max_tokens - r.num_output_tokens < n):
                 return None
 
         output = SchedulerOutput()
