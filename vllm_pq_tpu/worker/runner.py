@@ -851,13 +851,25 @@ class ModelRunner:
                 decode_pages=ctx_pages)
             sel = hidden[inputs["logits_indices"]]
             logits = model.compute_logits(params, sel)
+            if use_arena:
+                # return ONLY the per-iteration state (rings + step):
+                # passing the immutable arenas through the shard_map
+                # output forced XLA to copy ~3 GiB per iteration
+                # (profiler-verified, 3.4 ms/iter)
+                new_caches = [(wc.ringK, wc.ringV, wc.step)
+                              for wc in new_caches]
             return logits, new_caches
 
+        if use_arena:
+            out_cache_specs = [(wc_spec.ringK, wc_spec.ringV,
+                                wc_spec.step)] * n_layers
+        else:
+            out_cache_specs = cache_specs
         sharded = _shard_map(
             fwd, mesh,
             in_specs=(fwd_param_specs, cache_specs, P(None, None),
                       input_specs),
-            out_specs=(P(), cache_specs),
+            out_specs=(P(), out_cache_specs),
         )
 
         dequant = None
@@ -918,7 +930,17 @@ class ModelRunner:
                     "num_seqs": f["num_seqs"],
                     "logits_indices": f["logits_indices"],
                 }
-                logits, kv_caches = sharded(params, kv_caches, rope, inputs)
+                logits, new_state = sharded(params, kv_caches, rope,
+                                            inputs)
+                if use_arena:
+                    from vllm_pq_tpu.ops.window_attention import \
+                        WindowCache as _WC
+                    kv_caches = [
+                        _WC(aK=wc.aK, aV=wc.aV, ringK=rk, ringV=rv,
+                            step=st)
+                        for wc, (rk, rv, st) in zip(kv_caches, new_state)]
+                else:
+                    kv_caches = new_state
                 state = base_state._replace(output_len=out_len)
                 toks = sample(logits, state, jax.random.fold_in(step_key, i),
                               all_greedy=greedy)
