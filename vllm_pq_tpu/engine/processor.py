@@ -34,8 +34,26 @@ class Processor:
             if os.path.isfile(cfg_file):
                 with open(cfg_file) as f:
                     raw = json.load(f)
-                if (raw.get("architectures") or [""])[0] == \
-                        "LlavaForConditionalGeneration":
+                arch0 = (raw.get("architectures") or [""])[0]
+                if not arch0:
+                    arch0 = {
+                        "qwen2_vl": "Qwen2VLForConditionalGeneration",
+                        "llava": "LlavaForConditionalGeneration",
+                    }.get(raw.get("model_type", ""), "")
+                if arch0 in ("Qwen2VLForConditionalGeneration",
+                             "Qwen2_5_VLForConditionalGeneration"):
+                    from vllm_pq_tpu.multimodal.qwen2vl_image import \
+                        Qwen2VLImageProcessor
+                    vc = raw.get("vision_config", {})
+                    spec = ("qwen2vl",
+                            raw.get("image_token_id", 151655),
+                            Qwen2VLImageProcessor(
+                                patch_size=vc.get("patch_size", 14),
+                                temporal_patch_size=vc.get(
+                                    "temporal_patch_size", 2),
+                                merge_size=vc.get("spatial_merge_size",
+                                                  2)))
+                elif arch0 == "LlavaForConditionalGeneration":
                     from vllm_pq_tpu.multimodal.image import ImageProcessor
                     vc = raw.get("vision_config", {})
                     size = vc.get("image_size", 336)
@@ -56,6 +74,8 @@ class Processor:
         placeholder expansion)."""
         from vllm_pq_tpu.multimodal import MMInput
         spec = self._mm()
+        if spec and spec[0] == "qwen2vl":
+            return self._expand_mm_qwen2vl(token_ids, mm_data, spec)
         if spec is None:
             raise ValueError(
                 "multi_modal_data passed but the model is not multimodal")
@@ -77,6 +97,38 @@ class Processor:
             out.extend(token_ids[prev:spot])
             mm_inputs.append(MMInput(offset=len(out), length=n_tok,
                                      pixel_values=improc(img)))
+            out.extend([image_tok] * n_tok)
+            prev = spot + 1
+        out.extend(token_ids[prev:])
+        return out, mm_inputs
+
+    def _expand_mm_qwen2vl(self, token_ids, mm_data, spec):
+        """Qwen2-VL: the placeholder count depends on each image's
+        patch grid (t*h*w / merge^2)."""
+        from vllm_pq_tpu.multimodal import MMInput
+        _, image_tok, improc = spec
+        images = mm_data.get("image")
+        if images is None:
+            raise ValueError("multi_modal_data must contain 'image'")
+        if not isinstance(images, (list, tuple)):
+            images = [images]
+        spots = [i for i, t in enumerate(token_ids) if t == image_tok]
+        if len(spots) != len(images):
+            raise ValueError(
+                f"prompt has {len(spots)} image placeholders but "
+                f"{len(images)} images were provided")
+        out: list = []
+        mm_inputs = []
+        prev = 0
+        for spot, img in zip(spots, images):
+            out.extend(token_ids[prev:spot])
+            patches, grid = improc(img)
+            t, gh, gw = grid
+            ms = improc.merge_size
+            n_tok = t * (gh // ms) * (gw // ms)
+            mm_inputs.append(MMInput(
+                offset=len(out), length=n_tok, pixel_values=patches,
+                grid_thw=grid, merge_size=ms))
             out.extend([image_tok] * n_tok)
             prev = spot + 1
         out.extend(token_ids[prev:])

@@ -512,6 +512,45 @@ def _load_dbrx_weight(tree, cfg, shapes, linear_method, name, w):
         logger.warning("unmapped DBRX weight %s", name)
 
 
+def _load_qwen2vl_vision(vtree, vcfg, rest: str, w):
+    """Qwen2-VL vision tower naming: model.visual.* (reference
+    models/qwen2_vl.py vision weight mapping)."""
+    if rest == "patch_embed.proj.weight":
+        # Conv3d [embed, C, tps, ps, ps] with stride == kernel -> one
+        # matmul [patch_dim, embed]
+        vtree["patch_embed"]["weight"] = w.reshape(w.shape[0], -1).T
+        return
+    if rest.startswith("merger."):
+        sub = rest.split(".")
+        leaf = sub[-1]
+        if sub[1] == "ln_q":
+            vtree["merger"].setdefault("ln_q", {})[leaf] = w
+        elif sub[1] == "mlp":
+            key = {"0": "mlp0", "2": "mlp2"}[sub[2]]
+            vtree["merger"].setdefault(key, {})[leaf] = (
+                w.T if leaf == "weight" else w)
+        return
+    if rest.startswith("blocks."):
+        parts = rest.split(".")
+        li = int(parts[1])
+        sub = ".".join(parts[2:-1])
+        leaf = parts[-1]
+        L = vtree["blocks"][li]
+        m = {"norm1": "norm1", "norm2": "norm2", "attn.qkv": "qkv",
+             "attn.proj": "proj", "mlp.fc1": "fc1", "mlp.fc2": "fc2"}
+        ours = m.get(sub)
+        if ours is None:
+            logger.warning("unmapped Qwen2-VL vision weight %s", rest)
+            return
+        if ours.startswith("norm"):
+            L.setdefault(ours, {})[leaf] = w
+        else:
+            L.setdefault(ours, {})[leaf] = (
+                w.T if leaf == "weight" else w)
+        return
+    logger.warning("unmapped Qwen2-VL vision weight %s", rest)
+
+
 def load_hf(model, mesh: Mesh, model_dir: str,
             linear_method: LinearMethod) -> Any:
     """Load a local HF checkpoint directory into the model's param tree."""
@@ -563,11 +602,26 @@ def load_hf(model, mesh: Mesh, model_dir: str,
                    "mpt": _load_mpt_weight,
                    "internlm2": _load_internlm2_weight,
                    "dbrx": _load_dbrx_weight}
+    if fam == "qwen2_vl":
+        nv = model.cfg.vision.depth
+        tree["vision"] = {"patch_embed": {},
+                          "blocks": [dict() for _ in range(nv)],
+                          "merger": {}}
     for name, tensor in _iter_safetensors(model_dir):
         tensor = np.asarray(tensor)
         if is_bert:
             _load_bert_weight(tree, cfg, shapes, name, tensor)
             continue
+        if fam == "qwen2_vl":
+            # both naming generations: "visual./model.layers." (legacy
+            # save layout) and "model.visual./model.language_model."
+            if name.startswith(("visual.", "model.visual.")):
+                rest = name.split("visual.", 1)[1]
+                _load_qwen2vl_vision(tree["vision"], model.cfg.vision,
+                                     rest, tensor)
+                continue
+            if name.startswith("model.language_model."):
+                name = "model." + name[len("model.language_model."):]
         if fam in fam_loaders:
             fam_loaders[fam](tree, cfg, shapes, linear_method, name,
                              tensor)

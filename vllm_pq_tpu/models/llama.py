@@ -441,8 +441,15 @@ class LlamaModel:
             q = _hln(q, lp["q_norm"]["weight"])
             k = _hln(k, lp["k_norm"]["weight"])
         alibi = None
+        mrope = getattr(cfg, "mrope_section", None)
         if cfg.alibi:
             alibi = self._alibi_local(heads, tp_axis)
+        elif mrope and "mrope_pos" in attn_md:
+            # Qwen2-VL 3D rotary: per-token (t, h, w) position plan
+            # shipped by the runner (models/qwen2_vl.py)
+            from vllm_pq_tpu.models.qwen2_vl import apply_mrope
+            pos3 = attn_md["mrope_pos"].reshape(3, -1)
+            q, k = apply_mrope(q, k, pos3, rope_cache, mrope)
         elif cfg.partial_rotary_factor < 1.0:
             rd = rope_cache.shape[-1]
             qr, kr = apply_rope(q[..., :rd], k[..., :rd], positions,

@@ -535,6 +535,43 @@ def _build_internlm2(hf_config, config: EngineConfig, linear_method):
     return LlamaModel(mc, linear_method)
 
 
+@register_model("Qwen2VLForConditionalGeneration")
+def _build_qwen2_vl(hf_config, config: EngineConfig, linear_method):
+    # Qwen2-VL: Qwen2 text decoder + MRoPE + ViT vision tower
+    # (reference models/qwen2_vl.py + rotary_embedding.py:849 MRoPE)
+    from types import SimpleNamespace
+
+    from vllm_pq_tpu.models.qwen2_vl import (Qwen2VLConfig, Qwen2VLModel,
+                                             Qwen2VLVisionCfg)
+
+    def ns(v):
+        return SimpleNamespace(**v) if isinstance(v, dict) else v
+    tc = ns(getattr(hf_config, "text_config", None)) or hf_config
+    from vllm_pq_tpu.models.llama import LlamaConfig
+    base = LlamaConfig.from_hf_config(tc)
+    mc = Qwen2VLConfig(**base.__dict__)
+    mc.attention_bias = True
+    rs = getattr(tc, "rope_scaling", None) or {}
+    mc.rope_scaling = None  # mrope is not a table transform
+    mc.mrope_section = tuple(rs.get("mrope_section", (16, 24, 24)))
+    mc.image_token_id = getattr(hf_config, "image_token_id", 151655)
+    vc = ns(getattr(hf_config, "vision_config", None))
+    if vc is not None:
+        mc.vision = Qwen2VLVisionCfg(
+            depth=getattr(vc, "depth", 32),
+            embed_dim=getattr(vc, "embed_dim", 1280),
+            num_heads=getattr(vc, "num_heads", 16),
+            mlp_ratio=getattr(vc, "mlp_ratio", 4.0),
+            in_channels=getattr(vc, "in_channels", 3),
+            patch_size=getattr(vc, "patch_size", 14),
+            temporal_patch_size=getattr(vc, "temporal_patch_size", 2),
+            spatial_merge_size=getattr(vc, "spatial_merge_size", 2),
+            hidden_act=getattr(vc, "hidden_act", "quick_gelu"))
+    mc.hf_family = "qwen2_vl"
+    mc.dtype = config.model.jax_dtype
+    return Qwen2VLModel(mc, linear_method)
+
+
 @register_model("DbrxForCausalLM")
 def _build_dbrx(hf_config, config: EngineConfig, linear_method):
     # DBRX: 16-expert MoE, bias-free layernorm, fused clipped Wqkv, GQA
@@ -648,8 +685,15 @@ def build_model(config: EngineConfig, linear_method) -> Tuple:
     the checkpoint's quantization_config take precedence."""
     hf = _load_hf_config(config.model.model, config)
     arch = "LlamaForCausalLM"
+    _MODEL_TYPE_ARCH = {
+        "qwen2_vl": "Qwen2VLForConditionalGeneration",
+        "llava": "LlavaForConditionalGeneration",
+        "bert": "BertModel",
+    }
     if hf is not None:
-        archs = getattr(hf, "architectures", None) or [arch]
+        archs = (getattr(hf, "architectures", None)
+                 or [_MODEL_TYPE_ARCH.get(
+                     getattr(hf, "model_type", ""), arch)])
         arch = archs[0]
         qcfg = getattr(hf, "quantization_config", None)
         if qcfg and qcfg.get("quant_method") == "aqlm":

@@ -22,8 +22,12 @@ class MMInput:
     ``vllm/multimodal/inputs.py``)."""
     offset: int
     length: int
-    # preprocessed pixel values [3, H, W] float32 (CLIP-normalized)
+    # preprocessed pixel values: [3, H, W] float32 (LLaVA/CLIP) or
+    # [N_patches, patch_dim] (Qwen2-VL pre-patched layout)
     pixel_values: Optional[np.ndarray] = None
+    # Qwen2-VL: feature grid (t, h, w) in PATCH units + merge size
+    grid_thw: Optional[tuple] = None
+    merge_size: int = 2
     # content hash for caching/dedup (reference mm hasher)
     mm_hash: str = ""
 

@@ -56,7 +56,8 @@ class _PackedLayout:
                   "eos_token_id", "min_tokens", "output_len",
                   "logits_mask", "bias_rows", "bias_toks",
                   "lora_sorted_tok", "lora_groups", "prev_rows",
-                  "plp_targets", "token_hist", "num_prompt")
+                  "plp_targets", "token_hist", "num_prompt",
+                  "mrope_pos", "rope_delta")
     F32_FIELDS = ("temperature", "top_p", "min_p", "presence_penalty",
                   "frequency_penalty", "repetition_penalty", "bias_vals")
 
@@ -64,13 +65,18 @@ class _PackedLayout:
 
     def __init__(self, t_bucket: int, s: int, k1: int, max_blocks: int,
                  spec_k: int, mask_words: int = 0, lora_slots: int = 0,
-                 hist_len: int = 0):
+                 hist_len: int = 0, mrope: bool = False):
         self.mask_words = mask_words
         self.lora_slots = lora_slots
         self.hist_len = hist_len
+        self.mrope = mrope
         sizes = {
             "lora_sorted_tok": t_bucket if lora_slots else 0,
             "lora_groups": lora_slots,
+            # Qwen2-VL 3D rope: per-token (t, h, w) plan + per-row
+            # decode delta (models/qwen2_vl.py)
+            "mrope_pos": 3 * t_bucket if mrope else 0,
+            "rope_delta": s if mrope else 0,
         }
         sizes |= {
             "token_ids": t_bucket, "positions": t_bucket,
@@ -188,6 +194,9 @@ class ModelRunner:
         self._mm_spans: Dict[str, list] = {}
         self._mm_cache: Dict[Tuple[str, int], np.ndarray] = {}
         self._mm_step = None
+        # MRoPE (Qwen2-VL): per-request 3D position plan + decode delta
+        self._mrope_pos3: Dict[str, np.ndarray] = {}
+        self._mrope_delta: Dict[str, int] = {}
 
         # multi-LoRA stacks (role of reference LoRAModelManager + Punica)
         self.lora_stacks = None
@@ -396,7 +405,10 @@ class ModelRunner:
             lay = _PackedLayout(t_bucket, self.max_num_reqs,
                                 self.spec_k + 1, self.max_blocks_per_req,
                                 self.spec_k, mask_words, lora_slots,
-                                self.max_model_len if penalized else 0)
+                                self.max_model_len if penalized else 0,
+                                mrope=bool(getattr(self.model.cfg,
+                                                   "mrope_section",
+                                                   None)))
             self._layouts[key] = lay
             self._packed_bufs[key] = np.zeros(lay.total, np.int32)
         return lay
@@ -461,6 +473,8 @@ class ModelRunner:
         attn_keys = ("token_ids", "positions", "slot_mapping", "kv_lens",
                      "page_indices", "cu_q_lens", "num_seqs",
                      "logits_indices")
+        if getattr(model.cfg, "mrope_section", None):
+            attn_keys = attn_keys + ("mrope_pos",)
         spec_keys = attn_keys + (("plp_targets",) if plp_k else ())
         if mm:
             spec_keys = spec_keys + ("mm_mask", "mm_embeds")
@@ -813,6 +827,9 @@ class ModelRunner:
         attn_keys = ("token_ids", "positions", "slot_mapping", "kv_lens",
                      "page_indices", "cu_q_lens", "num_seqs",
                      "logits_indices")
+        use_mrope = bool(getattr(model.cfg, "mrope_section", None))
+        if use_mrope:
+            attn_keys = attn_keys + ("mrope_pos",)
         input_specs = {k: P() for k in attn_keys}
 
         plan = self._window_dequant_plan()
@@ -930,6 +947,12 @@ class ModelRunner:
                     "num_seqs": f["num_seqs"],
                     "logits_indices": f["logits_indices"],
                 }
+                if use_mrope:
+                    # decode rows: t == h == w == pos + per-row delta
+                    eff = jnp.where(active, pos + f["rope_delta"], 0)
+                    ef = jnp.zeros(t_bucket, jnp.int32).at[:m].set(
+                        eff[:m])
+                    inputs["mrope_pos"] = jnp.tile(ef, 3)
                 logits, new_state = sharded(params, kv_caches, rope,
                                             inputs)
                 if use_arena:
@@ -1027,11 +1050,14 @@ class ModelRunner:
         ib = self.input_batch
         for rid in so.finished_req_ids:
             ib.remove_request(rid)
+            self._mrope_pos3.pop(rid, None)
+            self._mrope_delta.pop(rid, None)
             if rid in self._mm_spans:
                 spans = self._mm_spans.pop(rid)
                 for idx in range(len(spans)):
                     self._mm_cache.pop((rid, idx), None)
         ib.condense()
+        mrope = getattr(self.model.cfg, "mrope_section", None)
         for nr in so.scheduled_new_reqs:
             ib.add_request(nr)
             if request_meta and nr.req_id in request_meta:
@@ -1039,6 +1065,14 @@ class ModelRunner:
                 ib.set_eos(nr.req_id, eos, ignore)
             if getattr(nr, "mm_inputs", None):
                 self._mm_spans[nr.req_id] = nr.mm_inputs
+                if mrope:
+                    from vllm_pq_tpu.models.qwen2_vl import \
+                        mrope_positions_for_prompt
+                    pos3, delta = mrope_positions_for_prompt(
+                        nr.prompt_token_ids, nr.mm_inputs,
+                        self.model.image_token_index)
+                    self._mrope_pos3[nr.req_id] = pos3
+                    self._mrope_delta[nr.req_id] = delta
         for cr in so.scheduled_cached_reqs:
             ib.update_cached(cr)
         for rid, idx in getattr(so, "free_encoder_input_ids", ()):
@@ -1058,17 +1092,32 @@ class ModelRunner:
                 if (rid, idx) in self._mm_cache:
                     continue
                 mi = spans[idx]
-                fn = self._get_encode_images_fn(mi.pixel_values.shape)
-                feats = fn(self.params["vision"],
-                           jnp.asarray(mi.pixel_values[None]))
-                self._mm_cache[(rid, idx)] = np.asarray(
-                    jax.device_get(feats))[0].astype(np.float32)
+                if getattr(mi, "grid_thw", None) is not None:
+                    # Qwen2-VL: pre-patched pixels + grid (static per
+                    # compiled variant)
+                    fn = self._get_encode_images_fn(
+                        mi.pixel_values.shape, mi.grid_thw)
+                    feats = fn(self.params["vision"],
+                               jnp.asarray(mi.pixel_values))
+                    self._mm_cache[(rid, idx)] = np.asarray(
+                        jax.device_get(feats)).astype(np.float32)
+                else:
+                    fn = self._get_encode_images_fn(mi.pixel_values.shape)
+                    feats = fn(self.params["vision"],
+                               jnp.asarray(mi.pixel_values[None]))
+                    self._mm_cache[(rid, idx)] = np.asarray(
+                        jax.device_get(feats))[0].astype(np.float32)
 
-    def _get_encode_images_fn(self, pixel_shape):
-        key = ("mm_enc", pixel_shape)
+    def _get_encode_images_fn(self, pixel_shape, grid=None):
+        key = ("mm_enc", pixel_shape, grid)
         fn = self._step_fns.get(key)
         if fn is None:
-            fn = jax.jit(self.model.encode_images)
+            if grid is not None:
+                import functools
+                fn = jax.jit(functools.partial(self.model.encode_images,
+                                               grid_thw=grid))
+            else:
+                fn = jax.jit(self.model.encode_images)
             self._step_fns[key] = fn
         return fn
 
@@ -1216,6 +1265,12 @@ class ModelRunner:
                 for p_i in ph:
                     prev_rows[p_i] = prev_row_of.get(
                         ib.req_ids[int(p_i)], -1)
+            if lay.mrope:
+                deltas = np.fromiter(
+                    (self._mrope_delta.get(ib.req_ids[r], 0)
+                     for r in range(n)), np.int32, count=n)
+                mp = lay.view(buf, "mrope_pos").reshape(3, t_bucket)
+                mp[:, :n] = np.where(m, start + deltas, 0)[None, :]
             for r in range(n):
                 if m[r]:
                     row_req_ids[r] = ib.req_ids[r]
@@ -1246,6 +1301,21 @@ class ModelRunner:
                 # appended to the query and verified against the target
                 tok[off + n_real:off + nt] = dr
             pos[off:off + nt] = np.arange(start, end, dtype=np.int32)
+            if lay.mrope:
+                pr = np.arange(start, end, dtype=np.int32)
+                delta = self._mrope_delta.get(rid, 0)
+                table = self._mrope_pos3.get(rid)
+                mp = lay.view(buf, "mrope_pos").reshape(3, t_bucket)
+                if table is not None:
+                    npr = table.shape[1]
+                    inp = pr < npr
+                    vals = np.where(
+                        inp[None, :],
+                        table[:, np.clip(pr, 0, npr - 1)],
+                        (pr + delta)[None, :])
+                else:
+                    vals = np.broadcast_to(pr + delta, (3, nt))
+                mp[:, off:off + nt] = vals
             # slot mapping from the block table
             blk = ib.block_table[row, start // self.block_size:
                                  (end - 1) // self.block_size + 1]
@@ -1330,6 +1400,11 @@ class ModelRunner:
             lay.view(buf, "token_hist").reshape(
                 s, lay.hist_len)[:n] = ib.token_ids[:n, :lay.hist_len]
             lay.view(buf, "num_prompt")[:n] = ib.num_prompt_tokens[:n]
+
+        if lay.mrope:
+            lay.view(buf, "rope_delta")[:n] = np.fromiter(
+                (self._mrope_delta.get(ib.req_ids[r], 0)
+                 for r in range(n)), np.int32, count=n)
 
         if constrained:
             w = lay.mask_words
