@@ -40,8 +40,10 @@ class Processor:
                         "qwen2_vl": "Qwen2VLForConditionalGeneration",
                         "llava": "LlavaForConditionalGeneration",
                     }.get(raw.get("model_type", ""), "")
-                if arch0 in ("Qwen2VLForConditionalGeneration",
-                             "Qwen2_5_VLForConditionalGeneration"):
+                if arch0 == "WhisperForConditionalGeneration":
+                    spec = ("whisper",)
+                elif arch0 in ("Qwen2VLForConditionalGeneration",
+                               "Qwen2_5_VLForConditionalGeneration"):
                     from vllm_pq_tpu.multimodal.qwen2vl_image import \
                         Qwen2VLImageProcessor
                     vc = raw.get("vision_config", {})
@@ -74,6 +76,21 @@ class Processor:
         placeholder expansion)."""
         from vllm_pq_tpu.multimodal import MMInput
         spec = self._mm()
+        if spec and spec[0] == "whisper":
+            # audio attaches whole (no placeholder expansion): the
+            # decoder cross-attends to the encoder output
+            import numpy as np
+            from vllm_pq_tpu.multimodal import MMInput
+            audio = mm_data.get("audio")
+            if audio is None:
+                raise ValueError("multi_modal_data must contain 'audio'")
+            if isinstance(audio, dict):
+                audio = audio.get("input_features", audio)
+            mel = np.asarray(audio, np.float32)
+            if mel.ndim == 3:
+                mel = mel[0]
+            return list(token_ids), [MMInput(offset=0, length=0,
+                                             pixel_values=mel)]
         if spec and spec[0] == "qwen2vl":
             return self._expand_mm_qwen2vl(token_ids, mm_data, spec)
         if spec is None:

@@ -551,6 +551,68 @@ def _load_qwen2vl_vision(vtree, vcfg, rest: str, w):
     logger.warning("unmapped Qwen2-VL vision weight %s", rest)
 
 
+def _load_whisper_weight(tree, cfg, shapes, name, w):
+    """Whisper naming: model.{encoder,decoder}.* (reference
+    models/whisper.py weight mapping); proj_out is tied."""
+    if name in ("proj_out.weight",):
+        return
+    if not name.startswith("model."):
+        return
+    rest = name[len("model."):]
+    if rest.startswith("encoder."):
+        sub = rest[len("encoder."):]
+        enc = tree["encoder"]
+        if sub.startswith("conv"):
+            which, leaf = sub.split(".")
+            if leaf == "weight":
+                # HF conv1d [out, in, k] -> our "IHO" [in, k, out]
+                enc[which]["weight"] = w.transpose(1, 2, 0)
+            else:
+                enc[which]["bias"] = w
+            return
+        if sub == "embed_positions.weight":
+            enc["embed_positions"]["weight"] = w
+            return
+        if sub.startswith("layer_norm."):
+            enc["layer_norm"][sub.split(".")[-1]] = w
+            return
+        if sub.startswith("layers."):
+            parts = sub.split(".")
+            li = int(parts[1])
+            path = parts[2:-1]
+            leaf = parts[-1]
+            L = enc["layers"][li]
+            node = L
+            for p2 in path:
+                node = node.setdefault(p2, {})
+            node[leaf] = w.T if (leaf == "weight"
+                                 and "norm" not in path[-1]) else w
+            return
+    if rest.startswith("decoder."):
+        sub = rest[len("decoder."):]
+        if sub == "embed_tokens.weight":
+            tree["embed_tokens"]["weight"] = w
+            return
+        if sub == "embed_positions.weight":
+            tree["embed_positions"]["weight"] = w
+            return
+        if sub.startswith("layer_norm."):
+            tree["norm"][sub.split(".")[-1]] = w
+            return
+        if sub.startswith("layers."):
+            parts = sub.split(".")
+            li = int(parts[1])
+            path = parts[2:-1]
+            leaf = parts[-1]
+            node = tree["layers"][li]
+            for p2 in path:
+                node = node.setdefault(p2, {})
+            node[leaf] = w.T if (leaf == "weight"
+                                 and "norm" not in path[-1]) else w
+            return
+    logger.warning("unmapped Whisper weight %s", name)
+
+
 def load_hf(model, mesh: Mesh, model_dir: str,
             linear_method: LinearMethod) -> Any:
     """Load a local HF checkpoint directory into the model's param tree."""
@@ -607,8 +669,18 @@ def load_hf(model, mesh: Mesh, model_dir: str,
         tree["vision"] = {"patch_embed": {},
                           "blocks": [dict() for _ in range(nv)],
                           "merger": {}}
+    is_whisper = model.__class__.__name__ == "WhisperModel"
+    if is_whisper:
+        tree["encoder"] = {
+            "conv1": {}, "conv2": {}, "embed_positions": {},
+            "layer_norm": {},
+            "layers": [dict() for _ in range(cfg.encoder_layers)]}
+        tree["embed_positions"] = {}
     for name, tensor in _iter_safetensors(model_dir):
         tensor = np.asarray(tensor)
+        if is_whisper:
+            _load_whisper_weight(tree, cfg, shapes, name, tensor)
+            continue
         if is_bert:
             _load_bert_weight(tree, cfg, shapes, name, tensor)
             continue

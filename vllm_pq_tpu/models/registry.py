@@ -572,6 +572,17 @@ def _build_qwen2_vl(hf_config, config: EngineConfig, linear_method):
     return Qwen2VLModel(mc, linear_method)
 
 
+@register_model("WhisperForConditionalGeneration")
+def _build_whisper(hf_config, config: EngineConfig, linear_method):
+    # Whisper enc-dec (reference models/whisper.py): audio encoder run
+    # once per request, decoder with paged self-attn + cross-attn
+    from vllm_pq_tpu.models.whisper import WhisperConfig, WhisperModel
+    mc = (WhisperConfig.from_hf_config(hf_config)
+          if hf_config is not None else WhisperConfig())
+    mc.dtype = config.model.jax_dtype
+    return WhisperModel(mc)
+
+
 @register_model("DbrxForCausalLM")
 def _build_dbrx(hf_config, config: EngineConfig, linear_method):
     # DBRX: 16-expert MoE, bias-free layernorm, fused clipped Wqkv, GQA

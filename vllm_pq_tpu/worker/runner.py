@@ -197,6 +197,11 @@ class ModelRunner:
         # MRoPE (Qwen2-VL): per-request 3D position plan + decode delta
         self._mrope_pos3: Dict[str, np.ndarray] = {}
         self._mrope_delta: Dict[str, int] = {}
+        # encoder-decoder (Whisper): per-request encoder states cached
+        # host-side, kept device-resident per batch row
+        self._enc_np: Dict[str, np.ndarray] = {}
+        self._enc_dirty = True
+        self._enc_dev = None
 
         # multi-LoRA stacks (role of reference LoRAModelManager + Punica)
         self.lora_stacks = None
@@ -475,6 +480,10 @@ class ModelRunner:
                      "logits_indices")
         if getattr(model.cfg, "mrope_section", None):
             attn_keys = attn_keys + ("mrope_pos",)
+        encdec = getattr(model, "is_encoder_decoder", False)
+        if encdec:
+            # whisper-style cross attention: per-row encoder states
+            attn_keys = attn_keys + ("enc_states", "enc_lens")
         spec_keys = attn_keys + (("plp_targets",) if plp_k else ())
         if mm:
             spec_keys = spec_keys + ("mm_mask", "mm_embeds")
@@ -516,12 +525,18 @@ class ModelRunner:
                        (P(), P(), P()) if plp_k else None),
         )
 
+        packed_keys = tuple(k for k in attn_keys
+                            if k not in ("enc_states", "enc_lens"))
+
         def step(params, kv_caches, rope, packed, step_key, lora_w,
                  prev_toks, *mm_arrays):
             f = lay.unpack(packed)
-            inputs = {k: f[k] for k in attn_keys}
+            inputs = {k: f[k] for k in packed_keys}
             if plp_k:
                 inputs["plp_targets"] = f["plp_targets"]
+            if encdec:
+                inputs["enc_states"], inputs["enc_lens"] = mm_arrays[-2:]
+                mm_arrays = mm_arrays[:-2]
             if mm:
                 inputs["mm_mask"], inputs["mm_embeds"] = mm_arrays
             # async scheduling: tokens marked prev_rows >= 0 take their
@@ -1052,18 +1067,29 @@ class ModelRunner:
             ib.remove_request(rid)
             self._mrope_pos3.pop(rid, None)
             self._mrope_delta.pop(rid, None)
+            if self._enc_np.pop(rid, None) is not None:
+                self._enc_dirty = True
             if rid in self._mm_spans:
                 spans = self._mm_spans.pop(rid)
                 for idx in range(len(spans)):
                     self._mm_cache.pop((rid, idx), None)
         ib.condense()
+        if getattr(self.model, "is_encoder_decoder", False) and \
+                (so.finished_req_ids or so.scheduled_new_reqs):
+            self._enc_dirty = True  # row layout changed
         mrope = getattr(self.model.cfg, "mrope_section", None)
         for nr in so.scheduled_new_reqs:
             ib.add_request(nr)
             if request_meta and nr.req_id in request_meta:
                 eos, ignore = request_meta[nr.req_id]
                 ib.set_eos(nr.req_id, eos, ignore)
-            if getattr(nr, "mm_inputs", None):
+            if getattr(nr, "mm_inputs", None) and \
+                    getattr(self.model, "is_encoder_decoder", False):
+                # whisper: run the audio encoder once, cache per request
+                mel = nr.mm_inputs[0].pixel_values
+                self._enc_np[nr.req_id] = self._encode_audio(mel)
+                self._enc_dirty = True
+            elif getattr(nr, "mm_inputs", None):
                 self._mm_spans[nr.req_id] = nr.mm_inputs
                 if mrope:
                     from vllm_pq_tpu.models.qwen2_vl import \
@@ -1166,6 +1192,46 @@ class ModelRunner:
             fo = off + lo - start
             mask[fo:fo + hi - lo] = 1
             embeds[fo:fo + hi - lo] = feats[lo - s0:hi - s0]
+
+    def _encode_audio(self, mel: np.ndarray) -> np.ndarray:
+        key = ("audio_enc", mel.shape)
+        fn = self._step_fns.get(key)
+        if fn is None:
+            fn = jax.jit(self.model.encode_audio)
+            self._step_fns[key] = fn
+        return np.asarray(jax.device_get(
+            fn(self.params, jnp.asarray(mel)))).astype(np.float32)
+
+    def _encdec_buffers(self):
+        """(enc_states [S, L_enc, d], enc_lens [S]) device arrays,
+        rebuilt when batch membership changed (cross-attention KV role,
+        reference whisper enc-dec runner)."""
+        if self._enc_dirty or self._enc_dev is None:
+            ib = self.input_batch
+            s = self.max_num_reqs
+            lens = np.zeros(s, np.int32)
+            rows = []
+            max_len = 8
+            for r in range(ib.num_reqs):
+                e = self._enc_np.get(ib.req_ids[r])
+                if e is not None:
+                    max_len = max(max_len, e.shape[0])
+            # pow2 bucket keeps the compiled variant count bounded
+            b = 8
+            while b < max_len:
+                b *= 2
+            d = self.model.cfg.d_model
+            states = np.zeros((s, b, d), np.float32)
+            for r in range(ib.num_reqs):
+                e = self._enc_np.get(ib.req_ids[r])
+                if e is not None:
+                    states[r, :e.shape[0]] = e
+                    lens[r] = e.shape[0]
+            dt = (jnp.bfloat16 if self.config.model.dtype == "bfloat16"
+                  else jnp.float32)
+            self._enc_dev = (jnp.asarray(states, dt), jnp.asarray(lens))
+            self._enc_dirty = False
+        return self._enc_dev
 
     def _pick_bucket(self, t: int) -> int:
         for b in self.token_buckets:
@@ -1491,6 +1557,8 @@ class ModelRunner:
                   else None)
         mm_args = ((jnp.asarray(mm_step[0]), jnp.asarray(mm_step[1]))
                    if mm_step is not None else ())
+        if getattr(self.model, "is_encoder_decoder", False):
+            mm_args = mm_args + self._encdec_buffers()
         toks, gens, lp, plp, self.kv_caches = fn(
             self.params, self.kv_caches, self.rope_cache, packed, step_key,
             lora_w, self._prev_toks_or_zeros(), *mm_args)
@@ -1598,6 +1666,8 @@ class ModelRunner:
         import time
         t0 = time.perf_counter()
         n = 0
+        if getattr(self.model, "is_encoder_decoder", False):
+            return  # variants depend on the encoder-length bucket
         if self.pp > 1:
             # PP variants are keyed by (microbatch width, packing
             # bucket); compile on demand
