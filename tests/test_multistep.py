@@ -158,3 +158,26 @@ def test_multistep_async_max_tokens_tail(tiny_model_dir):
     got = _gen(tiny_model_dir, sp, prompts, num_scheduler_steps=4,
                async_scheduling=True)
     assert got == ref
+
+
+def test_multistep_shared_prefix_cascade(tiny_model_dir):
+    """Prefix-cached shared prompts: the cascade arena (shared KV stored
+    once) must stay token-exact vs independent prompts."""
+    from vllm_pq_tpu import LLM, SamplingParams
+    sp = SamplingParams(temperature=0.0, max_tokens=16, ignore_eos=True)
+    shared = list(range(10, 58))  # 3 full blocks of shared prefix
+    prompts = [{"prompt_token_ids": shared + [70 + i, 80 + i]}
+               for i in range(4)]
+    kw = dict(model=tiny_model_dir, load_format="dummy", dtype="float32",
+              max_model_len=128, max_num_seqs=8,
+              max_num_batched_tokens=256, block_size=16, num_kv_blocks=64)
+    ref = [o.outputs[0].token_ids
+           for o in LLM(**kw).generate(prompts, sp)]
+    llm = LLM(num_scheduler_steps=4, enable_prefix_caching=True,
+              async_scheduling=True, **kw)
+    got = [o.outputs[0].token_ids for o in llm.generate(prompts, sp)]
+    assert got == ref
+    # the cascade variant actually engaged (shared pages detected)
+    runner = llm.llm_engine.engine_core.runner
+    assert any(isinstance(k, tuple) and k and k[0] == "ms" and k[-1] >= 2
+               for k in runner._step_fns), list(runner._step_fns)

@@ -40,30 +40,46 @@ MASK_VALUE = -1e30
 class WindowCache:
     aK: jax.Array      # [S, CTX, KVH, D] dense arena keys (immutable)
     aV: jax.Array      # [S, CTX, KVH, D]
+    sK: jax.Array      # [Ls, KVH, D] SHARED-prefix keys (cascade role:
+    sV: jax.Array      #   stored and read once for the whole batch)
     ringK: jax.Array   # [N, S, KVH, D] this window's appended keys
     ringV: jax.Array   # [N, S, KVH, D]
     step: jax.Array    # i32[] index of the last written ring row (-1)
 
 
 def build_window_cache(kv_cache: jax.Array, page_indices: jax.Array,
-                       n_pages: int, ring_n: int) -> WindowCache:
+                       n_pages: int, ring_n: int,
+                       shared_pages: int = 0) -> WindowCache:
     """Gather the live KV prefix into a dense arena (once per window).
 
-    kv_cache [P, ps, 2*KVH, D]; page_indices i32[S, >=n_pages].
-    """
+    kv_cache [P, ps, 2*KVH, D]; page_indices i32[S, >= shared_pages +
+    n_pages]. ``shared_pages`` leading pages are identical across every
+    active row (prefix-cache hits): they are gathered ONCE into sK/sV —
+    the cascade-attention bandwidth saving (reference
+    use_cascade_attention, v1/worker/gpu_model_runner.py:665)."""
     s = page_indices.shape[0]
     ps = kv_cache.shape[1]
     kvh = kv_cache.shape[2] // 2
     d = kv_cache.shape[3]
-    pages = jnp.take(kv_cache, page_indices[:, :n_pages], axis=0)
+    sh = kv_cache.dtype
+    if shared_pages:
+        spages = jnp.take(kv_cache, page_indices[0, :shared_pages],
+                          axis=0).reshape(shared_pages * ps, 2 * kvh, d)
+        sK, sV = spages[:, 0::2, :], spages[:, 1::2, :]
+    else:
+        sK = jnp.zeros((0, kvh, d), sh)
+        sV = jnp.zeros((0, kvh, d), sh)
+    pages = jnp.take(
+        kv_cache,
+        page_indices[:, shared_pages:shared_pages + n_pages], axis=0)
     pages = pages.reshape(s, n_pages * ps, 2 * kvh, d)
     aK = pages[:, :, 0::2, :]
     aV = pages[:, :, 1::2, :]
     ring_shape = (ring_n, s, kvh, d)
     return WindowCache(
-        aK=aK, aV=aV,
-        ringK=jnp.zeros(ring_shape, kv_cache.dtype),
-        ringV=jnp.zeros(ring_shape, kv_cache.dtype),
+        aK=aK, aV=aV, sK=sK, sV=sV,
+        ringK=jnp.zeros(ring_shape, sh),
+        ringV=jnp.zeros(ring_shape, sh),
         step=jnp.int32(-1))
 
 
@@ -74,8 +90,8 @@ def append_ring(wc: WindowCache, k: jax.Array, v: jax.Array) -> WindowCache:
         wc.ringK, k[None].astype(wc.ringK.dtype), (j, 0, 0, 0))
     ringV = jax.lax.dynamic_update_slice(
         wc.ringV, v[None].astype(wc.ringV.dtype), (j, 0, 0, 0))
-    return WindowCache(aK=wc.aK, aV=wc.aV, ringK=ringK, ringV=ringV,
-                       step=j)
+    return WindowCache(aK=wc.aK, aV=wc.aV, sK=wc.sK, sV=wc.sV,
+                       ringK=ringK, ringV=ringV, step=j)
 
 
 def window_attention(q: jax.Array, wc: WindowCache, base_lens: jax.Array,
@@ -91,6 +107,7 @@ def window_attention(q: jax.Array, wc: WindowCache, base_lens: jax.Array,
     ring position)."""
     s, ctx, kvh, d = wc.aK.shape
     n = wc.ringK.shape[0]
+    ls = wc.sK.shape[0]            # shared-prefix length (cascade)
     t = q.shape[0]
     qs = q[:s] if t >= s else jnp.pad(q, ((0, s - t), (0, 0), (0, 0)))
     hq = qs.shape[1]
@@ -104,7 +121,8 @@ def window_attention(q: jax.Array, wc: WindowCache, base_lens: jax.Array,
                       preferred_element_type=jnp.float32)
 
     cur_pos = base_lens[:, None] + wc.step  # query's absolute position
-    apos = jnp.arange(ctx, dtype=jnp.int32)[None, :]
+    # arena columns hold absolute positions [ls, ls + ctx)
+    apos = ls + jnp.arange(ctx, dtype=jnp.int32)[None, :]
     valid_a = apos < base_lens[:, None]
     rpos = base_lens[:, None] + jnp.arange(n, dtype=jnp.int32)[None, :]
     valid_r = jnp.arange(n, dtype=jnp.int32)[None, :] <= wc.step
@@ -124,13 +142,34 @@ def window_attention(q: jax.Array, wc: WindowCache, base_lens: jax.Array,
 
     sc_a = jnp.where(valid_a[:, None, None, :], sc_a, MASK_VALUE)
     sc_r = jnp.where(valid_r[:, None, None, :], sc_r, MASK_VALUE)
-    sc = jnp.concatenate([sc_a, sc_r], axis=-1)
+    parts = [sc_a, sc_r]
+    if ls:
+        # shared prefix scored against ONE stored copy (the whole
+        # point: its KV is read once for the batch, not per row)
+        sc_s = jnp.einsum("sgrd,lgd->sgrl", qscaled, wc.sK,
+                          preferred_element_type=jnp.float32)
+        spos = jnp.arange(ls, dtype=jnp.int32)[None, :]
+        valid_s = spos < jnp.minimum(base_lens[:, None], ls)
+        if sliding_window is not None:
+            valid_s &= spos > (cur_pos - sliding_window)
+        if alibi_slopes is not None:
+            dist_s = (spos - cur_pos).astype(jnp.float32)
+            sc_s = sc_s + sl[None, :, :, None] * dist_s[:, None, None, :]
+        if soft_cap is not None:
+            sc_s = jnp.tanh(sc_s / soft_cap) * soft_cap
+        sc_s = jnp.where(valid_s[:, None, None, :], sc_s, MASK_VALUE)
+        parts = [sc_s] + parts
+    sc = jnp.concatenate(parts, axis=-1)
     p = jax.nn.softmax(sc, axis=-1)
-    pa, pr = p[..., :ctx], p[..., ctx:]
+    pss, pa, pr = p[..., :ls], p[..., ls:ls + ctx], p[..., ls + ctx:]
     out = jnp.einsum("sgrl,slgd->sgrd", pa.astype(wc.aV.dtype), wc.aV,
                      preferred_element_type=jnp.float32)
     out = out + jnp.einsum("sgrn,nsgd->sgrd", pr.astype(wc.ringV.dtype),
                            wc.ringV, preferred_element_type=jnp.float32)
+    if ls:
+        out = out + jnp.einsum("sgrl,lgd->sgrd",
+                               pss.astype(wc.sV.dtype), wc.sV,
+                               preferred_element_type=jnp.float32)
     out = out.reshape(s, hq, d).astype(q.dtype)
     if t > s:
         out = jnp.pad(out, ((0, t - s), (0, 0), (0, 0)))

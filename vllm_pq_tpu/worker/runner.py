@@ -814,7 +814,7 @@ class ModelRunner:
         return True
 
     def _build_multistep(self, n_steps: int, greedy: bool, t_bucket: int,
-                         ctx_pages: int):
+                         ctx_pages: int, shared_pages: int = 0):
         """N decode iterations in one dispatch. Token/position/slot
         metadata for iterations > 0 is DERIVED ON DEVICE from the paged
         layout (pos+1; slot from the block table), so the host transfers
@@ -859,14 +859,17 @@ class ModelRunner:
             wc_spec = WindowCache(
                 aK=PS(None, None, head_ax, None),
                 aV=PS(None, None, head_ax, None),
+                sK=PS(None, head_ax, None),
+                sV=PS(None, head_ax, None),
                 ringK=PS(None, None, head_ax, None),
                 ringV=PS(None, None, head_ax, None),
                 step=PS())
             cache_specs = [wc_spec] * n_layers
 
             def build_all(kv_caches, page_indices):
-                return [build_window_cache(c, page_indices, ctx_pages,
-                                           n_steps) for c in kv_caches]
+                return [build_window_cache(
+                    c, page_indices, ctx_pages - shared_pages, n_steps,
+                    shared_pages=shared_pages) for c in kv_caches]
 
             build_sharded = _shard_map(
                 build_all, mesh,
@@ -974,8 +977,8 @@ class ModelRunner:
                     from vllm_pq_tpu.ops.window_attention import \
                         WindowCache as _WC
                     kv_caches = [
-                        _WC(aK=wc.aK, aV=wc.aV, ringK=rk, ringV=rv,
-                            step=st)
+                        _WC(aK=wc.aK, aV=wc.aV, sK=wc.sK, sV=wc.sV,
+                            ringK=rk, ringV=rv, step=st)
                         for wc, (rk, rv, st) in zip(kv_caches, new_state)]
                 else:
                     kv_caches = new_state
@@ -1045,14 +1048,36 @@ class ModelRunner:
         return fn
 
     def _get_multistep(self, n_steps: int, greedy: bool, t_bucket: int,
-                       ctx_pages: int):
-        key = ("ms", n_steps, greedy, t_bucket, ctx_pages)
+                       ctx_pages: int, shared_pages: int = 0):
+        key = ("ms", n_steps, greedy, t_bucket, ctx_pages, shared_pages)
         fn = self._step_fns.get(key)
         if fn is None:
             fn = self._build_multistep(n_steps, greedy, t_bucket,
-                                       ctx_pages)
+                                       ctx_pages, shared_pages)
             self._step_fns[key] = fn
         return fn
+
+    def _shared_prefix_pages(self, row_mask: np.ndarray) -> int:
+        """Pow2-floored count of leading block-table columns identical
+        across all active rows (cascade detection; role of reference
+        num_common_prefix_blocks, v1/core/scheduler_output.py:89)."""
+        n = self.input_batch.num_reqs
+        act = np.nonzero(row_mask[:n])[0]
+        if act.size < 2:
+            return 0
+        bt = self.input_batch.block_table[act][:, :self.max_blocks_per_req]
+        eq = np.all(bt == bt[0:1], axis=0) & (bt[0] != 0)
+        run = 0
+        for v in eq:
+            if not v:
+                break
+            run += 1
+        if run < 2:
+            return 0
+        b = 2
+        while b * 2 <= run:
+            b *= 2
+        return b
 
     # ------------------------------------------------------------------
     # per-step host logic
@@ -1869,8 +1894,13 @@ class ModelRunner:
         ib = self.input_batch
         ctx_pages = self._pages_bucket(
             getattr(self, "_last_max_kv_len", 1) + n)
+        row_mask = np.fromiter(
+            (rid is not None for rid in row_req_ids), bool,
+            count=len(row_req_ids))
+        shared_pages = min(self._shared_prefix_pages(row_mask),
+                           max(ctx_pages - 1, 0))
         fn, use_arena = self._get_multistep(n, ib.all_greedy, t_bucket,
-                                            ctx_pages)
+                                            ctx_pages, shared_pages)
         self._step_count += 1
         step_key = jax.random.fold_in(self._rng_key, self._step_count)
         packed = jnp.asarray(buf.copy())
