@@ -71,3 +71,33 @@ def test_mp_engine_death_detected(tiny_model_dir):
         for _ in range(100):
             core.add_request        # attribute ok; the next call raises
             core.make_stats()
+
+
+def test_watchdog_detects_silent_kill(tiny_model_dir):
+    """SIGKILL on the engine proc (no dead message on the wire) surfaces
+    as EngineDeadProcError within the watchdog interval (round-2
+    watchdog; role of the reference MQ-engine health-check loop)."""
+    import os
+    import signal
+    import time
+
+    from vllm_pq_tpu.engine.arg_utils import EngineArgs
+    from vllm_pq_tpu.engine.core_proc import (EngineDeadProcError,
+                                              MPEngineCoreClient)
+    cfg = EngineArgs(model=tiny_model_dir, load_format="dummy",
+                     dtype="float32", max_model_len=128, max_num_seqs=4,
+                     max_num_batched_tokens=128, block_size=16,
+                     num_kv_blocks=32).create_engine_config()
+    client = MPEngineCoreClient(cfg)
+    assert client.health() is True
+    os.kill(client.proc.pid, signal.SIGKILL)
+    deadline = time.monotonic() + 10.0
+    saw_dead = False
+    while time.monotonic() < deadline:
+        try:
+            client.health()
+        except EngineDeadProcError:
+            saw_dead = True
+            break
+        time.sleep(0.25)
+    assert saw_dead, "watchdog did not flag the killed engine process"

@@ -140,6 +140,30 @@ class MPEngineCoreClient:
 
         self._reader = threading.Thread(target=self._read_loop, daemon=True)
         self._reader.start()
+        # watchdog: a silently-killed engine process (SIGKILL sends no
+        # "dead" message) surfaces within ~1s instead of blocking
+        # readers until their timeout (role of the reference MQ engine
+        # health-check loop, engine/multiprocessing/)
+        self._watchdog = threading.Thread(target=self._watch_loop,
+                                          daemon=True)
+        self._watchdog.start()
+
+    def _watch_loop(self) -> None:
+        import time
+        while True:
+            time.sleep(1.0)
+            if self._dead is not None:
+                return
+            if not self.proc.is_alive():
+                self._dead = ("engine core process died "
+                              f"(exitcode {self.proc.exitcode})")
+                self._outputs.put(None)
+                return
+
+    def health(self) -> bool:
+        """Raises EngineDeadProcError when the engine proc is gone."""
+        self._check_dead()
+        return True
 
     # -- wire helpers ---------------------------------------------------
 

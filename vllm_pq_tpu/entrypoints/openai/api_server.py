@@ -101,6 +101,14 @@ async def health(request: web.Request) -> web.Response:
     engine = request.app[ENGINE_KEY]
     if engine.errored:
         return _error(500, "engine dead", "internal_error")
+    # active probe of the background engine process (watchdog +
+    # health RPC; role of the reference MQ-engine health check)
+    core = getattr(getattr(engine, "engine", None), "engine_core", None)
+    if hasattr(core, "health"):
+        try:
+            core.health()
+        except Exception as e:  # noqa: BLE001
+            return _error(500, f"engine dead: {e}", "internal_error")
     return web.Response(status=200)
 
 
