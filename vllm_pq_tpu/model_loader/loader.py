@@ -613,6 +613,48 @@ def _load_whisper_weight(tree, cfg, shapes, name, w):
     logger.warning("unmapped Whisper weight %s", name)
 
 
+def _load_mamba_weight(tree, cfg, shapes, name, w):
+    """Mamba naming: backbone.* (reference models/mamba.py mapping)."""
+    if name == "backbone.embeddings.weight":
+        tree["embed_tokens"]["weight"] = w
+        return
+    if name == "backbone.norm_f.weight":
+        tree["norm"]["weight"] = w
+        return
+    if name == "lm_head.weight":
+        if "lm_head" in shapes:
+            tree["lm_head"] = {"weight": w.T}
+        return
+    if not name.startswith("backbone.layers."):
+        return
+    parts = name.split(".")
+    li = int(parts[2])
+    sub = ".".join(parts[3:-1])
+    leaf = parts[-1]
+    L = tree["layers"][li]
+    if sub == "norm":
+        L.setdefault("norm", {})[leaf] = w
+        return
+    node = L.setdefault("mixer", {})
+    if sub == "mixer":  # A_log / D live directly on the mixer
+        node.setdefault(leaf, {})["weight"] = w
+        return
+    if not sub.startswith("mixer."):
+        logger.warning("unmapped Mamba weight %s", name)
+        return
+    which = sub[len("mixer."):]
+    if which == "conv1d":
+        if leaf == "weight":
+            node.setdefault("conv1d", {})["weight"] = w[:, 0, :]
+        else:
+            node.setdefault("conv1d", {})["bias"] = w
+    elif which in ("in_proj", "x_proj", "dt_proj", "out_proj"):
+        node.setdefault(which, {})[leaf] = (w.T if leaf == "weight"
+                                            else w)
+    else:
+        logger.warning("unmapped Mamba weight %s", name)
+
+
 def load_hf(model, mesh: Mesh, model_dir: str,
             linear_method: LinearMethod) -> Any:
     """Load a local HF checkpoint directory into the model's param tree."""
@@ -676,8 +718,12 @@ def load_hf(model, mesh: Mesh, model_dir: str,
             "layer_norm": {},
             "layers": [dict() for _ in range(cfg.encoder_layers)]}
         tree["embed_positions"] = {}
+    is_mamba = model.__class__.__name__ == "MambaModel"
     for name, tensor in _iter_safetensors(model_dir):
         tensor = np.asarray(tensor)
+        if is_mamba:
+            _load_mamba_weight(tree, cfg, shapes, name, tensor)
+            continue
         if is_whisper:
             _load_whisper_weight(tree, cfg, shapes, name, tensor)
             continue

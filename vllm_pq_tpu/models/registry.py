@@ -572,6 +572,22 @@ def _build_qwen2_vl(hf_config, config: EngineConfig, linear_method):
     return Qwen2VLModel(mc, linear_method)
 
 
+@register_model("MambaForCausalLM")
+def _build_mamba(hf_config, config: EngineConfig, linear_method):
+    # Mamba-1 SSM (reference models/mamba.py + layers/mamba/): paged KV
+    # machinery is bypassed for per-row recurrent states; prefix caching
+    # has no meaning for a recurrent cache
+    from vllm_pq_tpu.models.mamba import MambaConfig, MambaModel
+    mc = (MambaConfig.from_hf_config(hf_config)
+          if hf_config is not None else MambaConfig())
+    mc.dtype = config.model.jax_dtype
+    if config.cache.enable_prefix_caching:
+        logger.warning("prefix caching is meaningless for SSM models; "
+                       "disabling")
+        config.cache.enable_prefix_caching = False
+    return MambaModel(mc)
+
+
 @register_model("WhisperForConditionalGeneration")
 def _build_whisper(hf_config, config: EngineConfig, linear_method):
     # Whisper enc-dec (reference models/whisper.py): audio encoder run

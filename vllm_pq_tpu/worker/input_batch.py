@@ -163,18 +163,22 @@ class InputBatch:
         self.prompt_logprobs_reqs.pop(req_id, None)
         return idx
 
-    def condense(self) -> None:
+    def condense(self) -> list:
         """Compact holes by moving the last rows into them (reference
-        ``gpu_input_batch.py:450``)."""
+        ``gpu_input_batch.py:450``). Returns the [(src, dst), ...] row
+        moves so runners with ROW-indexed device state (SSM models'
+        recurrent states) can mirror them."""
         last = self.num_reqs - 1
         holes = sorted(i for i in range(self.num_reqs)
                        if self.req_ids[i] is None)
+        moves = []
         for hole in holes:
             while last > hole and self.req_ids[last] is None:
                 last -= 1
             if last <= hole:
                 break
             self._move_row(last, hole)
+            moves.append((last, hole))
             last -= 1
         # recompute num_reqs
         n = 0
@@ -182,6 +186,7 @@ class InputBatch:
             if self.req_ids[i] is not None:
                 n = i + 1
         self.num_reqs = n
+        return moves
 
     def _move_row(self, src: int, dst: int) -> None:
         rid = self.req_ids[src]

@@ -161,12 +161,20 @@ class ModelRunner:
         self.rope_cache = jax.device_put(
             model.rope_cache(),
             NamedSharding(mesh, P(None, None)))
-        # logical (unsharded) kv shape; sharded on the kv-head axis
-        kv_shape = model.kv_cache_shape(num_kv_blocks, self.block_size,
-                                        tp_size=1)
+        # logical (unsharded) kv shape; sharded on the kv-head axis.
+        # SSM models (mamba) carry per-row recurrent f32 states instead
+        # of a paged pool.
+        self.is_ssm = getattr(model, "is_ssm", False)
+        if self.is_ssm:
+            kv_shape = model.state_shape(self.max_num_reqs)
+            kv_dtype = jnp.float32
+        else:
+            kv_shape = model.kv_cache_shape(num_kv_blocks,
+                                            self.block_size, tp_size=1)
+            kv_dtype = (jnp.bfloat16 if config.model.dtype == "bfloat16"
+                        else jnp.float32)
+        self._kv_alloc = (kv_shape, kv_dtype)
         self.kv_spec = model.kv_cache_spec()
-        kv_dtype = (jnp.bfloat16 if config.model.dtype == "bfloat16"
-                    else jnp.float32)
         self.pp = config.parallel.pipeline_parallel_size
         if self.pp > 1:
             self._init_pp(kv_shape, kv_dtype)
@@ -1098,7 +1106,14 @@ class ModelRunner:
                 spans = self._mm_spans.pop(rid)
                 for idx in range(len(spans)):
                     self._mm_cache.pop((rid, idx), None)
-        ib.condense()
+        moves = ib.condense()
+        if getattr(self, "is_ssm", False) and moves and self.kv_caches:
+            # SSM recurrent states are ROW-indexed: mirror the
+            # persistent batch's compaction moves on device
+            srcs = np.asarray([m[0] for m in moves], np.int32)
+            dsts = np.asarray([m[1] for m in moves], np.int32)
+            self.kv_caches = [c.at[dsts].set(c[srcs])
+                              for c in self.kv_caches]
         if getattr(self.model, "is_encoder_decoder", False) and \
                 (so.finished_req_ids or so.scheduled_new_reqs):
             self._enc_dirty = True  # row layout changed
@@ -1837,10 +1852,7 @@ class ModelRunner:
         logger.info("runner asleep (level %d)", level)
 
     def wake_up(self) -> None:
-        kv_shape = self.model.kv_cache_shape(self.num_kv_blocks,
-                                             self.block_size, tp_size=1)
-        kv_dtype = (jnp.bfloat16 if self.config.model.dtype == "bfloat16"
-                    else jnp.float32)
+        kv_shape, kv_dtype = self._kv_alloc
         if self.pp > 1:
             n_layers = self.model.cfg.num_hidden_layers
             self.kv_stacked = jax.device_put(
