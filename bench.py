@@ -119,32 +119,33 @@ def main():
             emitted[o.request_id] = tot
         return n
 
-    # 4 windows untimed: covers the decode-window compile AND the
-    # ctx-pages bucket transition (kv crosses the 128-token arena
-    # bucket around output 72), so the timed region sees no compiles
-    for _ in range(4):
-        if not eng.has_unfinished_requests():
-            break
-        _new_tokens(eng.step())
-
-    # steady-state decode throughput: stop at the first finished request
-    # so tail-bucket recompiles / drain don't pollute the measurement
-    t0 = time.perf_counter()
-    decode_tokens = 0
+    # steady-state decode throughput: every window is a sample; the
+    # median filters warm-up and compile outliers
+    # per-step samples; the reported number is the MEDIAN full-window
+    # rate, which is robust to one-time XLA compiles landing anywhere
+    # in the run (the compile cache is not reliably shared across
+    # processes on the tunneled runtime)
+    samples = []
     dbg = os.environ.get("BENCH_DEBUG")
-    target = 3 * batch * 24  # exactly 3 steady-state windows
     while eng.has_unfinished_requests():
         ts = time.perf_counter()
         outs = eng.step()
         nt = _new_tokens(outs)
-        decode_tokens += nt
+        dt_s = time.perf_counter() - ts
+        samples.append((dt_s, nt))
         if dbg:
-            print(f"timed step: {(time.perf_counter()-ts)*1e3:.1f} ms, "
-                  f"{nt} toks", flush=True)
-        if decode_tokens >= target or any(o.finished for o in outs):
+            print(f"timed step: {dt_s*1e3:.1f} ms, {nt} toks",
+                  flush=True)
+        if any(o.finished for o in outs):
             break
-    dt = time.perf_counter() - t0
-    tput = decode_tokens / dt
+    full = batch * 24
+    window_rates = sorted(nt / dt_s for dt_s, nt in samples
+                          if nt >= full)
+    if window_rates:
+        tput = window_rates[len(window_rates) // 2]
+    else:  # single-step fallback path
+        tot_t = sum(d for d, _ in samples)
+        tput = sum(n for _, n in samples) / max(tot_t, 1e-9)
     # drain the rest outside the timer
     while eng.has_unfinished_requests():
         eng.step()

@@ -398,10 +398,12 @@ class Scheduler:
                     or sp.frequency_penalty != 0
                     or sp.repetition_penalty != 1.0
                     or r.num_tokens + n > self.max_model_len
-                    # a request that will finish inside the window wastes
-                    # most of it (and a near-empty batch would compile a
-                    # whole window variant for a handful of tokens)
-                    or r.max_tokens - r.num_output_tokens < n):
+                    # a request that would finish early in the window
+                    # wastes most of it (and a near-empty batch would
+                    # compile a whole window variant for a handful of
+                    # tokens); moderate overshoot is fine — the window
+                    # finalizer truncates past max_tokens
+                    or r.max_tokens - r.num_output_tokens < max(1, n // 2)):
                 return None
 
         output = SchedulerOutput()
