@@ -37,6 +37,9 @@ FAMILIES = {
     "BaichuanForCausalLM": {"hidden_size": 128,
                             "position_embedding": "ALIBI"},
     "InternLM2ForCausalLM": {"bias": False},
+    "AquilaForCausalLM": {},
+    "XverseForCausalLM": {},
+    "InternLMForCausalLM": {"bias": True},
 }
 
 

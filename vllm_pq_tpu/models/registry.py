@@ -60,7 +60,11 @@ def _build_qwen2(hf_config, config: EngineConfig, linear_method):
 
 
 @register_model("LlamaForCausalLM", "MistralForCausalLM",
-                "TinyLlamaForCausalLM")
+                "TinyLlamaForCausalLM",
+                # llama-architecture aliases (reference registry rows
+                # with identical math: models/{aquila,xverse}.py)
+                "AquilaForCausalLM", "AquilaModel",
+                "XverseForCausalLM")
 def _build_llama(hf_config, config: EngineConfig, linear_method):
     from vllm_pq_tpu.models.llama import LlamaConfig, LlamaModel
     if hf_config is not None:
@@ -308,6 +312,19 @@ def _build_falcon(hf_config, config: EngineConfig, linear_method):
     mc.attention_bias = use_bias
     mc.o_proj_bias = use_bias
     mc.mlp_bias = use_bias
+    mc.dtype = config.model.jax_dtype
+    return LlamaModel(mc, linear_method)
+
+
+@register_model("InternLMForCausalLM")
+def _build_internlm(hf_config, config: EngineConfig, linear_method):
+    # InternLM-1: llama math with qkv+o biases (reference
+    # models/internlm.py via llama with bias=True)
+    from vllm_pq_tpu.models.llama import LlamaConfig, LlamaModel
+    mc = LlamaConfig.from_hf_config(hf_config)
+    bias = getattr(hf_config, "bias", True)
+    mc.attention_bias = bias
+    mc.o_proj_bias = bias
     mc.dtype = config.model.jax_dtype
     return LlamaModel(mc, linear_method)
 
