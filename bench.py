@@ -72,7 +72,7 @@ def main():
               # dispatch) amortize per-dispatch overhead AND the PQ
               # window dequant; composed with lag-1 async scheduling so
               # the host schedules window i+1 while window i runs
-              num_scheduler_steps=24 if on_tpu else 1,
+              num_scheduler_steps=32 if on_tpu else 1,
               # lag-1 async scheduling: dispatch step i+1 before fetching
               # step i (hides dispatch + d2h latency)
               async_scheduling=True)
@@ -138,7 +138,7 @@ def main():
                   flush=True)
         if any(o.finished for o in outs):
             break
-    full = batch * 24
+    full = batch * 32
     window_rates = sorted(nt / dt_s for dt_s, nt in samples
                           if nt >= full)
     if window_rates:
