@@ -62,3 +62,33 @@ def test_mamba_batched_and_condense(tmp_path):
            for p, sp in zip(prompts, sps)]
     both = llm.generate(prompts, sps)
     assert [o.outputs[0].token_ids for o in both] == seq
+
+
+def test_falcon_mamba_matches_hf(tmp_path):
+    """FalconMamba: weightless RMS on the dt/B/C selections."""
+    from transformers import FalconMambaConfig, FalconMambaForCausalLM
+    from vllm_pq_tpu import LLM, SamplingParams
+    cfg = FalconMambaConfig(
+        vocab_size=256, hidden_size=64, state_size=8,
+        num_hidden_layers=2, conv_kernel=4, expand=2, time_step_rank=8,
+        use_bias=False, use_conv_bias=True, tie_word_embeddings=True,
+        bos_token_id=0, eos_token_id=0, pad_token_id=0)
+    torch.manual_seed(1)
+    hf = FalconMambaForCausalLM(cfg).eval().float()
+    hf.config.architectures = ["FalconMambaForCausalLM"]
+    d = tmp_path / "fmamba"
+    hf.save_pretrained(d, safe_serialization=True)
+    llm = LLM(model=str(d), dtype="float32", max_model_len=128,
+              max_num_seqs=4, max_num_batched_tokens=128, block_size=16,
+              num_kv_blocks=32, enable_prefix_caching=False)
+    rng = np.random.default_rng(4)
+    prompt = rng.integers(5, 250, 7).tolist()
+    with torch.no_grad():
+        out = hf.generate(torch.tensor([prompt]), max_new_tokens=8,
+                          do_sample=False, num_beams=1)
+    exp = out[0, len(prompt):].tolist()
+    got = llm.generate(
+        [{"prompt_token_ids": prompt}],
+        SamplingParams(temperature=0.0, max_tokens=8,
+                       ignore_eos=True))[0].outputs[0].token_ids
+    assert got == exp, (got, exp)

@@ -39,6 +39,9 @@ class MambaConfig:
     use_conv_bias: bool = True
     use_bias: bool = False           # in_proj/out_proj bias
     tie_word_embeddings: bool = True
+    # FalconMamba: weightless RMS on the split (dt, B, C) selections
+    rms_bcdt: bool = False
+    mixer_rms_eps: float = 1e-6
     dtype: Any = jnp.float32
 
     @property
@@ -167,6 +170,13 @@ class MambaModel:
                      preferred_element_type=jnp.float32)  # [B, r+2N]
         r = cfg.time_step_rank
         dt_in, b, c = sp[:, :r], sp[:, r:r + n], sp[:, r + n:]
+        if cfg.rms_bcdt:
+            # FalconMamba: weightless RMS over each selection
+            # (reference falcon_mamba rms_forward)
+            def _rms(v):
+                var = jnp.mean(v * v, axis=-1, keepdims=True)
+                return v * jax.lax.rsqrt(var + cfg.mixer_rms_eps)
+            dt_in, b, c = _rms(dt_in), _rms(b), _rms(c)
         dt = jnp.dot(dt_in.astype(x.dtype), mp["dt_proj"]["weight"],
                      preferred_element_type=jnp.float32) \
             + mp["dt_proj"]["bias"].astype(jnp.float32)

@@ -589,6 +589,20 @@ def _build_qwen2_vl(hf_config, config: EngineConfig, linear_method):
     return Qwen2VLModel(mc, linear_method)
 
 
+@register_model("FalconMambaForCausalLM")
+def _build_falcon_mamba(hf_config, config: EngineConfig, linear_method):
+    # FalconMamba = mamba + weightless RMS on the (dt, B, C) selections
+    # (reference models/falcon_mamba role via mamba)
+    from vllm_pq_tpu.models.mamba import MambaConfig, MambaModel
+    mc = MambaConfig.from_hf_config(hf_config)
+    mc.rms_bcdt = True
+    mc.mixer_rms_eps = getattr(hf_config, "mixer_rms_eps", 1e-6)
+    mc.dtype = config.model.jax_dtype
+    if config.cache.enable_prefix_caching:
+        config.cache.enable_prefix_caching = False
+    return MambaModel(mc)
+
+
 @register_model("MambaForCausalLM")
 def _build_mamba(hf_config, config: EngineConfig, linear_method):
     # Mamba-1 SSM (reference models/mamba.py + layers/mamba/): paged KV
