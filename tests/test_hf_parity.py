@@ -167,6 +167,12 @@ def _build_round2_family(family):
             **kw, partial_rotary_factor=0.5, attention_bias=True,
             head_dim=32, pad_token_id=0, eos_token_id=1,
             bos_token_id=2))
+    if family == "persimmon":
+        from transformers import PersimmonConfig, PersimmonForCausalLM
+        return PersimmonForCausalLM(PersimmonConfig(
+            **kw, hidden_act="relu2", qk_layernorm=True,
+            partial_rotary_factor=0.5, layer_norm_eps=1e-5,
+            rope_theta=25000.0, tie_word_embeddings=False))
     if family == "bloom":
         from transformers import BloomConfig, BloomForCausalLM
         return BloomForCausalLM(BloomConfig(
@@ -184,7 +190,7 @@ def _build_round2_family(family):
 
 @pytest.mark.parametrize("family", [
     "qwen3", "granite", "cohere", "cohere_qknorm", "gptj", "olmo",
-    "olmo2", "glm", "bloom", "mpt"])
+    "olmo2", "glm", "bloom", "mpt", "persimmon"])
 def test_greedy_matches_hf_round2_families(family, tmp_path):
     """Round-2 breadth: each new family pins greedy tokens to HF."""
     torch.manual_seed(3)

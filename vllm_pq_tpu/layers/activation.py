@@ -23,5 +23,6 @@ ACT2FN = {
     "gelu_new": lambda x: jax.nn.gelu(x, approximate=True),
     "gelu_pytorch_tanh": lambda x: jax.nn.gelu(x, approximate=True),
     "relu": jax.nn.relu,
+    "relu2": lambda x: jnp.square(jax.nn.relu(x)),
     "quick_gelu": lambda x: x * jax.nn.sigmoid(1.702 * x),
 }

@@ -937,6 +937,30 @@ def load_hf(model, mesh: Mesh, model_dir: str,
             li = int(parts[2])
             rest = ".".join(parts[3:-1])
             leaf = parts[-1]
+            if fam == "persimmon":
+                # Persimmon (reference models/persimmon.py): fused
+                # query_key_value rows grouped [heads, (q,k,v), d];
+                # NeoX-ish names under the llama "model." prefix
+                if rest == "self_attn.query_key_value":
+                    heads, d = cfg.num_attention_heads, cfg.head_dim
+                    w = tensor.reshape(heads, 3, d, *tensor.shape[1:])
+                    L = tree["layers"][li]
+                    put = _mk_put_linear(tree, linear_method)
+                    for idx, ours2 in enumerate(("q_proj", "k_proj",
+                                                 "v_proj")):
+                        piece = w[:, idx].reshape(heads * d,
+                                                  *tensor.shape[1:])
+                        if leaf == "bias":
+                            L[ours2 + "_bias"] = {"bias": piece}
+                        else:
+                            put(L, ours2, piece.T)
+                    continue
+                rest = {"self_attn.dense": "self_attn.o_proj",
+                        "mlp.dense_h_to_4h": "mlp.up_proj",
+                        "mlp.dense_4h_to_h": "mlp.down_proj",
+                        "self_attn.q_layernorm": "self_attn.q_norm",
+                        "self_attn.k_layernorm": "self_attn.k_norm",
+                        }.get(rest, rest)
             # Generic MoE names (Mixtral block_sparse_moe.*, Qwen2-MoE
             # mlp.gate/experts/shared_expert.*): intercept ONLY the
             # MoE-specific tensors; attention (and dense-layer MLP)

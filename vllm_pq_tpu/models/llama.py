@@ -233,6 +233,14 @@ class LlamaModel:
                                           cfg.dtype)}
             layer["k_norm"] = {"weight": ((cfg.num_key_value_heads, d),
                                           cfg.dtype)}
+        elif cfg.qk_norm == "head_ln_bias":
+            # Persimmon: one LayerNorm(head_dim) with affine+bias,
+            # shared across heads
+            d = cfg.head_dim
+            layer["q_norm"] = {"weight": ((d,), cfg.dtype),
+                               "bias": ((d,), cfg.dtype)}
+            layer["k_norm"] = {"weight": ((d,), cfg.dtype),
+                               "bias": ((d,), cfg.dtype)}
         elif cfg.qk_norm == "full":
             d = cfg.head_dim
             layer["q_norm"] = {"weight": ((cfg.num_attention_heads * d,),
@@ -275,6 +283,9 @@ class LlamaModel:
         elif cfg.qk_norm == "head_ln":
             layer["q_norm"] = {"weight": P(TP_AXIS, None)}
             layer["k_norm"] = {"weight": P(TP_AXIS, None)}
+        elif cfg.qk_norm == "head_ln_bias":
+            layer["q_norm"] = {"weight": P(None), "bias": P(None)}
+            layer["k_norm"] = {"weight": P(None), "bias": P(None)}
         elif cfg.qk_norm == "full":
             # full-width qk norm: weight shards with the heads
             layer["q_norm"] = {"weight": P(TP_AXIS)}
@@ -440,6 +451,17 @@ class LlamaModel:
                 return (y * w[None].astype(jnp.float32)).astype(u.dtype)
             q = _hln(q, lp["q_norm"]["weight"])
             k = _hln(k, lp["k_norm"]["weight"])
+        elif cfg.qk_norm == "head_ln_bias":
+            # Persimmon: shared per-head layernorm with weight+bias
+            def _hlnb(u, w, b):
+                u32 = u.astype(jnp.float32)
+                mu = jnp.mean(u32, axis=-1, keepdims=True)
+                var = jnp.var(u32, axis=-1, keepdims=True)
+                y = (u32 - mu) * jax.lax.rsqrt(var + cfg.rms_norm_eps)
+                return (y * w.astype(jnp.float32)
+                        + b.astype(jnp.float32)).astype(u.dtype)
+            q = _hlnb(q, lp["q_norm"]["weight"], lp["q_norm"]["bias"])
+            k = _hlnb(k, lp["k_norm"]["weight"], lp["k_norm"]["bias"])
         alibi = None
         mrope = getattr(cfg, "mrope_section", None)
         if cfg.alibi:

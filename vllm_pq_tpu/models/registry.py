@@ -589,6 +589,34 @@ def _build_qwen2_vl(hf_config, config: EngineConfig, linear_method):
     return Qwen2VLModel(mc, linear_method)
 
 
+@register_model("PersimmonForCausalLM")
+def _build_persimmon(hf_config, config: EngineConfig, linear_method):
+    # sequential-residual layernorm decoder, fused per-head qkv, shared
+    # per-head qk layernorm WITH bias, partial rotary, relu^2 two-linear
+    # MLP (reference models/persimmon.py)
+    from vllm_pq_tpu.models.llama import LlamaConfig, LlamaModel
+    mc = LlamaConfig.from_hf_config(hf_config)
+    mc.norm_type = "layernorm"
+    mc.rms_norm_eps = getattr(hf_config, "layer_norm_eps", 1e-5)
+    mc.partial_rotary_factor = getattr(hf_config,
+                                       "partial_rotary_factor", 0.5)
+    mc.rope_theta = getattr(hf_config, "rope_theta", 25000.0)
+    mc.mlp_style = "mlp"
+    mc.hidden_act = getattr(hf_config, "hidden_act", "relu2")
+    mc.attention_bias = True
+    mc.o_proj_bias = True
+    mc.mlp_bias = True
+    # Persimmon is MHA-only: the fused qkv carries a full k/v per head
+    mc.num_key_value_heads = mc.num_attention_heads
+    if getattr(hf_config, "qk_layernorm", True):
+        mc.qk_norm = "head_ln_bias"
+    mc.tie_word_embeddings = getattr(hf_config, "tie_word_embeddings",
+                                     False)
+    mc.hf_family = "persimmon"
+    mc.dtype = config.model.jax_dtype
+    return LlamaModel(mc, linear_method)
+
+
 @register_model("FalconMambaForCausalLM")
 def _build_falcon_mamba(hf_config, config: EngineConfig, linear_method):
     # FalconMamba = mamba + weightless RMS on the (dt, B, C) selections
