@@ -167,6 +167,26 @@ def _build_round2_family(family):
             **kw, partial_rotary_factor=0.5, attention_bias=True,
             head_dim=32, pad_token_id=0, eos_token_id=1,
             bos_token_id=2))
+    if family == "ministral":
+        from transformers import MinistralConfig, MinistralForCausalLM
+        return MinistralForCausalLM(MinistralConfig(
+            **kw, sliding_window=8, head_dim=32, pad_token_id=0))
+    if family == "glm4":
+        from transformers import Glm4Config, Glm4ForCausalLM
+        return Glm4ForCausalLM(Glm4Config(
+            **kw, head_dim=32, partial_rotary_factor=0.5,
+            attention_bias=True, pad_token_id=0, eos_token_id=1,
+            bos_token_id=2))
+    if family == "nemotron":
+        from transformers import NemotronConfig, NemotronForCausalLM
+        return NemotronForCausalLM(NemotronConfig(
+            **kw, hidden_act="relu2", norm_eps=1e-5,
+            partial_rotary_factor=0.5, tie_word_embeddings=False))
+    if family == "smollm3":
+        from transformers import SmolLM3Config, SmolLM3ForCausalLM
+        return SmolLM3ForCausalLM(SmolLM3Config(
+            **kw, no_rope_layers=[1, 0], layer_types=None,
+            pad_token_id=0))
     if family == "persimmon":
         from transformers import PersimmonConfig, PersimmonForCausalLM
         return PersimmonForCausalLM(PersimmonConfig(
@@ -190,7 +210,8 @@ def _build_round2_family(family):
 
 @pytest.mark.parametrize("family", [
     "qwen3", "granite", "cohere", "cohere_qknorm", "gptj", "olmo",
-    "olmo2", "glm", "bloom", "mpt", "persimmon"])
+    "olmo2", "glm", "bloom", "mpt", "persimmon", "glm4", "nemotron",
+    "smollm3", "ministral"])
 def test_greedy_matches_hf_round2_families(family, tmp_path):
     """Round-2 breadth: each new family pins greedy tokens to HF."""
     torch.manual_seed(3)

@@ -937,6 +937,14 @@ def load_hf(model, mesh: Mesh, model_dir: str,
             li = int(parts[2])
             rest = ".".join(parts[3:-1])
             leaf = parts[-1]
+            if fam == "glm4":
+                # Glm4 sandwich norms -> our use_post_norms names
+                rest = {"post_self_attn_layernorm":
+                            "post_attention_layernorm",
+                        "post_attention_layernorm":
+                            "pre_feedforward_layernorm",
+                        "post_mlp_layernorm":
+                            "post_feedforward_layernorm"}.get(rest, rest)
             if fam == "persimmon":
                 # Persimmon (reference models/persimmon.py): fused
                 # query_key_value rows grouped [heads, (q,k,v), d];

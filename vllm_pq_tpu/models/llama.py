@@ -80,6 +80,8 @@ class LlamaConfig:
     rope_style: str = "neox"          # "gptj" = interleaved lane pairs
     clip_qkv: Optional[float] = None  # OLMo/MPT/DBRX qkv clamp
     norm_bias: bool = True            # layernorm bias (Cohere/MPT: no)
+    norm_plus_one: bool = False       # Nemotron layernorm1p: w+1
+    rope_layers: Optional[tuple] = None  # SmolLM3 NoPE: 0 = no rope
     norm_affine: bool = True          # OLMo-1: non-parametric layernorm
     embed_norm: bool = False          # Bloom word_embeddings_layernorm
     residual_multiplier: float = 1.0  # Granite
@@ -472,6 +474,8 @@ class LlamaModel:
             from vllm_pq_tpu.models.qwen2_vl import apply_mrope
             pos3 = attn_md["mrope_pos"].reshape(3, -1)
             q, k = apply_mrope(q, k, pos3, rope_cache, mrope)
+        elif cfg.rope_layers is not None and not cfg.rope_layers[li]:
+            pass  # SmolLM3-style NoPE layer: positions unencoded
         elif cfg.partial_rotary_factor < 1.0:
             rd = rope_cache.shape[-1]
             qr, kr = apply_rope(q[..., :rd], k[..., :rd], positions,
@@ -545,6 +549,8 @@ class LlamaModel:
             def ln(x, nd):
                 one = jnp.ones((x.shape[-1],), jnp.float32)
                 w = nd.get("weight", one) if cfg.norm_affine else one
+                if cfg.norm_plus_one:  # Nemotron layernorm1p
+                    w = w.astype(jnp.float32) + 1.0
                 b = nd.get("bias", jnp.zeros_like(one))
                 return layer_norm(x, w, b, cfg.rms_norm_eps)
             return ln

@@ -60,6 +60,7 @@ def _build_qwen2(hf_config, config: EngineConfig, linear_method):
 
 
 @register_model("LlamaForCausalLM", "MistralForCausalLM",
+                "MinistralForCausalLM",  # mistral + uniform sliding window
                 "TinyLlamaForCausalLM",
                 # llama-architecture aliases (reference registry rows
                 # with identical math: models/{aquila,xverse}.py)
@@ -587,6 +588,56 @@ def _build_qwen2_vl(hf_config, config: EngineConfig, linear_method):
     mc.hf_family = "qwen2_vl"
     mc.dtype = config.model.jax_dtype
     return Qwen2VLModel(mc, linear_method)
+
+
+@register_model("Glm4ForCausalLM")
+def _build_glm4(hf_config, config: EngineConfig, linear_method):
+    # GLM-4-0414: glm attention + sandwich norms (post_self_attn /
+    # post_mlp norms on the branch outputs; reference models/glm4.py)
+    from vllm_pq_tpu.models.llama import LlamaConfig, LlamaModel
+    mc = LlamaConfig.from_hf_config(hf_config)
+    mc.rope_style = "gptj"
+    mc.partial_rotary_factor = getattr(hf_config,
+                                       "partial_rotary_factor", 0.5)
+    mc.attention_bias = getattr(hf_config, "attention_bias", True)
+    mc.use_post_norms = True
+    mc.hf_family = "glm4"
+    mc.dtype = config.model.jax_dtype
+    return LlamaModel(mc, linear_method)
+
+
+@register_model("NemotronForCausalLM")
+def _build_nemotron(hf_config, config: EngineConfig, linear_method):
+    # Nemotron: layernorm1p (w+1, bias), relu^2 two-linear MLP, partial
+    # rotary (reference models/nemotron.py)
+    from vllm_pq_tpu.models.llama import LlamaConfig, LlamaModel
+    mc = LlamaConfig.from_hf_config(hf_config)
+    mc.norm_type = "layernorm"
+    mc.norm_plus_one = True
+    mc.rms_norm_eps = getattr(hf_config, "norm_eps", 1e-5)
+    mc.mlp_style = "mlp"
+    mc.hidden_act = getattr(hf_config, "hidden_act", "relu2")
+    mc.partial_rotary_factor = getattr(hf_config,
+                                       "partial_rotary_factor", 0.5)
+    mc.dtype = config.model.jax_dtype
+    return LlamaModel(mc, linear_method)
+
+
+@register_model("SmolLM3ForCausalLM")
+def _build_smollm3(hf_config, config: EngineConfig, linear_method):
+    # SmolLM3: llama + NoPE layers (no_rope_layers[li] == 0 skips rope;
+    # reference models/smollm3.py via transformers backend)
+    from vllm_pq_tpu.models.llama import LlamaConfig, LlamaModel
+    mc = LlamaConfig.from_hf_config(hf_config)
+    nrl = getattr(hf_config, "no_rope_layers", None)
+    if nrl:
+        mc.rope_layers = tuple(nrl)
+    # SmolLM3 ties embeddings by default (its config.json omits the
+    # default-valued field)
+    mc.tie_word_embeddings = getattr(hf_config, "tie_word_embeddings",
+                                     True)
+    mc.dtype = config.model.jax_dtype
+    return LlamaModel(mc, linear_method)
 
 
 @register_model("PersimmonForCausalLM")
