@@ -167,6 +167,12 @@ def _build_round2_family(family):
             **kw, partial_rotary_factor=0.5, attention_bias=True,
             head_dim=32, pad_token_id=0, eos_token_id=1,
             bos_token_id=2))
+    if family == "gpt_bigcode":
+        from transformers import GPTBigCodeConfig, GPTBigCodeForCausalLM
+        return GPTBigCodeForCausalLM(GPTBigCodeConfig(
+            vocab_size=512, n_embd=128, n_layer=2, n_head=4,
+            n_positions=512, multi_query=True,
+            activation_function="gelu_pytorch_tanh"))
     if family == "ministral":
         from transformers import MinistralConfig, MinistralForCausalLM
         return MinistralForCausalLM(MinistralConfig(
@@ -211,7 +217,7 @@ def _build_round2_family(family):
 @pytest.mark.parametrize("family", [
     "qwen3", "granite", "cohere", "cohere_qknorm", "gptj", "olmo",
     "olmo2", "glm", "bloom", "mpt", "persimmon", "glm4", "nemotron",
-    "smollm3", "ministral"])
+    "smollm3", "ministral", "gpt_bigcode"])
 def test_greedy_matches_hf_round2_families(family, tmp_path):
     """Round-2 breadth: each new family pins greedy tokens to HF."""
     torch.manual_seed(3)

@@ -787,7 +787,17 @@ def load_hf(model, mesh: Mesh, model_dir: str,
                 continue
         if name.startswith("transformer.") or name.startswith("h."):
             # GPT-2 family (models/gpt2.py); Conv1D weights are already
-            # [in, out], the fused c_attn splits into q/k/v thirds
+            # [in, out], the fused c_attn splits into q/k/v thirds.
+            # GPT-BigCode stores nn.Linear [out, in] (transpose) and its
+            # fused c_attn is [q | kv_k | kv_v] (MQA; reference
+            # models/gpt_bigcode.py)
+            is_bigcode = getattr(cfg, "hf_family", "") == "gpt_bigcode"
+            if is_bigcode and name == "lm_head.weight":
+                continue  # tied to wte
+            if is_bigcode and name.endswith(".weight") \
+                    and ".ln_" not in name and "wte" not in name \
+                    and "wpe" not in name and "ln_f" not in name:
+                tensor = tensor.T
             rest = name.split("transformer.", 1)[-1]
             if rest.split(".")[0] in ("wte", "wpe"):
                 tree.setdefault(rest.split(".")[0], {})["weight"] = tensor
@@ -799,9 +809,16 @@ def load_hf(model, mesh: Mesh, model_dir: str,
                 sub = ".".join(parts[2:-1])
                 leaf = parts[-1]
                 if sub == "attn.c_attn":
-                    h3 = tensor.shape[-1] // 3
-                    pieces = (tensor[..., :h3], tensor[..., h3:2 * h3],
-                              tensor[..., 2 * h3:])
+                    if is_bigcode:
+                        nq = cfg.hidden_size
+                        kvd = cfg.num_key_value_heads * cfg.head_dim
+                        pieces = (tensor[..., :nq],
+                                  tensor[..., nq:nq + kvd],
+                                  tensor[..., nq + kvd:nq + 2 * kvd])
+                    else:
+                        h3 = tensor.shape[-1] // 3
+                        pieces = (tensor[..., :h3], tensor[..., h3:2 * h3],
+                                  tensor[..., 2 * h3:])
                     for ours, piece in zip(("q_proj", "k_proj", "v_proj"),
                                            pieces):
                         if leaf == "bias":

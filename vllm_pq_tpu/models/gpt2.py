@@ -25,6 +25,10 @@ class GPT2Config:
     num_attention_heads: int = 12
     max_position_embeddings: int = 1024
     layer_norm_epsilon: float = 1e-5
+    # GPT-BigCode (Starcoder-1): MQA + nn.Linear ([out, in]) weights
+    multi_query: bool = False
+    activation_function: str = "gelu_new"
+    hf_family: str = "gpt2"
     dtype: Any = jnp.float32
 
     @property
@@ -33,7 +37,7 @@ class GPT2Config:
 
     @property
     def num_key_value_heads(self) -> int:
-        return self.num_attention_heads
+        return 1 if self.multi_query else self.num_attention_heads
 
     @property
     def intermediate_size(self) -> int:
@@ -54,15 +58,18 @@ class GPT2Config:
                                                 12)),
             max_position_embeddings=getattr(hf, "n_positions", 1024),
             layer_norm_epsilon=getattr(hf, "layer_norm_epsilon", 1e-5),
+            activation_function=getattr(hf, "activation_function",
+                                        "gelu_new"),
         )
 
 
 def _linear_defs(cfg: GPT2Config):
     h = cfg.hidden_size
+    kv = cfg.num_key_value_heads * cfg.head_dim
     return [
         ("q_proj", h, h, "column"),
-        ("k_proj", h, h, "column"),
-        ("v_proj", h, h, "column"),
+        ("k_proj", h, kv, "column"),
+        ("v_proj", h, kv, "column"),
         ("c_proj", h, h, "row"),
         ("c_fc", h, cfg.intermediate_size, "column"),
         ("mlp_c_proj", cfg.intermediate_size, h, "row"),
@@ -121,7 +128,7 @@ class GPT2Model:
     def kv_cache_shape(self, num_pages: int, page_size: int,
                        tp_size: int = 1) -> Tuple:
         cfg = self.cfg
-        kvh = max(cfg.num_attention_heads // tp_size, 1)
+        kvh = max(cfg.num_key_value_heads // tp_size, 1)
         return (num_pages, page_size, 2 * kvh, cfg.head_dim)
 
     def kv_cache_spec(self) -> P:
@@ -166,9 +173,10 @@ class GPT2Model:
             k = self._lin(lp, "k_proj", h, lora_layer, lora_md)
             v = self._lin(lp, "v_proj", h, lora_layer, lora_md)
             t = q.shape[0]
+            kvh = max(cfg.num_key_value_heads // tp, 1)
             q = q.reshape(t, heads, d)
-            k = k.reshape(t, heads, d)
-            v = v.reshape(t, heads, d)
+            k = k.reshape(t, kvh, d)
+            v = v.reshape(t, kvh, d)
             cache = write_kv_cache(kv_caches[li], k, v,
                                    attn_md["slot_mapping"])
             new_caches.append(cache)
@@ -185,8 +193,9 @@ class GPT2Model:
 
             h = layer_norm(x, lp["ln_2"]["weight"], lp["ln_2"]["bias"],
                            eps)
-            h1 = jax.nn.gelu(self._lin(lp, "c_fc", h, lora_layer,
-                                       lora_md), approximate=True)
+            from vllm_pq_tpu.layers.activation import ACT2FN
+            h1 = ACT2FN[cfg.activation_function](
+                self._lin(lp, "c_fc", h, lora_layer, lora_md))
             h2 = self._lin(lp, "mlp_c_proj", h1, lora_layer, lora_md)
             if tp_axis:
                 h2 = jax.lax.psum(h2, tp_axis)

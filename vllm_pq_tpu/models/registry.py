@@ -134,6 +134,18 @@ def _build_gpt2(hf_config, config: EngineConfig, linear_method):
     return GPT2Model(mc, linear_method)
 
 
+@register_model("GPTBigCodeForCausalLM")
+def _build_gpt_bigcode(hf_config, config: EngineConfig, linear_method):
+    # Starcoder-1: gpt2 block with multi-query attention and Linear
+    # (not Conv1D) checkpoint layout (reference models/gpt_bigcode.py)
+    from vllm_pq_tpu.models.gpt2 import GPT2Config, GPT2Model
+    mc = GPT2Config.from_hf_config(hf_config)
+    mc.multi_query = getattr(hf_config, "multi_query", True)
+    mc.hf_family = "gpt_bigcode"
+    mc.dtype = config.model.jax_dtype
+    return GPT2Model(mc, linear_method)
+
+
 @register_model("OPTForCausalLM")
 def _build_opt(hf_config, config: EngineConfig, linear_method):
     from vllm_pq_tpu.models.opt import OPTConfig, OPTModel
