@@ -35,6 +35,15 @@ environment_variables: Dict[str, Callable[[], Any]] = {
     # Disable latent-cache (absorbed) MLA for DeepSeek models; use the
     # decompressed per-head K/V path (role of reference VLLM_MLA_DISABLE).
     "VPQ_MLA_DISABLE": lambda: os.environ.get("VPQ_MLA_DISABLE", "0") == "1",
+    # Resident PQ form picked once after load (quantization/resident.py):
+    # "auto" (dense when it fits the budget, else int8, else stay PQ),
+    # "dense"/"bf16" force, "int8" force, "0" off. Resident dense makes
+    # both prefill and decode run plain matmuls; int8 halves the bytes
+    # streamed per step (the form that fits Llama-2-7B on one v5e chip).
+    "VPQ_PQ_RESIDENT": lambda: os.environ.get("VPQ_PQ_RESIDENT", "auto"),
+    # Per-device budget (GiB) for the resident weights.
+    "VPQ_PQ_RESIDENT_MAX_GB": lambda: float(os.environ.get(
+        "VPQ_PQ_RESIDENT_MAX_GB", "8")),
     # Multi-step window dequant: "auto" (on when dense weights fit the
     # budget), "1" (force on), "0" (off). PQ codes are dequantized to
     # dense bf16 ONCE per N-step decode window (fused per-step dequant

@@ -1,0 +1,172 @@
+"""Post-load PQ -> resident dense transform.
+
+Role of the reference's ``process_weights_after_loading`` post-load
+weight transformation hook (``quantization/tpu_int8.py:78-116``): after
+the checkpoint is loaded, weights are transformed ONCE into the fastest
+form the memory budget allows, and serving runs plain dense matmuls.
+
+Why (round-3 design): PQ weights are static, so the round-2 strategy of
+re-dequantizing them inside every N-step decode window paid the
+VPU-gather dequant once per window for buffers that were live across
+the whole window anyway.  Dequantizing once at load:
+
+- removes the per-window dequant entirely (was ~0.9 ms/step amortized
+  on the TinyLlama headline bench),
+- speeds up prefill too (dense matmuls instead of the fused PQ kernel),
+- with the int8 form, HALVES the dense bytes streamed per step and the
+  resident footprint — which is what lets Llama-2-7B (13.5 GiB bf16,
+  6.7 GiB int8) run the fast dense path on one 16 GiB v5e chip, where
+  the reference's whole point is fast quantized GEMM at that scale
+  (``csrc/quantization/aqlm/gemm_kernels.cu:31,102``).
+
+Forms, picked by ``VPQ_PQ_RESIDENT`` (auto | dense | int8 | 0):
+- dense: bf16/f32 weights; numerically identical to the fused/XLA PQ
+  matmul (same dequant, same dot).
+- int8: per-output-channel absmax requantization of the dequantized
+  weights (row-parallel shards pmax their absmax so scales agree across
+  the TP axis).  Small additional quantization error on top of PQ;
+  applied only when the dense form exceeds the budget (auto) or when
+  forced.
+- 0 / doesn't fit: params stay PQ (fused kernel + optional window
+  dequant, the round-2 paths).
+
+The transform swaps ``model.linear_method`` to the matching stock
+method (Unquantized / Int8), so ``param_specs()``, sleep/wake and every
+later jit see a consistent dense tree.
+"""
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+import vllm_pq_tpu.envs as envs
+from vllm_pq_tpu.logger import init_logger
+from vllm_pq_tpu.quantization.methods import (Int8LinearMethod,
+                                              PQLinearMethod,
+                                              UnquantizedLinearMethod)
+
+logger = init_logger(__name__)
+
+
+def _is_pq_node(node) -> bool:
+    return (isinstance(node, dict) and "codes" in node
+            and "codebooks" in node and "scales" in node)
+
+
+def _dense_axes(codes_spec) -> Tuple[Optional[str], Optional[str]]:
+    """(in_axis, out_axis) of the dense [in, out] weight from the codes
+    [m, in/g, out] PartitionSpec."""
+    axes = tuple(codes_spec) + (None,) * (3 - len(tuple(codes_spec)))
+    return axes[1], axes[2]
+
+
+def _walk(params, specs, fn):
+    """Apply fn(pq_node, codes_spec) at every PQ node; rebuild tree."""
+    if _is_pq_node(params):
+        spec = specs.get("codes", P()) if isinstance(specs, dict) else P()
+        return fn(params, spec)
+    if isinstance(params, dict):
+        return {k: _walk(v, specs.get(k) if isinstance(specs, dict)
+                         else None, fn) for k, v in params.items()}
+    if isinstance(params, (list, tuple)):
+        sub = (specs if isinstance(specs, (list, tuple))
+               and not isinstance(specs, P) else [None] * len(params))
+        return type(params)(_walk(v, sp, fn) for v, sp in zip(params, sub))
+    return params
+
+
+def pq_dense_bytes(params) -> int:
+    """Total bf16 dense bytes of all PQ linears in the tree."""
+    total = [0]
+
+    def count(node, _spec):
+        m, j, o = node["codes"].shape
+        g = node["codebooks"].shape[2]
+        total[0] += j * g * o * 2
+        return node
+
+    _walk(params, None, count)
+    return total[0]
+
+
+def _transform_node(node, codes_spec, mesh, form, dtype):
+    """Dequantize one PQ node on device, sharded like its codes."""
+    from vllm_pq_tpu.ops.pq_matmul import pq_dequantize
+
+    in_ax, out_ax = _dense_axes(codes_spec)
+    w_spec = P(in_ax, out_ax)
+    node_specs = {"codes": codes_spec, "codebooks": P(None, None, None),
+                  "scales": P(out_ax)}
+
+    if form == "dense":
+        def tx(n):
+            return {"weight": pq_dequantize(
+                n["codes"], n["codebooks"], n["scales"], out_dtype=dtype)}
+        out_specs = {"weight": w_spec}
+    else:  # int8: per-out-channel absmax over the FULL input dim
+        def tx(n):
+            w = pq_dequantize(n["codes"], n["codebooks"], n["scales"],
+                              out_dtype=jnp.float32)
+            amax = jnp.max(jnp.abs(w), axis=0)
+            if in_ax is not None:
+                amax = jax.lax.pmax(amax, in_ax)
+            scale = amax / 127.0 + 1e-8
+            q = jnp.clip(jnp.round(w / scale[None, :]),
+                         -128, 127).astype(jnp.int8)
+            return {"weight": q, "scale": scale.astype(jnp.float32)}
+        out_specs = {"weight": w_spec, "scale": P(out_ax)}
+
+    fn = jax.jit(jax.shard_map(tx, mesh=mesh, in_specs=(node_specs,),
+                               out_specs=out_specs, check_vma=False))
+    return fn({k: node[k] for k in ("codes", "codebooks", "scales")})
+
+
+def maybe_make_resident(model, params, mesh, config) -> Optional[Any]:
+    """If policy selects a resident form, return transformed params and
+    swap model.linear_method in place; else return None."""
+    method = getattr(model, "linear_method", None)
+    if not isinstance(method, PQLinearMethod):
+        return None
+    mode = envs.VPQ_PQ_RESIDENT
+    if mode == "0":
+        return None
+
+    dense_b = pq_dense_bytes(params)
+    if dense_b == 0:
+        return None
+    tp = max(config.parallel.tensor_parallel_size, 1)
+    budget = envs.VPQ_PQ_RESIDENT_MAX_GB * 2**30
+
+    if mode in ("dense", "bf16"):
+        form = "dense"
+    elif mode == "int8":
+        form = "int8"
+    elif dense_b // tp <= budget:
+        form = "dense"
+    elif dense_b // 2 // tp <= budget:
+        form = "int8"
+    else:
+        logger.info(
+            "PQ resident disabled: dense %.2f GiB/dev (int8 %.2f) exceed "
+            "budget %.1f GiB; serving stays on the fused/window PQ paths",
+            dense_b / tp / 2**30, dense_b / 2 / tp / 2**30,
+            budget / 2**30)
+        return None
+
+    dtype = (jnp.bfloat16 if config.model.dtype == "bfloat16"
+             else jnp.float32)
+    specs = model.param_specs()
+
+    def tx(node, codes_spec):
+        return _transform_node(node, codes_spec, mesh, form, dtype)
+
+    new_params = _walk(params, specs, tx)
+    model.linear_method = (UnquantizedLinearMethod() if form == "dense"
+                           else Int8LinearMethod())
+    resident_b = dense_b if form == "dense" else dense_b // 2
+    logger.info("PQ resident %s: %.2f GiB/device dense weights "
+                "(dequantized once at load; window dequant off)",
+                form, resident_b / tp / 2**30)
+    return new_params

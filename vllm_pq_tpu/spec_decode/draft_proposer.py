@@ -57,6 +57,10 @@ class DraftModelProposer:
         linear_method = get_linear_method(cfg2.model.quantization)
         model, linear_method = build_model(cfg2, linear_method)
         params = load_model_params(model, mesh, cfg2, linear_method)
+        from vllm_pq_tpu.quantization.resident import maybe_make_resident
+        resident = maybe_make_resident(model, params, mesh, cfg2)
+        if resident is not None:
+            params = resident
         self.runner = ModelRunner(cfg2, mesh, model, params,
                                   num_kv_blocks)
         logger.info("draft model loaded: %s (K=%d)",

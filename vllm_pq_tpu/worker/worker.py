@@ -87,6 +87,12 @@ class Worker:
         self.model, self.linear_method = build_model(cfg, linear_method)
         self.params = load_model_params(self.model, self.mesh, cfg,
                                         self.linear_method)
+        from vllm_pq_tpu.quantization.resident import maybe_make_resident
+        resident = maybe_make_resident(self.model, self.params, self.mesh,
+                                       cfg)
+        if resident is not None:
+            self.params = resident
+            self.linear_method = self.model.linear_method
         logger.info("model loaded: %s (%s, quant=%s)", cfg.model.model,
                     type(self.model).__name__, cfg.model.quantization)
 
