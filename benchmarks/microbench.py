@@ -182,11 +182,33 @@ def bench_pq(tokens: int, nbits: int = 8, m: int = 2):
            "codes_mb": round(codes_bytes / 2**20, 1),
            "roofline_ms": round(roof * 1e3, 3)}
     if nbits == 8:
-        try:
-            t = _timeit(chain(pq_dequant_matmul_pallas), xs, stack)
-            res["pallas_ms"] = round(t * 1e3, 3)
-        except Exception as e:  # noqa
-            res["pallas_ms"] = f"ERR {type(e).__name__}: {e}"
+        for variant in ("packed", "split"):
+            try:
+                t = _timeit(chain(functools.partial(
+                    pq_dequant_matmul_pallas, variant=variant)), xs, stack)
+                res[f"pallas_{variant}_ms"] = round(t * 1e3, 3)
+            except Exception as e:  # noqa
+                res[f"pallas_{variant}_ms"] = f"ERR {type(e).__name__}: {e}"
+        # dequant-only chains (window/resident dequant cost)
+        from vllm_pq_tpu.ops.pq_matmul import pq_dequant_full_pallas
+
+        def dq_chain(variant):
+            @jax.jit
+            def run(stack):
+                acc = jnp.zeros((), jnp.float32)
+                for layers in stack:
+                    for (codes, cb, sc) in layers:
+                        w = pq_dequant_full_pallas(codes, cb, sc,
+                                                   variant=variant)
+                        acc = acc + w.astype(jnp.float32)[::64, ::64].sum()
+                return acc
+            return run
+        for variant in ("packed", "split"):
+            try:
+                t = _timeit(dq_chain(variant), stack)
+                res[f"dequant_{variant}_ms"] = round(t * 1e3, 3)
+            except Exception as e:  # noqa
+                res[f"dequant_{variant}_ms"] = f"ERR {type(e).__name__}: {e}"
     try:
         from vllm_pq_tpu.ops.pq_matmul import pq_matmul
         t = _timeit(chain(pq_matmul), xs, stack)

@@ -99,28 +99,46 @@ def test_param_shapes():
         pq_param_shapes(cfg, 30, 8)
 
 
+@pytest.mark.parametrize("variant", ["packed", "split"])
 @pytest.mark.parametrize("t,i,o", [(1, 64, 128), (7, 128, 256),
                                    (32, 256, 128), (130, 64, 384)])
-def test_pallas_dequant_matmul_interpret(t, i, o):
+def test_pallas_dequant_matmul_interpret(t, i, o, variant):
     cfg = PQConfig(num_codebooks=2, nbits_per_codebook=8)
     rng = np.random.default_rng(42)
     codes, codebooks, scales = rand_pq(rng, cfg, i, o)
     x = jnp.asarray(rng.standard_normal((t, i)).astype(np.float32))
     ref = pq_matmul_xla(x, codes, codebooks, scales)
     got = pq_dequant_matmul_pallas(x, codes, codebooks, scales,
-                                   interpret=True)
+                                   interpret=True, variant=variant)
     assert got.shape == (t, o)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-2, atol=2e-2)
 
 
-def test_pallas_one_codebook():
+@pytest.mark.parametrize("variant", ["packed", "split"])
+def test_pallas_one_codebook(variant):
     cfg = PQConfig(num_codebooks=1, nbits_per_codebook=8)
     rng = np.random.default_rng(5)
     codes, codebooks, scales = rand_pq(rng, cfg, 64, 128)
     x = jnp.asarray(rng.standard_normal((4, 64)).astype(np.float32))
     ref = pq_matmul_xla(x, codes, codebooks, scales)
     got = pq_dequant_matmul_pallas(x, codes, codebooks, scales,
-                                   interpret=True)
+                                   interpret=True, variant=variant)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("variant", ["packed", "split"])
+def test_pallas_dequant_full_interpret(variant):
+    from vllm_pq_tpu.ops.pq_matmul import pq_dequant_full_pallas
+    from vllm_pq_tpu.quantization.pq import pq_dequantize_ref
+    cfg = PQConfig(num_codebooks=2, nbits_per_codebook=8)
+    rng = np.random.default_rng(9)
+    codes, codebooks, scales = rand_pq(rng, cfg, 96, 256)
+    ref = pq_dequantize_ref(codes, codebooks, scales,
+                            out_dtype=jnp.float32)
+    got = pq_dequant_full_pallas(codes, codebooks, scales,
+                                 out_dtype=jnp.float32, interpret=True,
+                                 variant=variant)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-2, atol=2e-2)

@@ -53,12 +53,95 @@ def pq_matmul_xla(x: jax.Array, codes: jax.Array, codebooks: jax.Array,
 # ---------------------------------------------------------------------------
 # Pallas fused dequant + matmul
 # ---------------------------------------------------------------------------
+#
+# Gather strategy (round-3): a 256-entry codebook does not fit the
+# 128-lane gather table, so the round-2 kernels gathered BOTH halves in
+# f32 and selected by the code's top bit — two gather ops per
+# (codebook, position). The packed variant stores the entry pair
+# (e, e+128) as two bf16 bit-patterns in ONE int32 lane; a single gather
+# with (code & 127) fetches both, and the top bit picks a 16-bit half
+# with int32 mask/shift. A bf16 value is exactly an f32 with zero low
+# bits, so unpacking is `bitcast(word & ~0xffff)` / `bitcast(word<<16)`
+# — no 16-bit ops needed. This HALVES the VPU gather count (the measured
+# bottleneck: BENCHMARKS.md, ~180 G elem/s pipelined ceiling).
 
 
-def _dequant_matmul_kernel(xp_ref, codes_ref, cb_lo_ref, cb_hi_ref,
-                           scales_ref, out_ref, acc_ref, w_ref, *, m: int,
-                           g: int, tile_t: int, tile_j: int, n_j: int,
-                           n_t: int):
+def _pack_codebooks(codebooks: jax.Array) -> jax.Array:
+    """[m, C, g] f32 -> [m, g, 128] int32: lanes hold bf16 bit-pairs
+    (entry e in low 16 bits, entry e+128 in high 16 bits)."""
+    cb = codebooks.transpose(0, 2, 1).astype(jnp.bfloat16)  # [m, g, C]
+    bits = jax.lax.bitcast_convert_type(cb, jnp.uint16).astype(jnp.uint32)
+    packed = bits[..., :128] | (bits[..., 128:] << 16)
+    return jax.lax.bitcast_convert_type(packed, jnp.int32)
+
+
+def _gathered_entry(tbl_row, lows_k, his_k, tile_j):
+    """One packed gather + half-select -> f32 [tile_j, 128]."""
+    tbl = jnp.broadcast_to(tbl_row[None, :], (tile_j, 128))
+    word = jnp.take_along_axis(tbl, lows_k, axis=1)
+    masked = jnp.where(his_k,
+                       word & jnp.int32(-65536),       # hi entry bits
+                       word << 16)                     # lo entry bits
+    return jax.lax.bitcast_convert_type(masked, jnp.float32)
+
+
+def _dequant_matmul_kernel(xp_ref, codes_ref, cbp_ref, scales_ref,
+                           out_ref, acc_ref, w_ref, *, m: int, g: int,
+                           tile_t: int, tile_j: int, n_j: int, n_t: int):
+    """Packed-gather fused kernel. Same grid contract as the split
+    variant below, but (a) one gather per (codebook, position) and
+    (b) each position's matmul issues right after its dequant, so MXU
+    work overlaps the next position's VPU gathers.
+
+    cbp_ref [m, g, 128] int32 packed codebook pairs.
+    """
+    j_idx = pl.program_id(1)
+    t_idx = pl.program_id(2)
+
+    @pl.when(j_idx == 0)
+    def _():
+        acc_ref[t_idx] = jnp.zeros_like(acc_ref[t_idx])
+
+    @pl.when(t_idx == 0)
+    def _():
+        codes = codes_ref[:].astype(jnp.int32)  # [m, tile_j, 128]
+        lows = [codes[k] & 127 for k in range(m)]
+        is_his = [codes[k] >= 128 for k in range(m)]
+        acc = acc_ref[t_idx]
+        for p in range(g):
+            w_p = None
+            for k in range(m):
+                val = _gathered_entry(cbp_ref[k, p, :], lows[k],
+                                      is_his[k], tile_j)
+                w_p = val if w_p is None else w_p + val
+            w_p = w_p.astype(w_ref.dtype)
+            w_ref[p] = w_p
+            acc = acc + jax.lax.dot_general(
+                xp_ref[p], w_p,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        acc_ref[t_idx] = acc
+
+    @pl.when(t_idx != 0)
+    def _():
+        acc = acc_ref[t_idx]
+        for p in range(g):
+            acc = acc + jax.lax.dot_general(
+                xp_ref[p], w_ref[p],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        acc_ref[t_idx] = acc
+
+    @pl.when(j_idx == n_j - 1)
+    def _():
+        out_ref[:] = (acc_ref[t_idx] *
+                      scales_ref[0, :][None, :]).astype(out_ref.dtype)
+
+
+def _dequant_matmul_kernel_split(xp_ref, codes_ref, cb_lo_ref, cb_hi_ref,
+                                 scales_ref, out_ref, acc_ref, w_ref, *,
+                                 m: int, g: int, tile_t: int, tile_j: int,
+                                 n_j: int, n_t: int):
     """One (o, j, t) grid cell — t innermost so the dequantized weight
     tile (the VPU-bound part) is computed ONCE per (o, j) and reused by
     every token tile (prefill runs many token tiles per weight tile;
@@ -116,14 +199,17 @@ def _dequant_matmul_kernel(xp_ref, codes_ref, cb_lo_ref, cb_hi_ref,
                       scales_ref[0, :][None, :]).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "variant"))
 def pq_dequant_matmul_pallas(x: jax.Array, codes: jax.Array,
                              codebooks: jax.Array, scales: jax.Array,
-                             interpret: bool = False) -> jax.Array:
+                             interpret: bool = False,
+                             variant: str = "packed") -> jax.Array:
     """y = x @ dequant(codes).  x [T, I]; returns [T, O].
 
     Requires O % 128 == 0 and 8-bit codebooks; T and in-groups are padded
-    internally.
+    internally. ``variant``: "packed" (one int32 gather per codebook and
+    position, bf16 entries) or "split" (two f32 gathers, round-2 kernel,
+    kept for A/B).
     """
     t, i = x.shape
     m, j, o = codes.shape
@@ -149,9 +235,6 @@ def pq_dequant_matmul_pallas(x: jax.Array, codes: jax.Array,
     # contiguous [T, J] operand for the per-position matmul.
     xp = x.reshape(tp, jp, g).transpose(2, 0, 1)
 
-    cb = codebooks.transpose(0, 2, 1)  # [m, g, C]
-    cb_lo = cb[:, :, :128]
-    cb_hi = cb[:, :, 128:]
     scales2d = scales.reshape(1, o).astype(jnp.float32)
 
     n_t = tp // tile_t
@@ -161,24 +244,31 @@ def pq_dequant_matmul_pallas(x: jax.Array, codes: jax.Array,
     # t innermost: the dequantized weight tile is computed once per
     # (o, j) and reused by all token tiles
     grid = (n_o, n_j, n_t)
-    kernel = functools.partial(_dequant_matmul_kernel, m=m, g=g,
-                               tile_t=tile_t, tile_j=tile_j, n_j=n_j,
-                               n_t=n_t)
+    common = dict(m=m, g=g, tile_t=tile_t, tile_j=tile_j, n_j=n_j, n_t=n_t)
+    xp_spec = pl.BlockSpec((g, tile_t, tile_j),
+                           lambda oi, ji, ti: (0, ti, ji),
+                           memory_space=pltpu.VMEM)
+    codes_spec = pl.BlockSpec((m, tile_j, _TILE_O),
+                              lambda oi, ji, ti: (0, ji, oi),
+                              memory_space=pltpu.VMEM)
+    scales_spec = pl.BlockSpec((1, _TILE_O), lambda oi, ji, ti: (0, oi),
+                               memory_space=pltpu.VMEM)
+    if variant == "packed":
+        kernel = functools.partial(_dequant_matmul_kernel, **common)
+        operands = (xp, codes, _pack_codebooks(codebooks), scales2d)
+        in_specs = [xp_spec, codes_spec,
+                    pl.BlockSpec(memory_space=pltpu.VMEM), scales_spec]
+    else:
+        kernel = functools.partial(_dequant_matmul_kernel_split, **common)
+        cb = codebooks.transpose(0, 2, 1)  # [m, g, C]
+        operands = (xp, codes, cb[:, :, :128], cb[:, :, 128:], scales2d)
+        in_specs = [xp_spec, codes_spec,
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM), scales_spec]
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((g, tile_t, tile_j),
-                         lambda oi, ji, ti: (0, ti, ji),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, tile_j, _TILE_O),
-                         lambda oi, ji, ti: (0, ji, oi),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _TILE_O), lambda oi, ji, ti: (0, oi),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((tile_t, _TILE_O),
                                lambda oi, ji, ti: (ti, oi),
                                memory_space=pltpu.VMEM),
@@ -191,8 +281,13 @@ def pq_dequant_matmul_pallas(x: jax.Array, codes: jax.Array,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(xp, codes, cb_lo, cb_hi, scales2d)
+    )(*operands)
     return out[:t] if t_pad else out
+
+
+def _variant() -> str:
+    import vllm_pq_tpu.envs as envs
+    return envs.VPQ_PQ_GATHER
 
 
 def pq_matmul(x: jax.Array, codes: jax.Array, codebooks: jax.Array,
@@ -200,7 +295,8 @@ def pq_matmul(x: jax.Array, codes: jax.Array, codebooks: jax.Array,
     """Dispatch to the best path for the current device/shape."""
     nbits8 = codebooks.shape[1] == 256
     if _on_tpu() and nbits8 and codes.shape[2] % _TILE_O == 0:
-        return pq_dequant_matmul_pallas(x, codes, codebooks, scales)
+        return pq_dequant_matmul_pallas(x, codes, codebooks, scales,
+                                        variant=_variant())
     return pq_matmul_xla(x, codes, codebooks, scales)
 
 
@@ -217,8 +313,24 @@ def pq_matmul(x: jax.Array, codes: jax.Array, codebooks: jax.Array,
 # ---------------------------------------------------------------------------
 
 
-def _dequant_kernel(codes_ref, cb_lo_ref, cb_hi_ref, scales_ref, out_ref,
+def _dequant_kernel(codes_ref, cbp_ref, scales_ref, out_ref,
                     *, m: int, g: int, tile_j: int):
+    """Packed-gather dequant (see _pack_codebooks above)."""
+    codes = codes_ref[:].astype(jnp.int32)  # [m, tile_j, 128]
+    lows = [codes[k] & 127 for k in range(m)]
+    is_his = [codes[k] >= 128 for k in range(m)]
+    sc = scales_ref[0, :][None, :]
+    for p in range(g):
+        w_p = None
+        for k in range(m):
+            val = _gathered_entry(cbp_ref[k, p, :], lows[k], is_his[k],
+                                  tile_j)
+            w_p = val if w_p is None else w_p + val
+        out_ref[:, p, :] = (w_p * sc).astype(out_ref.dtype)
+
+
+def _dequant_kernel_split(codes_ref, cb_lo_ref, cb_hi_ref, scales_ref,
+                          out_ref, *, m: int, g: int, tile_j: int):
     codes = codes_ref[:].astype(jnp.int32)  # [m, tile_j, 128]
     lows = [codes[k] & 127 for k in range(m)]
     is_his = [codes[k] >= 128 for k in range(m)]
@@ -237,10 +349,12 @@ def _dequant_kernel(codes_ref, cb_lo_ref, cb_hi_ref, scales_ref, out_ref,
         out_ref[:, p, :] = (w_p * sc).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("out_dtype", "interpret", "variant"))
 def pq_dequant_full_pallas(codes: jax.Array, codebooks: jax.Array,
                            scales: jax.Array, out_dtype=jnp.bfloat16,
-                           interpret: bool = False) -> jax.Array:
+                           interpret: bool = False,
+                           variant: str = "packed") -> jax.Array:
     """Dequantize the whole weight: returns dense [in, out]."""
     m, j, o = codes.shape
     c, g = codebooks.shape[1], codebooks.shape[2]
@@ -251,27 +365,36 @@ def pq_dequant_full_pallas(codes: jax.Array, codebooks: jax.Array,
     if j_pad:
         codes = jnp.pad(codes, ((0, 0), (0, j_pad), (0, 0)))
     jp = j + j_pad
-    cb = codebooks.transpose(0, 2, 1)  # [m, g, C]
-    cb_lo, cb_hi = cb[:, :, :128], cb[:, :, 128:]
     scales2d = scales.reshape(1, o).astype(jnp.float32)
     grid = (jp // tile_j, o // _TILE_O)
+    codes_spec = pl.BlockSpec((m, tile_j, _TILE_O),
+                              lambda ji, oi: (0, ji, oi),
+                              memory_space=pltpu.VMEM)
+    scales_spec = pl.BlockSpec((1, _TILE_O), lambda ji, oi: (0, oi),
+                               memory_space=pltpu.VMEM)
+    if variant == "packed":
+        kernel = functools.partial(_dequant_kernel, m=m, g=g,
+                                   tile_j=tile_j)
+        operands = (codes, _pack_codebooks(codebooks), scales2d)
+        in_specs = [codes_spec, pl.BlockSpec(memory_space=pltpu.VMEM),
+                    scales_spec]
+    else:
+        kernel = functools.partial(_dequant_kernel_split, m=m, g=g,
+                                   tile_j=tile_j)
+        cb = codebooks.transpose(0, 2, 1)  # [m, g, C]
+        operands = (codes, cb[:, :, :128], cb[:, :, 128:], scales2d)
+        in_specs = [codes_spec, pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM), scales_spec]
     out = pl.pallas_call(
-        functools.partial(_dequant_kernel, m=m, g=g, tile_j=tile_j),
+        kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((m, tile_j, _TILE_O), lambda ji, oi: (0, ji, oi),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _TILE_O), lambda ji, oi: (0, oi),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((tile_j, g, _TILE_O),
                                lambda ji, oi: (ji, 0, oi),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((jp, g, o), out_dtype),
         interpret=interpret,
-    )(codes, cb_lo, cb_hi, scales2d)
+    )(*operands)
     return out[:j].reshape(j * g, o)
 
 
@@ -281,5 +404,6 @@ def pq_dequantize(codes: jax.Array, codebooks: jax.Array,
     if (_on_tpu() and codebooks.shape[1] == 256
             and codes.shape[2] % _TILE_O == 0):
         return pq_dequant_full_pallas(codes, codebooks, scales,
-                                      out_dtype=out_dtype)
+                                      out_dtype=out_dtype,
+                                      variant=_variant())
     return pq_dequantize_ref(codes, codebooks, scales, out_dtype=out_dtype)
