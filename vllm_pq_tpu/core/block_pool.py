@@ -81,6 +81,8 @@ class BlockPool:
             return
         for i in range(num_cached_blocks, num_full_blocks):
             block = blocks[i]
+            if block is self.null_block:
+                continue  # sliding-window-reclaimed table entry
             if block.block_hash is not None:
                 continue
             block_hash = block_hashes[i]

@@ -26,12 +26,22 @@ class KVCacheManager:
         max_model_len: int,
         enable_caching: bool = True,
         num_preallocate_blocks: int = 4,
+        sliding_window: Optional[int] = None,
     ):
         self.block_size = block_size
         self.enable_caching = enable_caching
         self.num_preallocate_blocks = num_preallocate_blocks
         self.max_blocks_per_req = cdiv(max_model_len, block_size)
         self.block_pool = BlockPool(num_blocks, enable_caching)
+        # Uniform sliding-window models (every layer windowed): blocks
+        # wholly behind the window are freed and their table entries
+        # nulled, so a long request holds O(window) blocks (reference
+        # KVCacheManager sliding_window, v1/core/kv_cache_manager.py:25).
+        # The attention mask already excludes those positions, so stale
+        # device-side table entries are never read into the output.
+        self.sliding_window = sliding_window
+        # request_id -> leading blocks already reclaimed
+        self._num_reclaimed: Dict[str, int] = {}
 
         # request_id -> blocks held
         self.req_to_blocks: Dict[str, List[KVCacheBlock]] = {}
@@ -128,7 +138,39 @@ class KVCacheManager:
         if self.enable_caching:
             self._cache_full_blocks(request, req_blocks,
                                     num_computed_tokens + num_tokens)
+        if self.sliding_window is not None:
+            self._reclaim_out_of_window(request, req_blocks,
+                                        num_computed_tokens)
         return new_blocks
+
+    def _reclaim_out_of_window(self, request: Request,
+                               req_blocks: List[KVCacheBlock],
+                               num_computed_tokens: int) -> None:
+        """Free blocks whose tokens can never be attended again: the
+        oldest query this step sits at position ``num_computed_tokens``,
+        and the mask admits keys at positions > pos - window only."""
+        n_dead = num_computed_tokens - self.sliding_window + 1
+        if n_dead <= 0:
+            return
+        first_live_block = n_dead // self.block_size
+        rid = request.request_id
+        start = self._num_reclaimed.get(rid, 0)
+        if first_live_block <= start:
+            return
+        null = self.block_pool.null_block
+        dead = []
+        for i in range(start, min(first_live_block, len(req_blocks))):
+            if req_blocks[i] is not null:
+                dead.append(req_blocks[i])
+                req_blocks[i] = null
+        self._num_reclaimed[rid] = first_live_block
+        if not dead:
+            return
+        if self.deferred_free:
+            # an in-flight async step may still hold the old table
+            self._limbo_new.append(dead)
+        else:
+            self.block_pool.free_blocks(dead)
 
     def _cache_full_blocks(self, request: Request,
                            req_blocks: List[KVCacheBlock],
@@ -193,6 +235,9 @@ class KVCacheManager:
         in-flight device step can never write into reallocated pages."""
         blocks = self.req_to_blocks.pop(request.request_id, [])
         self.num_cached_block.pop(request.request_id, None)
+        self._num_reclaimed.pop(request.request_id, None)
+        null = self.block_pool.null_block
+        blocks = [b for b in blocks if b is not null]
         if self.deferred_free:
             self._limbo_new.append(blocks)
         else:

@@ -52,7 +52,8 @@ class Scheduler:
 
     def __init__(self, scheduler_config: SchedulerConfig,
                  cache_config: CacheConfig, num_kv_blocks: int,
-                 vocab_size: Optional[int] = None):
+                 vocab_size: Optional[int] = None,
+                 sliding_window: Optional[int] = None):
         self.config = scheduler_config
         # model vocab (for constraint-mask sizing); None => masks keep
         # their tokenizer-sized length
@@ -67,6 +68,7 @@ class Scheduler:
             max_model_len=scheduler_config.max_model_len,
             enable_caching=cache_config.enable_prefix_caching,
             num_preallocate_blocks=scheduler_config.num_preallocate_blocks,
+            sliding_window=sliding_window,
         )
 
         from vllm_pq_tpu.core.encoder_cache_manager import \

@@ -25,10 +25,23 @@ class EngineCore:
         self.runner = self.worker.init_runner(num_blocks)
         if config.compilation.warmup:
             self.runner.warmup()
+        # Uniform sliding-window models (every layer windowed): the KV
+        # manager reclaims blocks behind the window. Interleaved
+        # patterns (Gemma2-style sliding_window_pattern) share one block
+        # table across full-attention layers, so they stay mask-only.
+        mcfg = self.runner.model.cfg
+        sw = getattr(mcfg, "sliding_window", None)
+        if (sw is not None and getattr(mcfg, "sliding_window_pattern",
+                                       None)):
+            sw = None
+        import vllm_pq_tpu.envs as envs
+        if not envs.VPQ_SLIDING_RECLAIM:
+            sw = None
         self.scheduler = Scheduler(config.scheduler, config.cache,
                                    num_blocks,
                                    vocab_size=self.runner.model
-                                   .cfg.vocab_size)
+                                   .cfg.vocab_size,
+                                   sliding_window=sw)
         # eos metadata for requests not yet sent to the runner
         self._pending_meta: Dict[str, tuple] = {}
         # multi-host: rank-0 broadcasts each step to follower hosts

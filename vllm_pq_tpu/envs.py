@@ -35,6 +35,10 @@ environment_variables: Dict[str, Callable[[], Any]] = {
     # Disable latent-cache (absorbed) MLA for DeepSeek models; use the
     # decompressed per-head K/V path (role of reference VLLM_MLA_DISABLE).
     "VPQ_MLA_DISABLE": lambda: os.environ.get("VPQ_MLA_DISABLE", "0") == "1",
+    # Sliding-window KV reclamation (uniform-window models): free blocks
+    # wholly behind the window so long requests hold O(window) blocks.
+    "VPQ_SLIDING_RECLAIM": lambda: os.environ.get(
+        "VPQ_SLIDING_RECLAIM", "1") == "1",
     # PQ Pallas gather variant (ops/pq_matmul.py): "packed" (one int32
     # gather per codebook/position, bf16 entry pairs) or "split" (two
     # f32 gathers + select, the round-2 kernel, kept for A/B).
