@@ -28,6 +28,7 @@ logger = init_logger(__name__)
 
 ENGINE_KEY = web.AppKey("engine", AsyncLLM)
 MODEL_KEY = web.AppKey("model_name", str)
+MODEL_PATH_KEY = web.AppKey("model_path", str)
 TOOL_PARSER_KEY = web.AppKey("tool_parser", str)
 REASONING_KEY = web.AppKey("reasoning_parser", object)
 MAX_LEN_KEY = web.AppKey("max_model_len", int)
@@ -600,6 +601,61 @@ async def invocations(request: web.Request) -> web.StreamResponse:
     return await completions(request)
 
 
+async def _audio_endpoint(request: web.Request,
+                          task: str) -> web.Response:
+    """Shared handler for /v1/audio/transcriptions and .../translations
+    (reference api_server.py:335, serving_transcription.py)."""
+    engine = request.app[ENGINE_KEY]
+    try:
+        form = await request.post()
+    except Exception:
+        return _error(400, "expected multipart/form-data body")
+    file_field = form.get("file")
+    if file_field is None or not hasattr(file_field, "file"):
+        return _error(400, "missing 'file' upload field")
+    audio_bytes = file_field.file.read()
+    language = form.get("language") or None
+    response_format = form.get("response_format", "json")
+    try:
+        temperature = float(form.get("temperature", 0.0) or 0.0)
+    except ValueError:
+        return _error(400, "invalid temperature")
+
+    model_path = request.app[MODEL_PATH_KEY]
+    rid = f"trsc-{random_uuid()}"
+    from vllm_pq_tpu.entrypoints.openai.transcription import \
+        run_transcription
+    try:
+        text, duration = await run_transcription(
+            engine, model_path, audio_bytes, language, temperature,
+            max_tokens=request.app[MAX_LEN_KEY] // 2, request_id=rid,
+            task=task)
+    except EngineDeadError:
+        return _error(500, "engine is dead", "internal_error")
+    except ValueError as e:
+        return _error(400, str(e))
+    except Exception as e:  # unsupported container, decode failure...
+        logger.exception("audio %s failed", task)
+        return _error(400, f"could not process audio: {e}")
+
+    if response_format == "text":
+        return web.Response(text=text, content_type="text/plain",
+                            headers={"X-Request-Id": rid})
+    body = {"text": text}
+    if response_format == "verbose_json":
+        body.update(task=task, language=language or "en",
+                    duration=round(duration, 3), segments=[])
+    return web.json_response(body, headers={"X-Request-Id": rid})
+
+
+async def transcriptions(request: web.Request) -> web.Response:
+    return await _audio_endpoint(request, "transcribe")
+
+
+async def translations(request: web.Request) -> web.Response:
+    return await _audio_endpoint(request, "translate")
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -632,6 +688,10 @@ def build_app(engine: AsyncLLM, model_name: str, max_model_len: int,
     app[ENGINE_KEY] = engine
     app[MODEL_KEY] = model_name
     app[MAX_LEN_KEY] = max_model_len
+    try:  # checkpoint dir, for the audio feature extractor + config
+        app[MODEL_PATH_KEY] = engine.engine.engine_core.config.model.model
+    except AttributeError:
+        app[MODEL_PATH_KEY] = model_name
     app[TOOL_PARSER_KEY] = tool_parser
     app[REASONING_KEY] = reasoning_parser
     app.router.add_get("/health", health)
@@ -658,6 +718,8 @@ def build_app(engine: AsyncLLM, model_name: str, max_model_len: int,
     app.router.add_post("/start_profile", start_profile)
     app.router.add_post("/stop_profile", stop_profile)
     app.router.add_post("/invocations", invocations)
+    app.router.add_post("/v1/audio/transcriptions", transcriptions)
+    app.router.add_post("/v1/audio/translations", translations)
     return app
 
 
