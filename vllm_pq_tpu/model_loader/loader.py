@@ -1180,13 +1180,46 @@ def save_sharded_state(model, params, path: str) -> None:
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(_ckpt_dir(path), params)
     ckptr.wait_until_finished()
+    # manifest: the linear-method FORM the saved tree is in (the
+    # resident transform may have replaced PQ codes with dense/int8
+    # weights after load; restore must rebuild the matching target tree)
+    method = type(getattr(model, "linear_method", None)).__name__
+    with open(os.path.join(os.path.abspath(path),
+                           "vpq_sharded_manifest.json"), "w") as f:
+        json.dump({"linear_method": method}, f)
     logger.info("sharded state saved to %s", _ckpt_dir(path))
+
+
+def _restore_linear_method(model, path: str) -> None:
+    """Swap model.linear_method to the form recorded at save time (so
+    param_shapes/param_specs build the on-disk tree structure)."""
+    mf = os.path.join(os.path.abspath(path), "vpq_sharded_manifest.json")
+    try:
+        with open(mf) as f:
+            name = json.load(f).get("linear_method")
+    except OSError:
+        return  # pre-manifest checkpoint: tree matches the config method
+    current = type(getattr(model, "linear_method", None)).__name__
+    if name == current or name is None:
+        return
+    from vllm_pq_tpu.quantization.methods import (Int8LinearMethod,
+                                                  UnquantizedLinearMethod)
+    swap = {"UnquantizedLinearMethod": UnquantizedLinearMethod,
+            "Int8LinearMethod": Int8LinearMethod}.get(name)
+    if swap is None:
+        logger.warning("sharded-state manifest method %r unknown; "
+                       "restoring with the configured method", name)
+        return
+    model.linear_method = swap()
+    logger.info("sharded state was saved in %s form; restoring as such",
+                name)
 
 
 def load_sharded_state(model, mesh: Mesh, path: str) -> Any:
     import orbax.checkpoint as ocp
     from jax.sharding import NamedSharding
 
+    _restore_linear_method(model, path)
     shapes = model.param_shapes()
     specs = model.param_specs()
 
