@@ -346,15 +346,17 @@ class EngineCore:
     def _propose_drafts(self) -> None:
         """Attach ngram drafts to decode-phase requests for the next step.
 
-        Drafting is restricted to exact-verifiable rows: greedy, no
-        logprobs, no penalties, past min_tokens (the verification sampler
-        applies none of those transforms to positions > 0)."""
+        Drafting covers greedy rows (exact argmax verification) AND
+        sampled rows (stochastic rejection, layers/rejection.py);
+        excluded: logprob rows, penalty rows, constrained rows, rows
+        before min_tokens (the verifier applies none of those
+        transforms to positions > 0)."""
         for req in self.scheduler.running:
             req.spec_token_ids = []
             if req.num_computed_tokens != req.num_tokens - 1:
                 continue  # still prefilling
             sp = req.sampling_params
-            if (sp.temperature > 0 or sp.logprobs is not None
+            if (sp.logprobs is not None
                     or sp.presence_penalty != 0
                     or sp.frequency_penalty != 0
                     or sp.repetition_penalty != 1.0

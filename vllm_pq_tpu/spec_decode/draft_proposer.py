@@ -81,7 +81,7 @@ class DraftModelProposer:
             if req.num_computed_tokens != req.num_tokens - 1:
                 continue  # still prefilling
             sp = req.sampling_params
-            if (sp.temperature > 0 or sp.logprobs is not None
+            if (sp.logprobs is not None
                     or sp.presence_penalty != 0
                     or sp.frequency_penalty != 0
                     or sp.repetition_penalty != 1.0
