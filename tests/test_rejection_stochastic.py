@@ -138,3 +138,36 @@ def test_seeded_rows_reproducible():
                                jax.random.PRNGKey(999))  # different step
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
     np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+
+
+def test_e2e_sampled_rows_get_drafts(tmp_path):
+    """Engine-level: a temperature>0, top_k=1 request (stochastic verify
+    path, deterministic content) must accept ngram drafts and match the
+    greedy output exactly."""
+    import json as _json
+
+    from vllm_pq_tpu import LLM, SamplingParams
+    cfg = {"architectures": ["LlamaForCausalLM"], "vocab_size": 512,
+           "hidden_size": 128, "intermediate_size": 256,
+           "num_hidden_layers": 2, "num_attention_heads": 2,
+           "num_key_value_heads": 2, "max_position_embeddings": 512}
+    d = tmp_path / "m"
+    d.mkdir()
+    with open(d / "config.json", "w") as f:
+        _json.dump(cfg, f)
+    llm = LLM(model=str(d), load_format="dummy", dtype="float32",
+              max_model_len=128, max_num_seqs=8, block_size=16,
+              num_kv_blocks=64, speculative_method="ngram",
+              num_speculative_tokens=3)
+    sched = llm.llm_engine.engine_core.scheduler
+    prompt = [{"prompt_token_ids": [5, 6, 7, 5, 6, 7, 5, 6, 7]}]
+    g = llm.generate(prompt, SamplingParams(
+        temperature=0.0, max_tokens=24, ignore_eos=True)
+    )[0].outputs[0].token_ids
+    p0, a0 = sched.spec_stats_proposed, sched.spec_stats_accepted
+    s = llm.generate(prompt, SamplingParams(
+        temperature=0.7, top_k=1, max_tokens=24, ignore_eos=True)
+    )[0].outputs[0].token_ids
+    assert list(s) == list(g)
+    assert sched.spec_stats_proposed - p0 > 0
+    assert sched.spec_stats_accepted - a0 > 0

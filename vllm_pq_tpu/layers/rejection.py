@@ -95,6 +95,8 @@ def verify_and_sample(
     step_key: jax.Array,
     *,
     all_greedy: bool = False,
+    counts: jax.Array = None,
+    prompt_mask: jax.Array = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (tokens [S, K+1] i32, num_generated [S] i32).
 
@@ -168,7 +170,10 @@ def verify_and_sample(
     gen_st = num_acc_st + 1
 
     # ---- draftless sampled rows: regular sampler on position 0 ----
-    t0 = sample(logits[:, 0], state, step_key)
+    # (penalized/constrained rows never carry drafts, so their
+    # penalties apply here and only here)
+    t0 = sample(logits[:, 0], state, step_key, counts=counts,
+                prompt_mask=prompt_mask)
 
     take_st = is_random & has_drafts
     take_t0 = is_random & ~has_drafts

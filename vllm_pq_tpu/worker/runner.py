@@ -632,7 +632,8 @@ class ModelRunner:
             l3 = logits.reshape(s, k1, -1)
             toks, gens = verify_and_sample(
                 l3, f["drafts"].reshape(s, spec_k), f["num_drafts"],
-                state, step_key, all_greedy=greedy)
+                state, step_key, all_greedy=greedy, counts=counts,
+                prompt_mask=prompt_mask)
             lp_src, lp_tok = l3[:, 0], toks[:, 0]
         else:
             toks = sample(logits, state, step_key, all_greedy=greedy,
