@@ -164,11 +164,11 @@ class SpeculativeConfig:
 
     def __post_init__(self):
         if self.method is not None and self.method not in (
-                "ngram", "draft_model"):
+                "ngram", "draft_model", "medusa"):
             raise ValueError(f"Unknown speculative method {self.method!r}")
-        if self.method == "draft_model" and not self.model:
-            raise ValueError("speculative method 'draft_model' requires "
-                             "a draft model path (speculative_model)")
+        if self.method in ("draft_model", "medusa") and not self.model:
+            raise ValueError(f"speculative method {self.method!r} requires "
+                             "a checkpoint path (speculative_model)")
         if self.method and self.num_spec_tokens <= 0:
             self.num_spec_tokens = 3
         if self.prompt_lookup_min > self.prompt_lookup_max:

@@ -93,3 +93,5 @@ class ModelRunnerOutput:
     # req_id -> (start_pos, top_ids [nt,k], top_vals [nt,k],
     # target_logprob [nt]) for prompt-logprob chunks computed this step
     prompt_logprobs: Dict[str, object] = field(default_factory=dict)
+    # req_id -> medusa head proposals for the NEXT step (in-graph drafts)
+    draft_token_ids: Dict[str, List[int]] = field(default_factory=dict)

@@ -23,6 +23,26 @@ class EngineCore:
         self.worker.load_model()
         num_blocks = self.worker.determine_num_kv_blocks()
         self.runner = self.worker.init_runner(num_blocks)
+        self._medusa = False
+        if (config.speculative.enabled
+                and config.speculative.method == "medusa"):
+            # heads must install before step fns compile (warmup)
+            if config.speculative.num_spec_tokens <= 0:
+                raise ValueError("medusa requires num_speculative_tokens")
+            from vllm_pq_tpu.spec_decode.medusa import load_medusa_heads
+            import jax.numpy as jnp
+            dt = (jnp.bfloat16 if config.model.dtype == "bfloat16"
+                  else jnp.float32)
+            heads, n_heads = load_medusa_heads(
+                config.speculative.model, dt)
+            if config.speculative.num_spec_tokens > n_heads:
+                raise ValueError(
+                    f"num_speculative_tokens "
+                    f"{config.speculative.num_spec_tokens} exceeds the "
+                    f"checkpoint's {n_heads} medusa heads")
+            self.runner.enable_medusa(
+                heads[:config.speculative.num_spec_tokens])
+            self._medusa = True
         if config.compilation.warmup:
             self.runner.warmup()
         # Uniform sliding-window models (every layer windowed): the KV
@@ -79,6 +99,9 @@ class EngineCore:
                     DraftModelProposer
                 self.draft_proposer = DraftModelProposer(
                     config, self.worker.mesh, num_blocks)
+            elif sc.method == "medusa":
+                pass  # in-graph heads installed above; drafts ride
+                # runner output (_attach_medusa_drafts)
             else:
                 from vllm_pq_tpu.spec_decode import NgramProposer
                 self.proposer = NgramProposer(sc.prompt_lookup_min,
@@ -180,6 +203,8 @@ class EngineCore:
             self.scheduler.ignored_req_ids.clear()
         if self.proposer is not None:
             self._propose_drafts()
+        if self._medusa:
+            self._attach_medusa_drafts(runner_output)
         if self.draft_proposer is not None:
             self.draft_proposer.on_step(scheduler_output, step_meta,
                                         self.scheduler)
@@ -366,6 +391,26 @@ class EngineCore:
             drafts = self.proposer.propose(req.all_token_ids)
             if drafts:
                 req.spec_token_ids = drafts
+
+    def _attach_medusa_drafts(self, runner_output) -> None:
+        """Attach the step's in-graph medusa head proposals as next-step
+        drafts (same eligibility gating as _propose_drafts)."""
+        drafts = runner_output.draft_token_ids
+        for req in self.scheduler.running:
+            req.spec_token_ids = []
+            if req.num_computed_tokens != req.num_tokens - 1:
+                continue  # still prefilling
+            sp = req.sampling_params
+            if (sp.logprobs is not None
+                    or sp.presence_penalty != 0
+                    or sp.frequency_penalty != 0
+                    or sp.repetition_penalty != 1.0
+                    or req.needs_constraints
+                    or req.num_output_tokens < sp.min_tokens):
+                continue
+            ds = drafts.get(req.request_id)
+            if ds:
+                req.spec_token_ids = list(ds)
 
     # -- utility RPCs (role of reference EngineCore utility methods) ----
 

@@ -157,6 +157,9 @@ class ModelRunner:
         # speculative decoding: verify K drafts + 1 bonus token per row
         self.spec_k = (config.speculative.num_spec_tokens
                        if config.speculative.enabled else 0)
+        # medusa heads (spec_decode/medusa.py): evaluated in-graph at
+        # the step tail; set via enable_medusa() before step fns build
+        self.medusa_heads = None
         # device state
         self.rope_cache = jax.device_put(
             model.rope_cache(),
@@ -497,6 +500,8 @@ class ModelRunner:
             spec_keys = spec_keys + ("mm_mask", "mm_embeds")
         input_specs = {k: P() for k in spec_keys}
 
+        medusa = self.medusa_heads is not None
+
         def fwd(params, kv_caches, rope, inputs, lora):
             # mm kwarg only exists on the llama-family signature; other
             # models never see an mm step variant
@@ -522,7 +527,7 @@ class ModelRunner:
                 plp = (pi.astype(jnp.int32), pv, tgt_lp)
             else:
                 plp = None
-            return logits, new_caches, plp
+            return logits, new_caches, plp, (sel if medusa else None)
 
         sharded = _shard_map(
             fwd, mesh,
@@ -530,7 +535,8 @@ class ModelRunner:
                       input_specs,
                       self._lora_specs() if lora_on else None),
             out_specs=(P(), [self.kv_spec] * n_layers,
-                       (P(), P(), P()) if plp_k else None),
+                       (P(), P(), P()) if plp_k else None,
+                       P() if medusa else None),
         )
 
         packed_keys = tuple(k for k in attn_keys
@@ -538,6 +544,8 @@ class ModelRunner:
 
         def step(params, kv_caches, rope, packed, step_key, lora_w,
                  prev_toks, *mm_arrays):
+            if medusa:  # head weights ride as the leading extra array
+                medusa_w, *mm_arrays = mm_arrays
             f = lay.unpack(packed)
             inputs = {k: f[k] for k in packed_keys}
             if plp_k:
@@ -561,14 +569,25 @@ class ModelRunner:
                 lora = dict(lora_w)
                 lora["sorted_tok"] = f["lora_sorted_tok"]
                 lora["group_sizes"] = f["lora_groups"]
-            logits, new_caches, plp = sharded(params, kv_caches, rope,
-                                              inputs, lora)
+            logits, new_caches, plp, sel = sharded(params, kv_caches,
+                                                   rope, inputs, lora)
             toks, gens, lp = self._sample_tail(
                 f, logits, step_key, greedy=greedy,
                 num_logprobs=num_logprobs, constrained=constrained,
                 penalized=penalized, spec_k=spec_k,
                 mask_words=mask_words)
-            return toks, gens, lp, plp, new_caches
+            drafts = None
+            if medusa:
+                # condition each head on the hidden state at the LAST
+                # emitted token of every row (position num_generated-1)
+                from vllm_pq_tpu.spec_decode.medusa import medusa_drafts
+                hsel = sel.reshape(s, k1, -1)
+                pick = (jnp.clip(gens - 1, 0, k1 - 1)
+                        if gens is not None
+                        else jnp.zeros((s,), jnp.int32))
+                h_last = hsel[jnp.arange(s), pick]
+                drafts = medusa_drafts(medusa_w, h_last)
+            return toks, gens, lp, plp, drafts, new_caches
 
         return jax.jit(step, donate_argnums=(1,))
 
@@ -1600,7 +1619,9 @@ class ModelRunner:
                    if mm_step is not None else ())
         if getattr(self.model, "is_encoder_decoder", False):
             mm_args = mm_args + self._encdec_buffers()
-        toks, gens, lp, plp, self.kv_caches = fn(
+        if self.medusa_heads is not None:
+            mm_args = (self.medusa_heads,) + mm_args
+        toks, gens, lp, plp, drafts, self.kv_caches = fn(
             self.params, self.kv_caches, self.rope_cache, packed, step_key,
             lora_w, self._prev_toks_or_zeros(), *mm_args)
 
@@ -1611,14 +1632,14 @@ class ModelRunner:
                              if rid is not None}
 
         # start the device->host copies before doing host-side work
-        for a in (toks, gens) + (tuple(lp) if lp else ()):
+        for a in (toks, gens, drafts) + (tuple(lp) if lp else ()):
             if a is not None:
                 try:
                     a.copy_to_host_async()
                 except Exception:
                     pass
         return ("step", toks, gens, lp, row_req_ids, num_logprobs,
-                plp, plp_rows)
+                plp, plp_rows, drafts)
 
     def _pack_plp_targets(self, so, buf, t_bucket, constrained,
                           penalized=False):
@@ -1663,8 +1684,8 @@ class ModelRunner:
             return out
         if handle[0] == "ms":
             return self._fetch_multistep(handle[1])
-        _, toks, gens, lp, row_req_ids, num_logprobs, plp, plp_rows = \
-            handle
+        (_, toks, gens, lp, row_req_ids, num_logprobs, plp, plp_rows,
+         drafts) = handle
         ib = self.input_batch
         if plp is not None and plp_rows:
             pi = np.asarray(jax.device_get(plp[0]))
@@ -1678,6 +1699,8 @@ class ModelRunner:
         toks_np = np.asarray(jax.device_get(toks))
         gens_np = (np.asarray(jax.device_get(gens))
                    if gens is not None else None)
+        drafts_np = (np.asarray(jax.device_get(drafts))
+                     if drafts is not None else None)
         if lp is not None:
             lp_ids = np.asarray(jax.device_get(lp[0]))
             lp_vals = np.asarray(jax.device_get(lp[1]))
@@ -1696,7 +1719,16 @@ class ModelRunner:
             if num_logprobs > 0 and rid in ib.logprobs_reqs:
                 out.logprobs[rid] = (lp_ids[row], lp_vals[row],
                                      int(lp_rank[row]))
+            if drafts_np is not None:
+                out.draft_token_ids[rid] = [int(t)
+                                            for t in drafts_np[row]]
         return out
+
+    def enable_medusa(self, heads) -> None:
+        """Install medusa head params (list of {"res", "lm"} trees);
+        must run before step functions compile (engine init order)."""
+        self.medusa_heads = heads
+        self._step_fns = {}
 
     # ------------------------------------------------------------------
     # warmup: compile every (bucket, decode-variant) step function up
@@ -1742,10 +1774,12 @@ class ModelRunner:
                         lora_w = (self._lora_weights()
                                   if self.lora_stacks is not None
                                   else None)
+                        extra = ((self.medusa_heads,)
+                                 if self.medusa_heads is not None else ())
                         out = fn(self.params, self.kv_caches,
                                  self.rope_cache, jnp.asarray(buf.copy()),
                                  jax.random.PRNGKey(0), lora_w,
-                                 self._prev_toks_or_zeros())
+                                 self._prev_toks_or_zeros(), *extra)
                         self.kv_caches = out[-1]
                         jax.block_until_ready(out[0])
                         n += 1
