@@ -26,6 +26,9 @@ class EngineArgs:
     hf_overrides: Dict[str, Any] = field(default_factory=dict)
 
     block_size: int = 16
+    # KV cache dtype: "auto" (model dtype) or "int8" (+per-head scales,
+    # role of reference --kv-cache-dtype fp8)
+    kv_cache_dtype: str = "auto"
     gpu_memory_utilization: float = 0.9
     num_kv_blocks: Optional[int] = None
     enable_prefix_caching: bool = True
@@ -75,7 +78,8 @@ class EngineArgs:
                 block_size=self.block_size,
                 gpu_memory_utilization=self.gpu_memory_utilization,
                 num_blocks_override=self.num_kv_blocks,
-                enable_prefix_caching=self.enable_prefix_caching),
+                enable_prefix_caching=self.enable_prefix_caching,
+                cache_dtype=self.kv_cache_dtype),
             parallel=ParallelConfig(
                 tensor_parallel_size=self.tensor_parallel_size,
                 data_parallel_size=self.data_parallel_size,

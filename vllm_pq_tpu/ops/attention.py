@@ -18,7 +18,7 @@ Three implementations:
 - dispatch in ``ragged_paged_attention``.
 """
 
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -27,6 +27,35 @@ import numpy as np
 import vllm_pq_tpu.envs as envs
 
 MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
+
+
+class QuantKV(NamedTuple):
+    """Int8 paged KV cache with per-(token, head) absmax scales —
+    halves KV bytes, so decode attention streams half the HBM and the
+    pool holds twice the tokens (role of the reference's fp8
+    cache_dtype, vllm/config.py:1057 + csrc/cache_kernels.cu fp8
+    conversion; int8 is the TPU-native narrow type)."""
+    data: jax.Array    # int8 [P, page_size, 2*KVH, D]
+    scale: jax.Array   # f32  [P, page_size, 2*KVH]
+
+
+def quantize_kv_rows(kv: jax.Array):
+    """[T, 2*KVH, D] -> (int8 rows, f32 per-head scales [T, 2*KVH])."""
+    amax = jnp.max(jnp.abs(kv.astype(jnp.float32)), axis=-1)
+    scale = amax / 127.0 + 1e-8
+    q = jnp.clip(jnp.round(kv.astype(jnp.float32) / scale[..., None]),
+                 -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _gather_pages(kv_pages, idx, out_dtype=jnp.bfloat16):
+    """take() pages from a plain or quantized cache, dequantizing."""
+    if isinstance(kv_pages, QuantKV):
+        pages = jnp.take(kv_pages.data, idx, axis=0)
+        scales = jnp.take(kv_pages.scale, idx, axis=0)
+        return (pages.astype(jnp.float32)
+                * scales[..., None]).astype(out_dtype)
+    return jnp.take(kv_pages, idx, axis=0)
 
 
 def write_kv_cache(kv_cache, k: jax.Array, v: jax.Array,
@@ -47,6 +76,15 @@ def write_kv_cache(kv_cache, k: jax.Array, v: jax.Array,
         ks = k[:s] if t >= s else jnp.pad(k, ((0, s - t), (0, 0), (0, 0)))
         vs = v[:s] if t >= s else jnp.pad(v, ((0, s - t), (0, 0), (0, 0)))
         return append_ring(kv_cache, ks, vs)
+    if isinstance(kv_cache, QuantKV):
+        p, ps, ckv, d = kv_cache.data.shape
+        kv = jnp.stack([k, v], axis=2).reshape(k.shape[0], ckv, d)
+        q, sc = quantize_kv_rows(kv)
+        data = kv_cache.data.reshape(p * ps, ckv, d).at[
+            slot_mapping].set(q).reshape(p, ps, ckv, d)
+        scale = kv_cache.scale.reshape(p * ps, ckv).at[
+            slot_mapping].set(sc).reshape(p, ps, ckv)
+        return QuantKV(data, scale)
     p, ps, ckv, d = kv_cache.shape
     kv = jnp.stack([k, v], axis=2).reshape(k.shape[0], ckv, d)
     if (jax.default_backend() == "tpu"
@@ -74,14 +112,16 @@ def ref_ragged_paged_attention(
     """Jittable masked reference. O(S * pages_per_seq * page_size * T)
     memory — fine for tests/CPU, not for production TPU."""
     t, hq, d = q.shape
-    p, ps, ckv, _ = kv_pages.shape
+    arr = kv_pages.data if isinstance(kv_pages, QuantKV) else kv_pages
+    p, ps, ckv, _ = arr.shape
     kvh = ckv // 2
     s, pages_per_seq = page_indices.shape
     rep = hq // kvh
     num_seqs = jnp.reshape(num_seqs, ())
 
     # Gather each sequence's pages: [S, pages*ps, CKV, D]
-    seq_kv = kv_pages[page_indices.reshape(-1)].reshape(
+    seq_kv = _gather_pages(kv_pages, page_indices.reshape(-1),
+                           q.dtype).reshape(
         s, pages_per_seq * ps, ckv, d)
     k = seq_kv[:, :, 0::2, :]  # [S, L, KVH, D]
     v = seq_kv[:, :, 1::2, :]
@@ -147,13 +187,14 @@ def xla_decode_attention(q, kv_pages, kv_lens, page_indices, *,
     produce garbage that the caller never reads)."""
     s = page_indices.shape[0]
     t, hq, d = q.shape
-    ps = kv_pages.shape[1]
-    kvh = kv_pages.shape[2] // 2
+    arr = kv_pages.data if isinstance(kv_pages, QuantKV) else kv_pages
+    ps = arr.shape[1]
+    kvh = arr.shape[2] // 2
     rep = hq // kvh
     # q row i is seq i's single query; a token bucket smaller than the
     # row count just means the tail rows are inactive (kv_len 0)
     qs = q[:s] if t >= s else jnp.pad(q, ((0, s - t), (0, 0), (0, 0)))
-    pages = jnp.take(kv_pages, page_indices[:, :n_pages], axis=0)
+    pages = _gather_pages(kv_pages, page_indices[:, :n_pages], q.dtype)
     pages = pages.reshape(s, n_pages * ps, 2 * kvh, d)
     k = pages[:, :, 0::2, :]                      # [S, Lk, KVH, D]
     v = pages[:, :, 1::2, :]
@@ -295,8 +336,10 @@ def ragged_paged_attention(q, kv_pages, kv_lens, page_indices, cu_q_lens,
     backend = envs.VPQ_ATTENTION_BACKEND
     on_tpu = jax.default_backend() == "tpu"
     # the Pallas kernels' lane packing supports head_dim 64/128; other
-    # dims (e.g. DeepSeek MLA's 192) take the XLA paths
-    kernel_ok = q.shape[-1] in (64, 128)
+    # dims (e.g. DeepSeek MLA's 192) take the XLA paths. Int8 KV
+    # dequant is fused into the XLA gather paths only.
+    kernel_ok = (q.shape[-1] in (64, 128)
+                 and not isinstance(kv_pages, QuantKV))
     if decode_mode and (not kernel_ok or alibi_slopes is not None):
         return xla_decode_attention(
             q, kv_pages, kv_lens, page_indices,

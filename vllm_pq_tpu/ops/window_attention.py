@@ -57,21 +57,25 @@ def build_window_cache(kv_cache: jax.Array, page_indices: jax.Array,
     active row (prefix-cache hits): they are gathered ONCE into sK/sV —
     the cascade-attention bandwidth saving (reference
     use_cascade_attention, v1/worker/gpu_model_runner.py:665)."""
+    from vllm_pq_tpu.ops.attention import QuantKV, _gather_pages
+    arr = kv_cache.data if isinstance(kv_cache, QuantKV) else kv_cache
     s = page_indices.shape[0]
-    ps = kv_cache.shape[1]
-    kvh = kv_cache.shape[2] // 2
-    d = kv_cache.shape[3]
-    sh = kv_cache.dtype
+    ps = arr.shape[1]
+    kvh = arr.shape[2] // 2
+    d = arr.shape[3]
+    # int8 caches dequantize INTO the arena: the capacity win lives in
+    # the paged pool; window attention reads bf16 either way
+    sh = jnp.bfloat16 if isinstance(kv_cache, QuantKV) else arr.dtype
     if shared_pages:
-        spages = jnp.take(kv_cache, page_indices[0, :shared_pages],
-                          axis=0).reshape(shared_pages * ps, 2 * kvh, d)
+        spages = _gather_pages(kv_cache, page_indices[0, :shared_pages],
+                               sh).reshape(shared_pages * ps, 2 * kvh, d)
         sK, sV = spages[:, 0::2, :], spages[:, 1::2, :]
     else:
         sK = jnp.zeros((0, kvh, d), sh)
         sV = jnp.zeros((0, kvh, d), sh)
-    pages = jnp.take(
+    pages = _gather_pages(
         kv_cache,
-        page_indices[:, shared_pages:shared_pages + n_pages], axis=0)
+        page_indices[:, shared_pages:shared_pages + n_pages], sh)
     pages = pages.reshape(s, n_pages * ps, 2 * kvh, d)
     aK = pages[:, :, 0::2, :]
     aV = pages[:, :, 1::2, :]

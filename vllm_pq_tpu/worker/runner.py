@@ -179,19 +179,40 @@ class ModelRunner:
         self._kv_alloc = (kv_shape, kv_dtype)
         self.kv_spec = model.kv_cache_spec()
         self.pp = config.parallel.pipeline_parallel_size
+        # int8 KV cache (role of reference cache_dtype=fp8,
+        # config.py:1057): int8 pages + per-(token, head) f32 scales,
+        # dequant fused into the XLA attention gathers. Standard 4D MHA
+        # caches only (not SSM/MLA/enc-dec/PP).
+        self.kv_quant = (config.cache.cache_dtype == "int8"
+                         and not self.is_ssm and len(kv_shape) == 4
+                         and not getattr(model, "is_encoder_decoder",
+                                         False)
+                         and self.pp == 1)
+        if config.cache.cache_dtype == "int8" and not self.kv_quant:
+            logger.warning("kv-cache-dtype int8 unsupported for this "
+                           "model/parallel layout; using %s", kv_dtype)
+        if self.kv_quant:
+            kv_axes = tuple(self.kv_spec) + (None,) * (
+                4 - len(tuple(self.kv_spec)))
+            self._kv_scale_spec = P(*kv_axes[:3])
+            from vllm_pq_tpu.ops.attention import QuantKV
+            self.kv_layer_spec = QuantKV(self.kv_spec,
+                                         self._kv_scale_spec)
+        else:
+            self.kv_layer_spec = self.kv_spec
         if self.pp > 1:
             self._init_pp(kv_shape, kv_dtype)
         else:
-            self.kv_caches = [
-                jax.device_put(jnp.zeros(kv_shape, kv_dtype),
-                               NamedSharding(mesh, self.kv_spec))
-                for _ in range(model.cfg.num_hidden_layers)
-            ]
-        logger.info("KV cache: %d pages x %s x %d layers (%.2f GiB total)",
-                    num_kv_blocks, kv_shape[1:],
+            self.kv_caches = [self._alloc_kv_layer()
+                              for _ in range(model.cfg.num_hidden_layers)]
+        bytes_per = (1 + 4 / kv_shape[-1] if self.kv_quant
+                     else (2 if kv_dtype == jnp.bfloat16 else 4))
+        logger.info("KV cache: %d pages x %s x %d layers (%s, %.2f GiB "
+                    "total)", num_kv_blocks, kv_shape[1:],
                     model.cfg.num_hidden_layers,
+                    "int8+scales" if self.kv_quant else str(kv_dtype),
                     np.prod(kv_shape) * model.cfg.num_hidden_layers *
-                    (2 if kv_dtype == jnp.bfloat16 else 4) / 2**30)
+                    bytes_per / 2**30)
 
         self._step_fns: Dict[tuple, Any] = {}
         self._layouts: Dict[tuple, _PackedLayout] = {}
@@ -531,10 +552,10 @@ class ModelRunner:
 
         sharded = _shard_map(
             fwd, mesh,
-            in_specs=(param_specs, [self.kv_spec] * n_layers, P(None, None),
+            in_specs=(param_specs, [self.kv_layer_spec] * n_layers, P(None, None),
                       input_specs,
                       self._lora_specs() if lora_on else None),
-            out_specs=(P(), [self.kv_spec] * n_layers,
+            out_specs=(P(), [self.kv_layer_spec] * n_layers,
                        (P(), P(), P()) if plp_k else None,
                        P() if medusa else None),
         )
@@ -682,7 +703,7 @@ class ModelRunner:
 
         sharded = _shard_map(
             fwd, self.mesh,
-            in_specs=(model.param_specs(), [self.kv_spec] * n_layers,
+            in_specs=(model.param_specs(), [self.kv_layer_spec] * n_layers,
                       P(None, None), {k: P() for k in attn_keys}),
             out_specs=P(),
         )
@@ -901,10 +922,10 @@ class ModelRunner:
 
             build_sharded = _shard_map(
                 build_all, mesh,
-                in_specs=([self.kv_spec] * n_layers, P()),
+                in_specs=([self.kv_layer_spec] * n_layers, P()),
                 out_specs=cache_specs)
         else:
-            cache_specs = [self.kv_spec] * n_layers
+            cache_specs = [self.kv_layer_spec] * n_layers
             build_sharded = None
 
         def fwd(params, kv_caches, rope, inputs):
@@ -1068,9 +1089,9 @@ class ModelRunner:
 
         sharded = _shard_map(
             fold, mesh,
-            in_specs=([self.kv_spec] * n_layers, ring_spec, ring_spec,
+            in_specs=([self.kv_layer_spec] * n_layers, ring_spec, ring_spec,
                       P()),
-            out_specs=[self.kv_spec] * n_layers)
+            out_specs=[self.kv_layer_spec] * n_layers)
         fn = jax.jit(sharded, donate_argnums=(0,))
         self._step_fns[key] = fn
         return fn
@@ -1805,10 +1826,10 @@ class ModelRunner:
                     self._enc_kv[0].shape[0] < n_pages:
                 kv_shape = model.kv_cache_shape(n_pages, self.block_size,
                                                 tp_size=1)
+                enc_dt = self._kv_alloc[1]
                 self._enc_kv = [
                     jax.device_put(
-                        jnp.zeros(kv_shape, self.kv_caches[0].dtype
-                                  if self.kv_caches else jnp.float32),
+                        jnp.zeros(kv_shape, enc_dt),
                         NamedSharding(self.mesh, self.kv_spec))
                     for _ in range(model.cfg.num_hidden_layers)]
             fn = self._get_encode_fn(t_bucket, pool)
@@ -1857,6 +1878,7 @@ class ModelRunner:
 
         sharded = _shard_map(
             fwd, self.mesh,
+            # encode scratch caches are plain arrays even under int8 KV
             in_specs=(model.param_specs(), [self.kv_spec] * n_layers,
                       P(None, None), P(), P(), P(), P()),
             out_specs=P(),
@@ -1868,12 +1890,27 @@ class ModelRunner:
     # ------------------------------------------------------------------
     # sleep mode (role of reference CuMemAllocator.sleep/wake_up)
 
+    def _alloc_kv_layer(self):
+        """One layer's device KV allocation (plain array or QuantKV)."""
+        kv_shape, kv_dtype = self._kv_alloc
+        if self.kv_quant:
+            from vllm_pq_tpu.ops.attention import QuantKV
+            return QuantKV(
+                jax.device_put(jnp.zeros(kv_shape, jnp.int8),
+                               NamedSharding(self.mesh, self.kv_spec)),
+                jax.device_put(jnp.zeros(kv_shape[:-1], jnp.float32),
+                               NamedSharding(self.mesh,
+                                             self._kv_scale_spec)))
+        return jax.device_put(jnp.zeros(kv_shape, kv_dtype),
+                              NamedSharding(self.mesh, self.kv_spec))
+
     def sleep(self, level: int = 1) -> None:
         """Delete device buffers: KV (level>=1) and weights (level>=2).
         The KV content is discarded (callers reset the prefix cache);
         weights are stashed on host and restored on wake."""
         for c in self.kv_caches:
-            c.delete()
+            for leaf in jax.tree.leaves(c):
+                leaf.delete()
         self.kv_caches = []
         if self.pp > 1 and getattr(self, "kv_stacked", None) is not None:
             self.kv_stacked.delete()
@@ -1894,11 +1931,9 @@ class ModelRunner:
                 jnp.zeros((n_layers,) + kv_shape, kv_dtype),
                 NamedSharding(self.mesh, self.kv_spec))
         else:
-            self.kv_caches = [
-                jax.device_put(jnp.zeros(kv_shape, kv_dtype),
-                               NamedSharding(self.mesh, self.kv_spec))
-                for _ in range(self.model.cfg.num_hidden_layers)
-            ]
+            self.kv_caches = [self._alloc_kv_layer()
+                              for _ in range(
+                                  self.model.cfg.num_hidden_layers)]
         if getattr(self, "_asleep_level", 1) >= 2 and self.params is None:
             specs = self.model.param_specs()
             self.params = jax.tree.map(
@@ -1915,18 +1950,31 @@ class ModelRunner:
 
     def gather_kv(self, block_ids: List[int]) -> np.ndarray:
         """Pull the given pages off the device for transfer:
-        [L, n_blocks, page_size, 2*KVH, D] (host numpy)."""
+        [L, n_blocks, page_size, 2*KVH, D] (host numpy). Int8 caches
+        transfer dequantized bf16 pages (the wire format stays dtype-
+        agnostic across producer/consumer cache dtypes)."""
+        from vllm_pq_tpu.ops.attention import _gather_pages
         ids = jnp.asarray(np.asarray(block_ids, np.int32))
-        stacked = jnp.stack([c[ids] for c in self.kv_caches])
+        stacked = jnp.stack([_gather_pages(c, ids)
+                             for c in self.kv_caches])
         return np.asarray(jax.device_get(stacked))
 
     def scatter_kv(self, block_ids: List[int], kv: np.ndarray) -> None:
         """Write transferred pages into this worker's cache at the given
         block ids (consumer side of the KV connector)."""
+        from vllm_pq_tpu.ops.attention import QuantKV, quantize_kv_rows
         ids = jnp.asarray(np.asarray(block_ids, np.int32))
         new = []
         for li, c in enumerate(self.kv_caches):
-            new.append(c.at[ids].set(jnp.asarray(kv[li], c.dtype)))
+            if isinstance(c, QuantKV):
+                pages = jnp.asarray(kv[li], jnp.float32)
+                nb, ps, ckv, d = pages.shape
+                q, sc = quantize_kv_rows(pages.reshape(nb * ps, ckv, d))
+                new.append(QuantKV(
+                    c.data.at[ids].set(q.reshape(nb, ps, ckv, d)),
+                    c.scale.at[ids].set(sc.reshape(nb, ps, ckv))))
+            else:
+                new.append(c.at[ids].set(jnp.asarray(kv[li], c.dtype)))
         self.kv_caches = new
 
     def _dispatch_multistep(self, so: SchedulerOutput):

@@ -136,8 +136,13 @@ class Worker:
         # latent caches are not MHA-shaped), bf16 = 2 bytes
         one = self.model.kv_cache_shape(1, cfg.cache.block_size,
                                         tp_size=tp)
-        bytes_per_block = (int(np.prod(one[1:])) * 2 *
-                           self.model.cfg.num_hidden_layers)
+        if cfg.cache.cache_dtype == "int8" and len(one) == 4:
+            # int8 data + f32 per-(token, head) scale
+            per_block = (int(np.prod(one[1:]))
+                         + int(np.prod(one[1:-1])) * 4)
+        else:
+            per_block = int(np.prod(one[1:])) * 2
+        bytes_per_block = per_block * self.model.cfg.num_hidden_layers
         num = max(avail // bytes_per_block, 16)
         # never allocate more than the scheduler can address
         max_useful = (cdiv(cfg.scheduler.max_model_len,
