@@ -651,6 +651,8 @@ def _load_mamba_weight(tree, cfg, shapes, name, w):
     elif which in ("in_proj", "x_proj", "dt_proj", "out_proj"):
         node.setdefault(which, {})[leaf] = (w.T if leaf == "weight"
                                             else w)
+    elif which == "norm":  # Mamba2 gated RMSNorm inside the mixer
+        node.setdefault("norm", {})[leaf] = w
     else:
         logger.warning("unmapped Mamba weight %s", name)
 
@@ -718,7 +720,7 @@ def load_hf(model, mesh: Mesh, model_dir: str,
             "layer_norm": {},
             "layers": [dict() for _ in range(cfg.encoder_layers)]}
         tree["embed_positions"] = {}
-    is_mamba = model.__class__.__name__ == "MambaModel"
+    is_mamba = model.__class__.__name__ in ("MambaModel", "Mamba2Model")
     for name, tensor in _iter_safetensors(model_dir):
         tensor = np.asarray(tensor)
         if is_mamba:

@@ -270,3 +270,152 @@ class MambaModel:
                            preferred_element_type=jnp.float32)
         return jnp.dot(hidden, params["lm_head"]["weight"],
                        preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Mamba-2 (SSD): scalar-per-head A, grouped B/C, gated RMSNorm
+# (role of reference models/mamba2.py + mamba_ssm v2 kernels)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Mamba2Config(MambaConfig):
+    num_heads: int = 8
+    head_dim: int = 64          # P
+    n_groups: int = 1           # G
+    norm_eps: float = 1e-5
+
+    @property
+    def intermediate_size(self):
+        return self.num_heads * self.head_dim
+
+    @property
+    def conv_dim(self):
+        return (self.intermediate_size
+                + 2 * self.n_groups * self.state_size)
+
+    @classmethod
+    def from_hf_config(cls, hf) -> "Mamba2Config":
+        return cls(
+            vocab_size=hf.vocab_size,
+            hidden_size=getattr(hf, "hidden_size", 768),
+            state_size=getattr(hf, "state_size", 128),
+            conv_kernel=getattr(hf, "conv_kernel", 4),
+            num_hidden_layers=getattr(hf, "num_hidden_layers", 24),
+            layer_norm_epsilon=getattr(hf, "layer_norm_epsilon", 1e-5),
+            use_conv_bias=getattr(hf, "use_conv_bias", True),
+            use_bias=getattr(hf, "use_bias", False),
+            tie_word_embeddings=getattr(hf, "tie_word_embeddings", False),
+            num_heads=getattr(hf, "num_heads", 8),
+            head_dim=getattr(hf, "head_dim", 64),
+            n_groups=getattr(hf, "n_groups", 1),
+        )
+
+
+class Mamba2Model(MambaModel):
+
+    def __init__(self, cfg: Mamba2Config, linear_method=None):
+        self.cfg = cfg
+
+    def param_shapes(self) -> Dict:
+        cfg = self.cfg
+        dt = cfg.dtype
+        h, i = cfg.hidden_size, cfg.intermediate_size
+        nh, k = cfg.num_heads, cfg.conv_kernel
+        cdim = cfg.conv_dim
+        mixer = {
+            # z | xBC | dt
+            "in_proj": {"weight": ((h, i + cdim + nh), dt)},
+            "conv1d": {"weight": ((cdim, k), dt)},
+            "dt_bias": {"weight": ((nh,), dt)},
+            "A_log": {"weight": ((nh,), dt)},
+            "D": {"weight": ((nh,), dt)},
+            "norm": {"weight": ((i,), dt)},     # gated RMSNorm
+            "out_proj": {"weight": ((i, h), dt)},
+        }
+        if cfg.use_conv_bias:
+            mixer["conv1d"]["bias"] = ((cdim,), dt)
+        if cfg.use_bias:
+            mixer["in_proj"]["bias"] = ((i + cdim + nh,), dt)
+            mixer["out_proj"]["bias"] = ((h,), dt)
+        layer = {"norm": {"weight": ((h,), dt)}, "mixer": mixer}
+        shapes = {
+            "embed_tokens": {"weight": ((cfg.vocab_size, h), dt)},
+            "layers": [dict(layer) for _ in range(cfg.num_hidden_layers)],
+            "norm": {"weight": ((h,), dt)},
+        }
+        if not cfg.tie_word_embeddings:
+            shapes["lm_head"] = {"weight": ((h, cfg.vocab_size), dt)}
+        return shapes
+
+    def state_shape(self, max_num_reqs: int) -> Tuple:
+        # flat per-row state: ssm [H, P, N] | conv window [conv_dim, k]
+        cfg = self.cfg
+        flat = (cfg.num_heads * cfg.head_dim * cfg.state_size
+                + cfg.conv_dim * cfg.conv_kernel)
+        return (max_num_reqs, 1, flat)
+
+    def kv_cache_spec(self) -> P:
+        return P(None, None, None)
+
+    def _mixer_step(self, mp: Dict, x: jax.Array, state: jax.Array
+                    ) -> Tuple[jax.Array, jax.Array]:
+        """One token for a batch of rows: x [B, H], state
+        [B, 1, flat] -> (y [B, H], new state)."""
+        cfg = self.cfg
+        nh, p, n = cfg.num_heads, cfg.head_dim, cfg.state_size
+        g, k = cfg.n_groups, cfg.conv_kernel
+        i = cfg.intermediate_size
+        cdim = cfg.conv_dim
+        bsz = x.shape[0]
+        flat = state[:, 0, :]
+        ssm = flat[:, :nh * p * n].astype(jnp.float32).reshape(
+            bsz, nh, p, n)
+        conv = flat[:, nh * p * n:].reshape(bsz, cdim, k)
+
+        proj = jnp.dot(x, mp["in_proj"]["weight"],
+                       preferred_element_type=jnp.float32)
+        if "bias" in mp["in_proj"]:
+            proj = proj + mp["in_proj"]["bias"].astype(jnp.float32)
+        z = proj[:, :i]
+        xbc = proj[:, i:i + cdim]
+        dt_in = proj[:, i + cdim:]                        # [B, H]
+
+        conv = jnp.concatenate(
+            [conv[:, :, 1:], xbc.astype(conv.dtype)[:, :, None]], axis=-1)
+        u = jnp.sum(conv.astype(jnp.float32)
+                    * mp["conv1d"]["weight"].astype(jnp.float32)[None],
+                    axis=-1)
+        if "bias" in mp["conv1d"]:
+            u = u + mp["conv1d"]["bias"].astype(jnp.float32)
+        u = jax.nn.silu(u)                                # [B, conv_dim]
+
+        xh = u[:, :i].reshape(bsz, nh, p)                 # [B, H, P]
+        b = u[:, i:i + g * n].reshape(bsz, g, n)
+        c = u[:, i + g * n:].reshape(bsz, g, n)
+        rep = nh // g
+        bh = jnp.repeat(b, rep, axis=1)                   # [B, H, N]
+        ch = jnp.repeat(c, rep, axis=1)
+
+        dt = jax.nn.softplus(
+            dt_in + mp["dt_bias"]["weight"].astype(jnp.float32)[None])
+        a = -jnp.exp(mp["A_log"]["weight"].astype(jnp.float32))  # [H]
+        da = jnp.exp(dt * a[None])                        # [B, H]
+        ssm = (ssm * da[:, :, None, None]
+               + (dt[:, :, None] * xh)[..., None] * bh[:, :, None, :])
+        y = jnp.einsum("bhpn,bhn->bhp", ssm, ch)
+        y = y + mp["D"]["weight"].astype(jnp.float32)[None, :, None] * xh
+        y = y.reshape(bsz, i)
+        # gated RMSNorm (MambaRMSNormGated): normalize AFTER gating
+        y = y * jax.nn.silu(z)
+        var = jnp.mean(y * y, axis=-1, keepdims=True)
+        y = y * jax.lax.rsqrt(var + cfg.norm_eps)
+        y = y * mp["norm"]["weight"].astype(jnp.float32)[None]
+        out = jnp.dot(y.astype(x.dtype), mp["out_proj"]["weight"],
+                      preferred_element_type=jnp.float32)
+        if "bias" in mp["out_proj"]:
+            out = out + mp["out_proj"]["bias"].astype(jnp.float32)
+        new_flat = jnp.concatenate(
+            [ssm.reshape(bsz, nh * p * n),
+             conv.reshape(bsz, cdim * k)], axis=-1).astype(state.dtype)
+        return out.astype(x.dtype), new_flat[:, None, :]

@@ -710,6 +710,19 @@ def _build_mamba(hf_config, config: EngineConfig, linear_method):
     return MambaModel(mc)
 
 
+@register_model("Mamba2ForCausalLM")
+def _build_mamba2(hf_config, config: EngineConfig, linear_method):
+    # Mamba-2 / SSD (reference models/mamba2.py role): scalar-per-head
+    # A, grouped B/C, gated RMSNorm
+    from vllm_pq_tpu.models.mamba import Mamba2Config, Mamba2Model
+    mc = (Mamba2Config.from_hf_config(hf_config)
+          if hf_config is not None else Mamba2Config())
+    mc.dtype = config.model.jax_dtype
+    if config.cache.enable_prefix_caching:
+        config.cache.enable_prefix_caching = False
+    return Mamba2Model(mc)
+
+
 @register_model("WhisperForConditionalGeneration")
 def _build_whisper(hf_config, config: EngineConfig, linear_method):
     # Whisper enc-dec (reference models/whisper.py): audio encoder run
