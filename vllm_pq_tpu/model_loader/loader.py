@@ -222,6 +222,67 @@ def _mk_put_linear(tree, linear_method):
     return put
 
 
+def _load_jamba_weight(tree, cfg, shapes, linear_method, name, w,
+                       pending):
+    """Jamba hybrid naming (reference models/jamba.py): per-layer
+    self_attn OR mamba mixer, plus feed_forward as dense MLP or MoE."""
+    if name == "model.embed_tokens.weight":
+        tree["embed_tokens"]["weight"] = w
+        return
+    if name == "model.final_layernorm.weight":
+        tree["final_layernorm"]["weight"] = w
+        return
+    if name == "lm_head.weight":
+        if "lm_head" in shapes:
+            tree["lm_head"] = {"weight": w.T}
+        return
+    if not name.startswith("model.layers."):
+        return
+    parts = name.split(".")
+    li = int(parts[2])
+    L = tree["layers"][li]
+    put = _mk_put_linear(tree, linear_method)
+    kind = parts[3]
+    if kind in ("input_layernorm", "pre_ff_layernorm"):
+        L.setdefault(kind, {})["weight"] = w
+        return
+    if kind == "self_attn":
+        put(L.setdefault("self_attn", {}), parts[4], w.T)
+        return
+    if kind == "mamba":
+        which = parts[4]
+        leaf = parts[-1]
+        node = L.setdefault("mamba", {})
+        if which in ("A_log", "D"):
+            node.setdefault(which, {})["weight"] = w
+        elif which == "conv1d":
+            if leaf == "weight":
+                node.setdefault("conv1d", {})["weight"] = w[:, 0, :]
+            else:
+                node.setdefault("conv1d", {})["bias"] = w
+        elif which in ("in_proj", "x_proj", "dt_proj", "out_proj"):
+            node.setdefault(which, {})[leaf] = (w.T if leaf == "weight"
+                                                else w)
+        elif which in ("dt_layernorm", "b_layernorm", "c_layernorm"):
+            node.setdefault(which, {})[leaf] = w
+        else:
+            logger.warning("unmapped Jamba mamba weight %s", name)
+        return
+    if kind == "feed_forward":
+        sub = parts[4]
+        if sub == "router":
+            L.setdefault("moe", {}).setdefault(
+                "router", {})["weight"] = w.T
+            return
+        if sub == "experts":
+            pending.setdefault(li, {}).setdefault(
+                parts[6], {})[int(parts[5])] = w.T
+            return
+        put(L.setdefault("mlp", {}), sub, w.T)
+        return
+    logger.warning("unmapped Jamba weight %s", name)
+
+
 def _load_gptj_weight(tree, cfg, shapes, linear_method, name, w):
     """GPT-J naming (reference models/gpt_j.py): transformer.h.N.*."""
     put = _mk_put_linear(tree, linear_method)
@@ -721,10 +782,15 @@ def load_hf(model, mesh: Mesh, model_dir: str,
             "layers": [dict() for _ in range(cfg.encoder_layers)]}
         tree["embed_positions"] = {}
     is_mamba = model.__class__.__name__ in ("MambaModel", "Mamba2Model")
+    is_jamba = model.__class__.__name__ == "JambaModel"
     for name, tensor in _iter_safetensors(model_dir):
         tensor = np.asarray(tensor)
         if is_mamba:
             _load_mamba_weight(tree, cfg, shapes, name, tensor)
+            continue
+        if is_jamba:
+            _load_jamba_weight(tree, cfg, shapes, linear_method, name,
+                               tensor, pending_experts)
             continue
         if is_whisper:
             _load_whisper_weight(tree, cfg, shapes, name, tensor)

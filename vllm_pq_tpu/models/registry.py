@@ -710,6 +710,28 @@ def _build_mamba(hf_config, config: EngineConfig, linear_method):
     return MambaModel(mc)
 
 
+@register_model("JambaForCausalLM")
+def _build_jamba(hf_config, config: EngineConfig, linear_method):
+    # Jamba hybrid attention/mamba + interleaved MoE (reference
+    # models/jamba.py, registry.py:71): per-layer cache kinds exercise
+    # the runner's hybrid allocation
+    from vllm_pq_tpu.models.jamba import JambaConfig, JambaModel
+    mc = (JambaConfig.from_hf_config(hf_config)
+          if hf_config is not None else JambaConfig())
+    mc.dtype = config.model.jax_dtype
+    if config.cache.enable_prefix_caching:
+        logger.warning("prefix caching is incompatible with hybrid "
+                       "recurrent layers; disabling")
+        config.cache.enable_prefix_caching = False
+    if config.scheduler.num_scheduler_steps > 1:
+        logger.warning("multi-step windows unsupported for hybrid "
+                       "models; forcing num_scheduler_steps=1")
+        config.scheduler.num_scheduler_steps = 1
+    ep = (config.parallel.enable_expert_parallel
+          if hasattr(config.parallel, "enable_expert_parallel") else False)
+    return JambaModel(mc, linear_method, expert_parallel=ep)
+
+
 @register_model("Mamba2ForCausalLM")
 def _build_mamba2(hf_config, config: EngineConfig, linear_method):
     # Mamba-2 / SSD (reference models/mamba2.py role): scalar-per-head

@@ -168,6 +168,8 @@ class ModelRunner:
         # SSM models (mamba) carry per-row recurrent f32 states instead
         # of a paged pool.
         self.is_ssm = getattr(model, "is_ssm", False)
+        # hybrid attention/SSM models (Jamba): per-layer cache kinds
+        self.cache_kinds = getattr(model, "cache_kinds", None)
         if self.is_ssm:
             kv_shape = model.state_shape(self.max_num_reqs)
             kv_dtype = jnp.float32
@@ -178,6 +180,9 @@ class ModelRunner:
                         else jnp.float32)
         self._kv_alloc = (kv_shape, kv_dtype)
         self.kv_spec = model.kv_cache_spec()
+        if self.cache_kinds:
+            self._ssm_alloc = model.state_shape(self.max_num_reqs)
+            self._ssm_spec = model.ssm_state_spec()
         self.pp = config.parallel.pipeline_parallel_size
         # int8 KV cache (role of reference cache_dtype=fp8,
         # config.py:1057): int8 pages + per-(token, head) f32 scales,
@@ -187,6 +192,7 @@ class ModelRunner:
                          and not self.is_ssm and len(kv_shape) == 4
                          and not getattr(model, "is_encoder_decoder",
                                          False)
+                         and self.cache_kinds is None
                          and self.pp == 1)
         if config.cache.cache_dtype == "int8" and not self.kv_quant:
             logger.warning("kv-cache-dtype int8 unsupported for this "
@@ -203,8 +209,8 @@ class ModelRunner:
         if self.pp > 1:
             self._init_pp(kv_shape, kv_dtype)
         else:
-            self.kv_caches = [self._alloc_kv_layer()
-                              for _ in range(model.cfg.num_hidden_layers)]
+            self.kv_caches = [self._alloc_kv_layer(li)
+                              for li in range(model.cfg.num_hidden_layers)]
         bytes_per = (1 + 4 / kv_shape[-1] if self.kv_quant
                      else (2 if kv_dtype == jnp.bfloat16 else 4))
         logger.info("KV cache: %d pages x %s x %d layers (%s, %.2f GiB "
@@ -552,10 +558,10 @@ class ModelRunner:
 
         sharded = _shard_map(
             fwd, mesh,
-            in_specs=(param_specs, [self.kv_layer_spec] * n_layers, P(None, None),
+            in_specs=(param_specs, self._layer_specs(n_layers), P(None, None),
                       input_specs,
                       self._lora_specs() if lora_on else None),
-            out_specs=(P(), [self.kv_layer_spec] * n_layers,
+            out_specs=(P(), self._layer_specs(n_layers),
                        (P(), P(), P()) if plp_k else None,
                        P() if medusa else None),
         )
@@ -703,7 +709,7 @@ class ModelRunner:
 
         sharded = _shard_map(
             fwd, self.mesh,
-            in_specs=(model.param_specs(), [self.kv_layer_spec] * n_layers,
+            in_specs=(model.param_specs(), self._layer_specs(n_layers),
                       P(None, None), {k: P() for k in attn_keys}),
             out_specs=P(),
         )
@@ -845,7 +851,7 @@ class ModelRunner:
         cache and the arena fits the budget."""
         import vllm_pq_tpu.envs as envs
         mode = envs.VPQ_WINDOW_ARENA
-        if mode == "0":
+        if mode == "0" or self.cache_kinds:
             return False
         kv_shape = self.model.kv_cache_shape(1, self.block_size, tp_size=1)
         if len(kv_shape) != 4:
@@ -922,10 +928,10 @@ class ModelRunner:
 
             build_sharded = _shard_map(
                 build_all, mesh,
-                in_specs=([self.kv_layer_spec] * n_layers, P()),
+                in_specs=(self._layer_specs(n_layers), P()),
                 out_specs=cache_specs)
         else:
-            cache_specs = [self.kv_layer_spec] * n_layers
+            cache_specs = self._layer_specs(n_layers)
             build_sharded = None
 
         def fwd(params, kv_caches, rope, inputs):
@@ -1089,9 +1095,9 @@ class ModelRunner:
 
         sharded = _shard_map(
             fold, mesh,
-            in_specs=([self.kv_layer_spec] * n_layers, ring_spec, ring_spec,
+            in_specs=(self._layer_specs(n_layers), ring_spec, ring_spec,
                       P()),
-            out_specs=[self.kv_layer_spec] * n_layers)
+            out_specs=self._layer_specs(n_layers))
         fn = jax.jit(sharded, donate_argnums=(0,))
         self._step_fns[key] = fn
         return fn
@@ -1148,13 +1154,17 @@ class ModelRunner:
                 for idx in range(len(spans)):
                     self._mm_cache.pop((rid, idx), None)
         moves = ib.condense()
-        if getattr(self, "is_ssm", False) and moves and self.kv_caches:
+        if moves and self.kv_caches and (getattr(self, "is_ssm", False)
+                                         or self.cache_kinds):
             # SSM recurrent states are ROW-indexed: mirror the
-            # persistent batch's compaction moves on device
+            # persistent batch's compaction moves on device (hybrid
+            # models: only the ssm-kind layers)
             srcs = np.asarray([m[0] for m in moves], np.int32)
             dsts = np.asarray([m[1] for m in moves], np.int32)
-            self.kv_caches = [c.at[dsts].set(c[srcs])
-                              for c in self.kv_caches]
+            self.kv_caches = [
+                c.at[dsts].set(c[srcs])
+                if (self.is_ssm or self.cache_kinds[li] == "ssm") else c
+                for li, c in enumerate(self.kv_caches)]
         if getattr(self.model, "is_encoder_decoder", False) and \
                 (so.finished_req_ids or so.scheduled_new_reqs):
             self._enc_dirty = True  # row layout changed
@@ -1890,8 +1900,20 @@ class ModelRunner:
     # ------------------------------------------------------------------
     # sleep mode (role of reference CuMemAllocator.sleep/wake_up)
 
-    def _alloc_kv_layer(self):
-        """One layer's device KV allocation (plain array or QuantKV)."""
+    def _layer_specs(self, n_layers: int):
+        """Per-layer cache spec list (hybrid models mix kinds)."""
+        if self.cache_kinds:
+            return [self.kv_layer_spec if k == "kv" else self._ssm_spec
+                    for k in self.cache_kinds[:n_layers]]
+        return self._layer_specs(n_layers)
+
+    def _alloc_kv_layer(self, li: int = 0):
+        """One layer's device KV allocation (plain array, QuantKV, or
+        an SSM recurrent state for hybrid layers)."""
+        if self.cache_kinds and self.cache_kinds[li] == "ssm":
+            return jax.device_put(
+                jnp.zeros(self._ssm_alloc, jnp.float32),
+                NamedSharding(self.mesh, self._ssm_spec))
         kv_shape, kv_dtype = self._kv_alloc
         if self.kv_quant:
             from vllm_pq_tpu.ops.attention import QuantKV
@@ -1931,8 +1953,8 @@ class ModelRunner:
                 jnp.zeros((n_layers,) + kv_shape, kv_dtype),
                 NamedSharding(self.mesh, self.kv_spec))
         else:
-            self.kv_caches = [self._alloc_kv_layer()
-                              for _ in range(
+            self.kv_caches = [self._alloc_kv_layer(li)
+                              for li in range(
                                   self.model.cfg.num_hidden_layers)]
         if getattr(self, "_asleep_level", 1) >= 2 and self.params is None:
             specs = self.model.param_specs()
