@@ -1905,7 +1905,7 @@ class ModelRunner:
         if self.cache_kinds:
             return [self.kv_layer_spec if k == "kv" else self._ssm_spec
                     for k in self.cache_kinds[:n_layers]]
-        return self._layer_specs(n_layers)
+        return [self.kv_layer_spec] * n_layers
 
     def _alloc_kv_layer(self, li: int = 0):
         """One layer's device KV allocation (plain array, QuantKV, or
