@@ -33,6 +33,9 @@ def test_encode_shapes_and_determinism(llm):
                        {"prompt_token_ids": [9, 10]}])
     assert len(embs) == 2
     assert embs[0].shape == (128,)
+    # guard against NaN poisoning (OOB page gather fills NaN on CPU;
+    # assert_allclose alone treats NaN == NaN as equal)
+    assert all(np.isfinite(e).all() for e in embs)
     embs2 = llm.encode([{"prompt_token_ids": [5, 6, 7, 8]}])
     np.testing.assert_allclose(embs[0], embs2[0], rtol=1e-5)
     # different prompts -> different embeddings

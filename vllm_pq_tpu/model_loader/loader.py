@@ -1013,6 +1013,19 @@ def load_hf(model, mesh: Mesh, model_dir: str,
         elif name == "lm_head.bias":
             if "lm_head_bias" in shapes:
                 tree["lm_head_bias"] = {"bias": tensor}
+        elif name.startswith("score."):
+            # decoder classification / reward heads (registry seq-cls
+            # builders; reference as_seqcls_model / qwen2_rm.py score).
+            # Plain head: score.weight; reward MLP: score.{0,2}.{w,b}
+            # (nn.Sequential indices).
+            parts = name.split(".")
+            if parts[1] in ("0", "2"):
+                key = "score_fc1" if parts[1] == "0" else "score_fc2"
+                leaf = parts[2]
+                tree.setdefault(key, {})[leaf] = (
+                    tensor.T if leaf == "weight" else tensor)
+            elif "score" in shapes:
+                tree.setdefault("score", {})["weight"] = tensor.T
         elif name in ("model.norm.weight", "model.final_layernorm.weight"):
             tree["norm"]["weight"] = tensor
         elif name in ("model.norm.bias", "model.final_layernorm.bias"):

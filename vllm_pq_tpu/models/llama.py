@@ -87,6 +87,10 @@ class LlamaConfig:
     residual_multiplier: float = 1.0  # Granite
     attention_multiplier: Optional[float] = None  # Granite sm_scale
     logit_scale: Optional[float] = None  # Cohere x, Granite 1/scaling
+    # sequence-classification / reward heads on a decoder LM (role of
+    # reference as_seqcls_model + models/qwen2_rm.py:63 score stack)
+    num_labels: int = 0               # >0: pooled classification head
+    score_style: str = "linear"       # "mlp": Linear->ReLU->Linear (RM)
 
     def __post_init__(self):
         if self.head_dim is None:
@@ -263,6 +267,17 @@ class LlamaModel:
             if cfg.lm_head_bias:
                 shapes["lm_head_bias"] = {"bias": ((cfg.vocab_size,),
                                                    cfg.dtype)}
+        if cfg.num_labels:
+            h = cfg.hidden_size
+            if cfg.score_style == "mlp":
+                shapes["score_fc1"] = {"weight": ((h, h), cfg.dtype),
+                                       "bias": ((h,), cfg.dtype)}
+                shapes["score_fc2"] = {
+                    "weight": ((h, cfg.num_labels), cfg.dtype),
+                    "bias": ((cfg.num_labels,), cfg.dtype)}
+            else:
+                shapes["score"] = {
+                    "weight": ((h, cfg.num_labels), cfg.dtype)}
         return shapes
 
     def param_specs(self) -> Dict:
@@ -303,6 +318,15 @@ class LlamaModel:
             specs["lm_head"] = self.lm_head_method.partition_specs("column")
             if cfg.lm_head_bias:
                 specs["lm_head_bias"] = {"bias": P(None)}
+        if cfg.num_labels:
+            # tiny head: replicate rather than shard
+            if cfg.score_style == "mlp":
+                specs["score_fc1"] = {"weight": P(None, None),
+                                      "bias": P(None)}
+                specs["score_fc2"] = {"weight": P(None, None),
+                                      "bias": P(None)}
+            else:
+                specs["score"] = {"weight": P(None, None)}
         return specs
 
     def lora_linear_defs(self):
@@ -642,3 +666,17 @@ class LlamaModel:
             c = self.cfg.final_logit_softcap
             logits = jnp.tanh(logits / c) * c
         return logits
+
+    def classify_pooled(self, params: Dict, pooled: jax.Array) -> jax.Array:
+        """Pooled hidden [H] -> classification/reward logits [num_labels]
+        (role of reference as_seqcls_model score head / qwen2_rm.py:63
+        Linear->ReLU->Linear stack)."""
+        cfg = self.cfg
+        p32 = pooled.astype(jnp.float32)
+        if cfg.score_style == "mlp":
+            fc1, fc2 = params["score_fc1"], params["score_fc2"]
+            h = jnp.dot(p32, fc1["weight"].astype(jnp.float32))
+            h = jax.nn.relu(h + fc1["bias"].astype(jnp.float32))
+            return (jnp.dot(h, fc2["weight"].astype(jnp.float32))
+                    + fc2["bias"].astype(jnp.float32))
+        return jnp.dot(p32, params["score"]["weight"].astype(jnp.float32))

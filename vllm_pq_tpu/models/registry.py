@@ -836,6 +836,61 @@ def _build_bert_classifier(hf_config, config: EngineConfig,
     return BertModel(mc)
 
 
+def _num_labels(hf_config, default=2):
+    nl = getattr(hf_config, "num_labels", None)
+    if nl:
+        return nl
+    id2label = getattr(hf_config, "id2label", None)
+    return len(id2label) if id2label else default
+
+
+@register_model("Qwen2ForSequenceClassification",
+                "LlamaForSequenceClassification",
+                "MistralForSequenceClassification",
+                "GemmaForSequenceClassification")
+def _build_decoder_seqcls(hf_config, config: EngineConfig, linear_method):
+    # Decoder LM + last-token-pooled linear score head (role of
+    # reference as_seqcls_model, registry.py:142 Qwen2ForSequence-
+    # Classification -> qwen2 + score)
+    from vllm_pq_tpu.models.llama import LlamaConfig, LlamaModel
+    mc = LlamaConfig.from_hf_config(hf_config)
+    arch = (getattr(hf_config, "architectures", None) or [""])[0]
+    if arch.startswith("Qwen2"):
+        mc.attention_bias = True
+    mc.num_labels = _num_labels(hf_config)
+    # classification checkpoints carry no lm_head; reuse the embedding
+    mc.tie_word_embeddings = True
+    mc.dtype = config.model.jax_dtype
+    return LlamaModel(mc, linear_method)
+
+
+@register_model("Qwen2ForRewardModel")
+def _build_qwen2_rm(hf_config, config: EngineConfig, linear_method):
+    # Qwen2 + Linear->ReLU->Linear reward head, 1 label (reference
+    # models/qwen2_rm.py:105)
+    from vllm_pq_tpu.models.llama import LlamaConfig, LlamaModel
+    mc = LlamaConfig.from_hf_config(hf_config)
+    mc.attention_bias = True
+    mc.num_labels = _num_labels(hf_config, default=1)
+    mc.score_style = "mlp"
+    mc.tie_word_embeddings = True
+    mc.dtype = config.model.jax_dtype
+    return LlamaModel(mc, linear_method)
+
+
+@register_model("Qwen2ForProcessRewardModel")
+def _build_qwen2_prm(hf_config, config: EngineConfig, linear_method):
+    # Process RM: 2-label MLP head (reference models/qwen2_rm.py:118)
+    from vllm_pq_tpu.models.llama import LlamaConfig, LlamaModel
+    mc = LlamaConfig.from_hf_config(hf_config)
+    mc.attention_bias = True
+    mc.num_labels = _num_labels(hf_config, default=2)
+    mc.score_style = "mlp"
+    mc.tie_word_embeddings = True
+    mc.dtype = config.model.jax_dtype
+    return LlamaModel(mc, linear_method)
+
+
 @register_model("Qwen2MoeForCausalLM")
 def _build_qwen2_moe(hf_config, config: EngineConfig, linear_method):
     from vllm_pq_tpu.models.qwen2_moe import Qwen2MoeConfig, Qwen2MoeModel

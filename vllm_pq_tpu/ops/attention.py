@@ -50,12 +50,15 @@ def quantize_kv_rows(kv: jax.Array):
 
 def _gather_pages(kv_pages, idx, out_dtype=jnp.bfloat16):
     """take() pages from a plain or quantized cache, dequantizing."""
+    # mode="clip": match TPU gather semantics everywhere. JAX's default
+    # out-of-bounds fill is NaN on CPU, which silently poisons the
+    # 0-weighted padded-page terms of the softmax-weighted sum.
     if isinstance(kv_pages, QuantKV):
-        pages = jnp.take(kv_pages.data, idx, axis=0)
-        scales = jnp.take(kv_pages.scale, idx, axis=0)
+        pages = jnp.take(kv_pages.data, idx, axis=0, mode="clip")
+        scales = jnp.take(kv_pages.scale, idx, axis=0, mode="clip")
         return (pages.astype(jnp.float32)
                 * scales[..., None]).astype(out_dtype)
-    return jnp.take(kv_pages, idx, axis=0)
+    return jnp.take(kv_pages, idx, axis=0, mode="clip")
 
 
 def write_kv_cache(kv_cache, k: jax.Array, v: jax.Array,

@@ -1833,8 +1833,10 @@ class ModelRunner:
             t_bucket = self._pick_bucket(t)
             n_pages = cdiv(t_bucket, self.block_size) + 1
             if getattr(self, "_enc_kv", None) is None or \
-                    self._enc_kv[0].shape[0] < n_pages:
-                kv_shape = model.kv_cache_shape(n_pages, self.block_size,
+                    self._enc_kv[0].shape[0] < n_pages + 1:
+                # page 0 is the padding page; data lives in 1..n_pages
+                kv_shape = model.kv_cache_shape(n_pages + 1,
+                                                self.block_size,
                                                 tp_size=1)
                 enc_dt = self._kv_alloc[1]
                 self._enc_kv = [
@@ -1854,6 +1856,21 @@ class ModelRunner:
                         jnp.asarray(slots), jnp.asarray([t], np.int32))
             results.append(np.asarray(jax.device_get(pooled)))
         return np.stack(results)
+
+    def classify(self, token_ids_list: List[List[int]],
+                 type_ids_list=None) -> np.ndarray:
+        """Sequence-classification / reward logits for decoder LMs with
+        a score head (role of reference as_seqcls_model pooling +
+        qwen2_rm.py score stack). Pooling is last-token, matching HF's
+        *ForSequenceClassification last non-pad position."""
+        if not getattr(self.model.cfg, "num_labels", 0):
+            raise ValueError(
+                "model has no classification head (num_labels == 0)")
+        if type_ids_list is not None and any(
+                t is not None for t in type_ids_list):
+            logger.warning("token_type_ids are ignored by decoder "
+                           "classification models")
+        return self.encode(token_ids_list, pool="last_score")
 
     def _get_encode_fn(self, t_bucket: int, pool: str):
         key = ("enc", t_bucket, pool)
@@ -1884,6 +1901,8 @@ class ModelRunner:
                     / jnp.maximum(n[0], 1)
             else:  # last token
                 pooled = hidden[n[0] - 1]
+            if pool == "last_score":
+                return model.classify_pooled(params, pooled)
             return pooled.astype(jnp.float32)
 
         sharded = _shard_map(
