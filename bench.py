@@ -263,6 +263,13 @@ def child_main(model_name):
     llm = LLM(model=d, load_format="dummy",
               dtype="bfloat16" if on_tpu else "float32",
               quantization="pq",
+              # 7B MHA: bf16 KV (5.5 GiB) + int8-resident weights
+              # (6 GiB) + HLO temps exceed the 15.75 GiB HBM; int8 KV
+              # halves the cache and is the capacity lever this config
+              # exists to exercise (reference cache_dtype=fp8 role)
+              kv_cache_dtype=("int8" if (on_tpu and
+                                         model_name == "llama2_7b")
+                              else "auto"),
               max_model_len=max_len, max_num_seqs=batch,
               max_num_batched_tokens=2048, block_size=16,
               gpu_memory_utilization=0.8,

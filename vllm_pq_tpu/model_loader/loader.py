@@ -419,6 +419,48 @@ def _load_mpt_weight(tree, cfg, shapes, linear_method, name, w):
         logger.warning("unmapped MPT weight %s", name)
 
 
+def _load_exaone_weight(tree, cfg, shapes, linear_method, name, w):
+    """EXAONE naming: llama math under a GPT-style tree —
+    transformer.h.N.attn.attention.{q,k,v,out}_proj, ln_1/ln_2,
+    mlp.c_fc_0 (gate) / c_fc_1 (up) / c_proj (down) (reference
+    models/exaone.py:489 stacked-params mapping)."""
+    put = _mk_put_linear(tree, linear_method)
+    if name == "transformer.wte.weight":
+        tree["embed_tokens"]["weight"] = w
+        return
+    if name == "transformer.ln_f.weight":
+        tree["norm"]["weight"] = w
+        return
+    if name == "lm_head.weight":
+        if "lm_head" in shapes:
+            tree["lm_head"] = {"weight": w.T}
+        return
+    if not name.startswith("transformer.h."):
+        return
+    parts = name.split(".")
+    li = int(parts[2])
+    sub = ".".join(parts[3:-1])
+    leaf = parts[-1]
+    L = tree["layers"][li]
+    sub_map = {"attn.attention.q_proj": "q_proj",
+               "attn.attention.k_proj": "k_proj",
+               "attn.attention.v_proj": "v_proj",
+               "attn.attention.out_proj": "o_proj",
+               "mlp.c_fc_0": "gate_proj", "mlp.c_fc_1": "up_proj",
+               "mlp.c_proj": "down_proj"}
+    if sub == "ln_1":
+        L.setdefault("input_layernorm", {})[leaf] = w
+    elif sub == "ln_2":
+        L.setdefault("post_attention_layernorm", {})[leaf] = w
+    elif sub in sub_map:
+        if leaf == "bias":
+            L[sub_map[sub] + "_bias"] = {"bias": w}
+        else:
+            put(L, sub_map[sub], w.T)
+    else:
+        logger.warning("unmapped EXAONE weight %s", name)
+
+
 def _load_internlm2_weight(tree, cfg, shapes, linear_method, name, w):
     """InternLM2 naming: model.layers.N.attention.wqkv is grouped
     [kvh, rep+2, d, hidden] (reference models/internlm2.py)."""
@@ -768,7 +810,8 @@ def load_hf(model, mesh: Mesh, model_dir: str,
     fam_loaders = {"gptj": _load_gptj_weight, "bloom": _load_bloom_weight,
                    "mpt": _load_mpt_weight,
                    "internlm2": _load_internlm2_weight,
-                   "dbrx": _load_dbrx_weight}
+                   "dbrx": _load_dbrx_weight,
+                   "exaone": _load_exaone_weight}
     if fam == "qwen2_vl":
         nv = model.cfg.vision.depth
         tree["vision"] = {"patch_embed": {},

@@ -243,18 +243,102 @@ def _build_phi(hf_config, config: EngineConfig, linear_method):
     return LlamaModel(mc, linear_method)
 
 
-@register_model("StableLmForCausalLM")
+@register_model("StableLmForCausalLM", "StableLMEpochForCausalLM",
+                "StableLmEpochForCausalLM")
 def _build_stablelm(hf_config, config: EngineConfig, linear_method):
     # llama block with layernorm + partial rotary (reference
-    # models/stablelm.py)
+    # models/stablelm.py; the Epoch alias uses norm_eps / rope_pct
+    # config field names)
     from vllm_pq_tpu.models.llama import LlamaConfig, LlamaModel
     mc = (LlamaConfig.from_hf_config(hf_config) if hf_config is not None
           else LlamaConfig())
     mc.norm_type = "layernorm"
-    mc.rms_norm_eps = getattr(hf_config, "layer_norm_eps", 1e-5)
-    mc.partial_rotary_factor = getattr(hf_config, "partial_rotary_factor",
-                                       0.25)
+    mc.rms_norm_eps = getattr(hf_config, "layer_norm_eps",
+                              getattr(hf_config, "norm_eps", 1e-5))
+    mc.partial_rotary_factor = getattr(
+        hf_config, "partial_rotary_factor",
+        getattr(hf_config, "rope_pct", 0.25))
     mc.attention_bias = getattr(hf_config, "use_qkv_bias", False)
+    mc.dtype = config.model.jax_dtype
+    return LlamaModel(mc, linear_method)
+
+
+@register_model("OrionForCausalLM")
+def _build_orion(hf_config, config: EngineConfig, linear_method):
+    # Orion-14B: llama structure with biased LayerNorm in place of
+    # RMSNorm (reference models/orion.py:181 nn.LayerNorm with
+    # eps=config.rms_norm_eps)
+    from vllm_pq_tpu.models.llama import LlamaConfig, LlamaModel
+    mc = LlamaConfig.from_hf_config(hf_config)
+    mc.norm_type = "layernorm"
+    mc.norm_bias = True
+    mc.dtype = config.model.jax_dtype
+    return LlamaModel(mc, linear_method)
+
+
+@register_model("MiniCPMForCausalLM")
+def _build_minicpm(hf_config, config: EngineConfig, linear_method):
+    # MiniCPM: llama + mu-parametrization scalers — embeddings scaled by
+    # scale_emb, each residual branch by scale_depth/sqrt(L), logits by
+    # dim_model_base/hidden (reference models/minicpm.py:341,399,552)
+    import math
+
+    from vllm_pq_tpu.models.llama import LlamaConfig, LlamaModel
+    mc = LlamaConfig.from_hf_config(hf_config)
+    mc.embed_scale = getattr(hf_config, "scale_emb", 1.0)
+    if mc.embed_scale == 1.0:
+        mc.embed_scale = None
+    sd = getattr(hf_config, "scale_depth", 1.0)
+    mc.residual_multiplier = sd / math.sqrt(mc.num_hidden_layers)
+    dmb = getattr(hf_config, "dim_model_base", None)
+    if dmb:
+        mc.logit_scale = dmb / mc.hidden_size
+    mc.tie_word_embeddings = getattr(hf_config, "tie_word_embeddings",
+                                     True)
+    mc.dtype = config.model.jax_dtype
+    return LlamaModel(mc, linear_method)
+
+
+@register_model("HeliumForCausalLM")
+def _build_helium(hf_config, config: EngineConfig, linear_method):
+    # Kyutai Helium: llama math with INTERLEAVED (gptj-style) rotary
+    # (HF modeling_helium rotate_half stacks even/odd lanes),
+    # theta=100000
+    from vllm_pq_tpu.models.llama import LlamaConfig, LlamaModel
+    mc = LlamaConfig.from_hf_config(hf_config)
+    mc.rope_style = "gptj"
+    mc.dtype = config.model.jax_dtype
+    return LlamaModel(mc, linear_method)
+
+
+@register_model("ExaoneForCausalLM")
+def _build_exaone(hf_config, config: EngineConfig, linear_method):
+    # LG EXAONE: llama math under a GPT-style checkpoint tree
+    # (transformer.h.*.attn.attention.*, mlp.c_fc_0/c_fc_1/c_proj;
+    # reference models/exaone.py:489 stacked-params mapping)
+    from vllm_pq_tpu.models.llama import LlamaConfig, LlamaModel
+    h = getattr(hf_config, "hidden_size", 4096)
+    heads = getattr(hf_config, "num_attention_heads", 32)
+    mc = LlamaConfig(
+        vocab_size=hf_config.vocab_size,
+        hidden_size=h,
+        intermediate_size=getattr(hf_config, "intermediate_size", 4 * h),
+        num_hidden_layers=getattr(hf_config, "num_layers",
+                                  getattr(hf_config, "num_hidden_layers",
+                                          32)),
+        num_attention_heads=heads,
+        num_key_value_heads=getattr(hf_config, "num_key_value_heads",
+                                    heads),
+        rms_norm_eps=getattr(hf_config, "layer_norm_epsilon", 1e-5),
+        rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+        rope_scaling=getattr(hf_config, "rope_scaling", None),
+        max_position_embeddings=getattr(hf_config,
+                                        "max_position_embeddings", 4096),
+        tie_word_embeddings=getattr(hf_config, "tie_word_embeddings",
+                                    False),
+        hidden_act=getattr(hf_config, "activation_function", "silu"),
+    )
+    mc.hf_family = "exaone"
     mc.dtype = config.model.jax_dtype
     return LlamaModel(mc, linear_method)
 
