@@ -1117,9 +1117,36 @@ def load_hf(model, mesh: Mesh, model_dir: str,
             # quantized, path below.
             if is_moe and not is_deepseek:
                 L = tree["layers"][li]
-                if rest in ("block_sparse_moe.gate", "mlp.gate"):
+                if rest in ("block_sparse_moe.gate", "mlp.gate",
+                            "block_sparse_moe.router.layer"):
                     L.setdefault("moe", {}).setdefault(
                         "router", {})["weight"] = tensor.T
+                    continue
+                if rest == "block_sparse_moe.input_linear":
+                    # GraniteMoe fused expert stack [E, 2I, H]:
+                    # rows [gate; up] (HF GraniteMoeMoE chunk order)
+                    half = tensor.shape[1] // 2
+                    pend = pending_experts.setdefault(li, {})
+                    for e in range(tensor.shape[0]):
+                        pend.setdefault("gate_proj", {})[e] = \
+                            tensor[e, :half].T
+                        pend.setdefault("up_proj", {})[e] = \
+                            tensor[e, half:].T
+                    continue
+                if rest == "block_sparse_moe.output_linear":
+                    # [E, H, I] -> per-expert [I, H]
+                    pend = pending_experts.setdefault(li, {})
+                    for e in range(tensor.shape[0]):
+                        pend.setdefault("down_proj", {})[e] = tensor[e].T
+                    continue
+                if rest == "shared_mlp.input_linear":
+                    # GraniteMoeShared ungated shared expert [2I_s, H]
+                    half = tensor.shape[0] // 2
+                    L["shared_gate_proj"] = {"weight": tensor[:half].T}
+                    L["shared_up_proj"] = {"weight": tensor[half:].T}
+                    continue
+                if rest == "shared_mlp.output_linear":
+                    L["shared_down_proj"] = {"weight": tensor.T}
                     continue
                 if rest.startswith(("block_sparse_moe.experts.",
                                     "mlp.experts.")):

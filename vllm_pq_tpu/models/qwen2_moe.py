@@ -29,6 +29,10 @@ class Qwen2MoeConfig(LlamaConfig):
     decoder_sparse_step: int = 1
     mlp_only_layers: List[int] = field(default_factory=list)
     norm_topk_prob: bool = False
+    # shared-expert variants: Qwen2-MoE gates the shared expert with a
+    # per-token sigmoid; GraniteMoeShared adds it ungated; Qwen3-MoE and
+    # OLMoE have none (shared_expert_intermediate_size == 0)
+    shared_expert_gate: bool = True
 
     @classmethod
     def from_hf_config(cls, hf) -> "Qwen2MoeConfig":
@@ -86,14 +90,26 @@ class Qwen2MoeModel(LlamaModel):
                 lp[name] = self.linear_method.param_shapes(i, o, dt)
                 if cfg.attention_bias and name != "o_proj":
                     lp[name + "_bias"] = {"bias": ((o,), dt)}
+            if cfg.qk_norm == "head":   # Qwen3-MoE
+                lp["q_norm"] = {"weight": ((cfg.head_dim,), dt)}
+                lp["k_norm"] = {"weight": ((cfg.head_dim,), dt)}
+            elif cfg.qk_norm == "full":  # OLMoE
+                d = cfg.head_dim
+                lp["q_norm"] = {
+                    "weight": ((cfg.num_attention_heads * d,), dt)}
+                lp["k_norm"] = {
+                    "weight": ((cfg.num_key_value_heads * d,), dt)}
             if self.is_sparse(li):
                 lp["moe"] = self.moe.param_shapes(dt)
                 si = cfg.shared_expert_intermediate_size
                 h = cfg.hidden_size
-                lp["shared_gate_proj"] = {"weight": ((h, si), dt)}
-                lp["shared_up_proj"] = {"weight": ((h, si), dt)}
-                lp["shared_down_proj"] = {"weight": ((si, h), dt)}
-                lp["shared_expert_gate"] = {"weight": ((h, 1), dt)}
+                if si:
+                    lp["shared_gate_proj"] = {"weight": ((h, si), dt)}
+                    lp["shared_up_proj"] = {"weight": ((h, si), dt)}
+                    lp["shared_down_proj"] = {"weight": ((si, h), dt)}
+                    if cfg.shared_expert_gate:
+                        lp["shared_expert_gate"] = {"weight": ((h, 1),
+                                                               dt)}
             else:
                 for name, i, o, _k in self._dense_linear_defs():
                     lp[name] = self.linear_method.param_shapes(i, o, dt)
@@ -121,12 +137,21 @@ class Qwen2MoeModel(LlamaModel):
                 lp[name] = self.linear_method.partition_specs(kind)
                 if cfg.attention_bias and name != "o_proj":
                     lp[name + "_bias"] = {"bias": P(TP_AXIS)}
+            if cfg.qk_norm == "head":
+                lp["q_norm"] = {"weight": P(None)}
+                lp["k_norm"] = {"weight": P(None)}
+            elif cfg.qk_norm == "full":
+                lp["q_norm"] = {"weight": P(TP_AXIS)}
+                lp["k_norm"] = {"weight": P(TP_AXIS)}
             if self.is_sparse(li):
                 lp["moe"] = self.moe.partition_specs()
-                lp["shared_gate_proj"] = {"weight": P(None, TP_AXIS)}
-                lp["shared_up_proj"] = {"weight": P(None, TP_AXIS)}
-                lp["shared_down_proj"] = {"weight": P(TP_AXIS, None)}
-                lp["shared_expert_gate"] = {"weight": P(None, None)}
+                if cfg.shared_expert_intermediate_size:
+                    lp["shared_gate_proj"] = {"weight": P(None, TP_AXIS)}
+                    lp["shared_up_proj"] = {"weight": P(None, TP_AXIS)}
+                    lp["shared_down_proj"] = {"weight": P(TP_AXIS, None)}
+                    if cfg.shared_expert_gate:
+                        lp["shared_expert_gate"] = {
+                            "weight": P(None, None)}
             else:
                 for name, _i, _o, kind in self._dense_linear_defs():
                     lp[name] = self.linear_method.partition_specs(kind)
@@ -148,7 +173,10 @@ class Qwen2MoeModel(LlamaModel):
         if "moe" not in lp:
             return super()._mlp(lp, h, tp_axis, lora_layer, lora_md)
         out = self.moe(lp["moe"], h, tp_axis)
-        # shared expert: dense SwiGLU scaled by a per-token sigmoid gate
+        if "shared_gate_proj" not in lp:
+            return out
+        # shared expert: dense SwiGLU, scaled by a per-token sigmoid
+        # gate (Qwen2-MoE) or added ungated (GraniteMoeShared)
         mm = lambda n, x: jnp.dot(  # noqa: E731
             x, lp[n]["weight"],
             preferred_element_type=jnp.float32).astype(x.dtype)
@@ -157,6 +185,8 @@ class Qwen2MoeModel(LlamaModel):
                 * mm("shared_up_proj", h))
         if tp_axis:
             sh = jax.lax.psum(sh, tp_axis)
+        if "shared_expert_gate" not in lp:
+            return out + sh
         g = jax.nn.sigmoid(jnp.dot(
             h, lp["shared_expert_gate"]["weight"],
             preferred_element_type=jnp.float32))  # [T, 1]

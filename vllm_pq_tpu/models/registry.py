@@ -986,6 +986,75 @@ def _build_qwen2_moe(hf_config, config: EngineConfig, linear_method):
     return Qwen2MoeModel(mc, linear_method, expert_parallel=ep)
 
 
+@register_model("Qwen3MoeForCausalLM")
+def _build_qwen3_moe(hf_config, config: EngineConfig, linear_method):
+    # Qwen3-MoE: qwen2-moe grid minus the shared expert, plus Qwen3's
+    # per-head q/k RMS norms, no qkv bias (reference models/qwen3_moe.py)
+    from vllm_pq_tpu.models.qwen2_moe import Qwen2MoeConfig, Qwen2MoeModel
+    mc = Qwen2MoeConfig.from_hf_config(hf_config)
+    mc.shared_expert_intermediate_size = 0
+    mc.qk_norm = "head"
+    mc.attention_bias = False
+    mc.norm_topk_prob = getattr(hf_config, "norm_topk_prob", True)
+    mc.dtype = config.model.jax_dtype
+    ep = config.parallel.enable_expert_parallel
+    return Qwen2MoeModel(mc, linear_method, expert_parallel=ep)
+
+
+@register_model("OlmoeForCausalLM")
+def _build_olmoe(hf_config, config: EngineConfig, linear_method):
+    # OLMoE: llama attention + FULL-width q/k RMS norms (q over
+    # hidden_size, k over kvh*d — HF modeling_olmoe), MoE every layer,
+    # softmax-then-topk routing, no shared expert (reference
+    # models/olmoe.py)
+    from vllm_pq_tpu.models.qwen2_moe import Qwen2MoeConfig, Qwen2MoeModel
+    mc = Qwen2MoeConfig.from_hf_config(hf_config)
+    mc.num_experts = getattr(hf_config, "num_experts", 64)
+    mc.num_experts_per_tok = getattr(hf_config, "num_experts_per_tok", 8)
+    mc.moe_intermediate_size = getattr(hf_config, "intermediate_size",
+                                       1024)
+    mc.shared_expert_intermediate_size = 0
+    mc.norm_topk_prob = getattr(hf_config, "norm_topk_prob", False)
+    mc.qk_norm = "full"
+    mc.attention_bias = False
+    mc.dtype = config.model.jax_dtype
+    ep = config.parallel.enable_expert_parallel
+    return Qwen2MoeModel(mc, linear_method, expert_parallel=ep)
+
+
+@register_model("GraniteMoeForCausalLM", "GraniteMoeSharedForCausalLM")
+def _build_granite_moe(hf_config, config: EngineConfig, linear_method):
+    # IBM GraniteMoe: granite mu-param multipliers + MoE with fused
+    # input_linear/output_linear expert stacks; the Shared variant adds
+    # an UNGATED always-on shared SwiGLU (reference
+    # models/granitemoe.py, granitemoeshared.py)
+    from vllm_pq_tpu.models.qwen2_moe import Qwen2MoeConfig, Qwen2MoeModel
+    mc = Qwen2MoeConfig.from_hf_config(hf_config)
+    mc.num_experts = getattr(hf_config, "num_local_experts", 8)
+    mc.num_experts_per_tok = getattr(hf_config, "num_experts_per_tok", 2)
+    mc.moe_intermediate_size = getattr(hf_config, "intermediate_size",
+                                       mc.intermediate_size)
+    mc.shared_expert_intermediate_size = getattr(
+        hf_config, "shared_intermediate_size", 0) or 0
+    mc.shared_expert_gate = False
+    # HF GraniteMoeTopKGating softmaxes the top-k logits == our
+    # softmax-then-topk with renormalization
+    mc.norm_topk_prob = True
+    mc.embed_scale = getattr(hf_config, "embedding_multiplier", 1.0)
+    if mc.embed_scale == 1.0:
+        mc.embed_scale = None
+    mc.residual_multiplier = getattr(hf_config, "residual_multiplier",
+                                     1.0)
+    mc.attention_multiplier = getattr(hf_config, "attention_multiplier",
+                                      None)
+    ls = getattr(hf_config, "logits_scaling", 1.0)
+    mc.logit_scale = (1.0 / ls) if ls and ls != 1.0 else None
+    mc.hf_family = "granitemoe"
+    mc.dtype = config.model.jax_dtype
+    ep = config.parallel.enable_expert_parallel
+    return Qwen2MoeModel(mc, linear_method, expert_parallel=ep)
+
+
 @register_model("DeepseekV2ForCausalLM", "DeepseekV3ForCausalLM")
 def _build_deepseek(hf_config, config: EngineConfig, linear_method):
     from vllm_pq_tpu.models.deepseek import (DeepseekConfig,
