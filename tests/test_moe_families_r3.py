@@ -100,3 +100,23 @@ def test_granitemoe_shared_matches_hf(tmp_path):
     d = tmp_path / "granitemoeshared"
     hf.save_pretrained(d, safe_serialization=True)
     _compare(hf, _llm(d))
+
+
+def test_gemma3_matches_hf(tmp_path):
+    # (not MoE, but shares the golden harness) Gemma3: dual rope tables,
+    # gemma-style head qk-norms, 5:1 local:global window pattern
+    from transformers import Gemma3TextConfig, Gemma3ForCausalLM
+    cfg = Gemma3TextConfig(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=7, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=16,
+        max_position_embeddings=256, rope_theta=1_000_000.0,
+        rope_local_base_freq=10_000.0, sliding_window=16,
+        sliding_window_pattern=6, query_pre_attn_scalar=16,
+        tie_word_embeddings=True)
+    torch.manual_seed(4)
+    hf = Gemma3ForCausalLM(cfg).eval().float()
+    d = tmp_path / "gemma3"
+    hf.save_pretrained(d, safe_serialization=True)
+    # prompts longer than the sliding window exercise the local mask
+    _compare(hf, _llm(d), n_new=8, trials=2, seed=23)

@@ -54,6 +54,12 @@ class LlamaConfig:
     final_logit_softcap: Optional[float] = None
     attn_logit_softcap: Optional[float] = None
     query_pre_attn_scalar: Optional[float] = None
+    # Gemma3: local (sliding) layers use their own rope base frequency,
+    # and rope_scaling applies only to the global table
+    rope_local_theta: Optional[float] = None
+    # explicit per-layer window flags (True = sliding); overrides the
+    # pattern below when set (Gemma3 layer_types)
+    sliding_window_layers: Optional[tuple] = None
     # Gemma2: sliding window on every 2nd layer (pattern=2); None = all
     # layers follow `sliding_window` uniformly
     sliding_window_pattern: Optional[int] = None
@@ -230,7 +236,7 @@ class LlamaModel:
                 layer[name + "_bias"] = {"bias": ((o,), cfg.dtype)}
         for n in self._norm_names():
             layer[n] = self._norm_shape()
-        if cfg.qk_norm == "head":
+        if cfg.qk_norm in ("head", "head_gemma"):
             layer["q_norm"] = {"weight": ((cfg.head_dim,), cfg.dtype)}
             layer["k_norm"] = {"weight": ((cfg.head_dim,), cfg.dtype)}
         elif cfg.qk_norm == "head_ln":
@@ -294,7 +300,7 @@ class LlamaModel:
                     "bias": P(None) if kind == "row" else P(TP_AXIS)}
         for n in self._norm_names():
             layer[n] = dict(norm_spec)
-        if cfg.qk_norm == "head":
+        if cfg.qk_norm in ("head", "head_gemma"):
             layer["q_norm"] = {"weight": P(None)}
             layer["k_norm"] = {"weight": P(None)}
         elif cfg.qk_norm == "head_ln":
@@ -345,8 +351,15 @@ class LlamaModel:
     def rope_cache(self, dtype=jnp.float32) -> jax.Array:
         cfg = self.cfg
         rd = int(cfg.head_dim * cfg.partial_rotary_factor)
-        return build_rope_cache(cfg.max_position_embeddings, rd,
+        glob = build_rope_cache(cfg.max_position_embeddings, rd,
                                 cfg.rope_theta, cfg.rope_scaling, dtype)
+        if cfg.rope_local_theta is not None:
+            # Gemma3: [2, max_pos, rd] — row 0 global (scaled), row 1
+            # local (unscaled, its own base frequency)
+            local = build_rope_cache(cfg.max_position_embeddings, rd,
+                                     cfg.rope_local_theta, None, dtype)
+            return jnp.stack([glob, local])
+        return glob
 
     # -- forward (per-shard code under shard_map) ---------------------------
 
@@ -416,9 +429,12 @@ class LlamaModel:
         return x, new_caches
 
     def layer_window(self, li: int):
-        """Per-layer attention window (Gemma2 alternates sliding-window
-        and global layers)."""
+        """Per-layer attention window (Gemma2/Gemma3 alternate
+        sliding-window and global layers)."""
         cfg = self.cfg
+        if cfg.sliding_window_layers is not None:
+            return (cfg.sliding_window
+                    if cfg.sliding_window_layers[li] else None)
         if cfg.sliding_window_pattern:
             return (cfg.sliding_window
                     if (li % cfg.sliding_window_pattern
@@ -438,6 +454,10 @@ class LlamaModel:
         (parallel/pipeline.py)."""
         cfg = self.cfg
         d = cfg.head_dim
+        if cfg.rope_local_theta is not None:
+            # Gemma3 dual tables: local (sliding) layers use row 1
+            rope_cache = rope_cache[
+                1 if self.layer_window(li) is not None else 0]
         # self-attention (OLMo2 block_style norms branch OUTPUTS only)
         h = (x if cfg.block_style == "olmo2"
              else norm(x, lp["input_layernorm"]))
@@ -467,6 +487,12 @@ class LlamaModel:
             # Qwen3: per-head RMSNorm on head_dim before rope
             q = rms_norm(q, lp["q_norm"]["weight"], cfg.rms_norm_eps)
             k = rms_norm(k, lp["k_norm"]["weight"], cfg.rms_norm_eps)
+        elif cfg.qk_norm == "head_gemma":
+            # Gemma3: per-head RMSNorm with the (1 + w) gemma scaling
+            q = rms_norm(q, lp["q_norm"]["weight"].astype(jnp.float32)
+                         + 1.0, cfg.rms_norm_eps)
+            k = rms_norm(k, lp["k_norm"]["weight"].astype(jnp.float32)
+                         + 1.0, cfg.rms_norm_eps)
         elif cfg.qk_norm == "head_ln":
             # Cohere: per-head bias-free layernorm (weight [heads, d])
             def _hln(u, w):

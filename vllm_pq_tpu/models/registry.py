@@ -115,6 +115,43 @@ def _build_gemma2(hf_config, config: EngineConfig, linear_method):
     return LlamaModel(mc, linear_method)
 
 
+@register_model("Gemma3ForCausalLM", "Gemma3TextModel")
+def _build_gemma3(hf_config, config: EngineConfig, linear_method):
+    # Gemma3 text: gemma2 block + per-head gemma-style q/k norms, dual
+    # rope tables (global theta=1e6 with optional linear scaling; local
+    # sliding layers theta=rope_local_base_freq unscaled), 5:1
+    # local:global layer pattern, no attn softcap (reference
+    # models/gemma3.py)
+    from vllm_pq_tpu.models.llama import LlamaConfig, LlamaModel
+    mc = LlamaConfig.from_hf_config(hf_config)
+    mc.hidden_act = (getattr(hf_config, "hidden_activation", None)
+                     or "gelu_pytorch_tanh")
+    mc.embed_scale = mc.hidden_size ** 0.5
+    mc.gemma_norm = True
+    mc.tie_word_embeddings = getattr(hf_config, "tie_word_embeddings",
+                                     True)
+    mc.use_post_norms = True
+    mc.qk_norm = "head_gemma"
+    mc.query_pre_attn_scalar = getattr(hf_config,
+                                       "query_pre_attn_scalar", 256)
+    mc.final_logit_softcap = getattr(hf_config,
+                                     "final_logit_softcapping", None)
+    mc.attn_logit_softcap = getattr(hf_config,
+                                    "attn_logit_softcapping", None)
+    mc.rope_local_theta = getattr(hf_config, "rope_local_base_freq",
+                                  10000.0)
+    lt = getattr(hf_config, "layer_types", None)
+    if lt:
+        mc.sliding_window_layers = tuple(
+            t == "sliding_attention" for t in lt)
+    else:
+        mc.sliding_window_pattern = getattr(hf_config,
+                                            "sliding_window_pattern", 6)
+    mc.rms_norm_eps = getattr(hf_config, "rms_norm_eps", 1e-6)
+    mc.dtype = config.model.jax_dtype
+    return LlamaModel(mc, linear_method)
+
+
 @register_model("Phi3ForCausalLM")
 def _build_phi3(hf_config, config: EngineConfig, linear_method):
     # Phi-3 is llama-math with fused qkv/gate_up checkpoint tensors; the
