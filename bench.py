@@ -230,6 +230,10 @@ BENCH_PLANS = {
 
 
 def child_main(model_name):
+    # one compiled variant per step kind: kills the two ~5-minute
+    # mid-run window recompiles (pages-bucket growth) on a cold
+    # compile cache
+    os.environ.setdefault("VPQ_PAGES_FIXED", "1")
     if os.environ.get("VPQ_FORCE_CPU"):
         # the axon sitecustomize may have registered the tunnel backend
         # at interpreter start; undo it before any backend initializes

@@ -121,6 +121,25 @@ async def run(args):
     if args.output_json:
         with open(args.output_json, "w") as f:
             json.dump(summary, f)
+    return summary
+
+
+async def run_sweep(args):
+    """QPS sweep (role of the reference's nightly serving suite,
+    .buildkite/nightly-benchmarks/performance-benchmarks-
+    descriptions.md:20-29): one run per rate, including saturation
+    (inf), collecting p50/p99 under each load."""
+    rates = [float(r) for r in args.qps_sweep.split(",")]
+    table = {}
+    for rate in rates:
+        args.request_rate = rate if rate > 0 else float("inf")
+        label = "inf" if args.request_rate == float("inf") else str(rate)
+        print(f"=== request-rate {label} ===", flush=True)
+        table[label] = await run(args)
+    print(json.dumps({"sweep": table}, indent=2))
+    if args.output_json:
+        with open(args.output_json, "w") as f:
+            json.dump({"sweep": table}, f)
 
 
 def main():
@@ -133,8 +152,14 @@ def main():
                         default=float("inf"),
                         help="QPS (poisson arrivals); inf = all at once")
     parser.add_argument("--output-json", type=str, default=None)
+    parser.add_argument("--qps-sweep", type=str, default=None,
+                        help="comma list of rates (0 or 'inf' = "
+                             "saturation), e.g. '1,4,16,0'")
     args = parser.parse_args()
-    asyncio.run(run(args))
+    if args.qps_sweep:
+        asyncio.run(run_sweep(args))
+    else:
+        asyncio.run(run(args))
 
 
 if __name__ == "__main__":

@@ -223,3 +223,44 @@ def test_priority_scheduling():
     ids = [r.req_id for r in out.scheduled_new_reqs]
     # both fit, but the high-priority one is admitted first
     assert ids[0] == "high"
+
+
+def test_priority_force_preemption():
+    """A blocked higher-priority arrival force-preempts the worst
+    running request (reference V0 _schedule_priority_preemption,
+    core/scheduler.py:952)."""
+    from vllm_pq_tpu.config import CacheConfig, SchedulerConfig
+    from vllm_pq_tpu.core.scheduler import Scheduler
+    from vllm_pq_tpu.core.scheduler_output import ModelRunnerOutput
+    from vllm_pq_tpu.request import Request
+    from vllm_pq_tpu.sampling_params import SamplingParams
+
+    # max_num_seqs=2: seq slots are the contended resource
+    sched = Scheduler(SchedulerConfig(max_num_seqs=2,
+                                      max_num_batched_tokens=64,
+                                      max_model_len=64),
+                      CacheConfig(block_size=16,
+                                  enable_prefix_caching=False), 32)
+    sp = SamplingParams(max_tokens=8, ignore_eos=True)
+    lo1 = Request("lo1", list(range(8)), sp, priority=5, arrival_time=1.0)
+    lo2 = Request("lo2", list(range(8)), sp, priority=7, arrival_time=2.0)
+    sched.add_request(lo1)
+    sched.add_request(lo2)
+    out = sched.schedule()
+    ro = ModelRunnerOutput()
+    for r in out.scheduled_new_reqs:
+        ro.req_ids.append(r.req_id)
+        ro.sampled_token_ids[r.req_id] = [1]
+    sched.update_from_output(out, ro)
+    assert len(sched.running) == 2
+
+    hi = Request("hi", list(range(8)), sp, priority=0, arrival_time=3.0)
+    sched.add_request(hi)
+    out2 = sched.schedule()
+    # the worst-priority running request (lo2) was evicted; hi admitted
+    new_ids = [r.req_id for r in out2.scheduled_new_reqs]
+    assert "hi" in new_ids
+    running_ids = {r.request_id for r in sched.running}
+    assert "lo2" not in running_ids and "lo1" in running_ids
+    assert any(r.request_id == "lo2" for r in sched.waiting)
+    assert sched.num_preemptions == 1

@@ -223,12 +223,11 @@ class DeviceConfig:
     def resolve(self) -> str:
         if self.device != "auto":
             return self.device
-        import jax
-        try:
-            platform = jax.devices()[0].platform
-        except RuntimeError:
-            platform = "cpu"
-        return platform
+        # defer to the platform plugin layer (vllm_pq_tpu/platforms/),
+        # the role of reference vllm/platforms/__init__.py resolution
+        from vllm_pq_tpu.platforms import current_platform
+        plat = current_platform()
+        return "tpu" if plat.is_tpu() else plat.device_name
 
 
 @dataclass

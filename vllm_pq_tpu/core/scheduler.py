@@ -141,6 +141,8 @@ class Scheduler:
             self.waiting = deque(sorted(
                 self.waiting,
                 key=lambda r: (r.priority, r.arrival_time)))
+        if self._has_priority and self.waiting:
+            self._priority_preempt()
 
         # -- running requests first (decodes + in-flight chunked prefills)
         req_index = 0
@@ -394,6 +396,7 @@ class Scheduler:
             if (r.num_computed_tokens != r.num_tokens - 1
                     or r.spec_token_ids
                     or sp.logprobs is not None
+                    or sp.logits_processors
                     or r.needs_constraints
                     or getattr(r, "lora_slot", 0)
                     or sp.presence_penalty != 0
@@ -430,6 +433,37 @@ class Scheduler:
         output.finished_req_ids = self.finished_req_ids
         self.finished_req_ids = set()
         return output
+
+    def _priority_preempt(self) -> None:
+        """Force-preempt running work for a blocked higher-priority
+        waiting request (role of reference V0
+        _schedule_priority_preemption, core/scheduler.py:952): while a
+        priority inversion exists — the head-of-waiting outranks the
+        worst running request — and the head cannot be admitted (seq
+        slots full or KV pool too tight), evict the worst-priority
+        running request back to waiting."""
+        head = self.waiting[0]
+        hk = (head.priority, head.arrival_time)
+        bs = self.kv_cache_manager.block_size
+        chunk = min(head.num_tokens, self.max_num_batched_tokens)
+        blocks_needed = (chunk + bs - 1) // bs
+        while self.running:
+            victim = max(self.running,
+                         key=lambda r: (r.priority, r.arrival_time))
+            if (victim.priority, victim.arrival_time) <= hk:
+                return  # no inversion: nothing outranked by the head
+            can_admit = (
+                len(self.running) < self.max_num_seqs
+                and (self.kv_cache_manager.block_pool
+                     .get_num_free_blocks() >= blocks_needed))
+            if can_admit:
+                return
+            self.running.remove(victim)
+            self._preempt(victim)
+            # _preempt put the victim at the FRONT of waiting; keep the
+            # high-priority head first
+            self.waiting.remove(victim)
+            self.waiting.append(victim)
 
     def _preempt(self, request: Request) -> None:
         if request.mm_inputs:
@@ -489,6 +523,21 @@ class Scheduler:
                 continue
 
             sampled = runner_output.sampled_token_ids.get(req_id, [])
+            raw = runner_output.raw_logits.get(req_id)
+            if raw is not None and sampled:
+                # per-request logits processors: apply the callables to
+                # the full logits row on host and re-sample, overriding
+                # the in-graph token (reference sampling_params
+                # logits_processors; V0 sampler host application). Sync
+                # single-step composition guarantees the next step's
+                # input token comes from this host state.
+                from vllm_pq_tpu.layers.host_sample import (
+                    apply_logits_processors, host_sample)
+                logits = apply_logits_processors(
+                    request.sampling_params.logits_processors,
+                    request.prompt_token_ids,
+                    list(request.output_token_ids), raw)
+                sampled = [host_sample(logits, request)]
             new_token_ids: List[int] = []
             finish = None
             for tok in sampled:

@@ -95,3 +95,6 @@ class ModelRunnerOutput:
     prompt_logprobs: Dict[str, object] = field(default_factory=dict)
     # req_id -> medusa head proposals for the NEXT step (in-graph drafts)
     draft_token_ids: Dict[str, List[int]] = field(default_factory=dict)
+    # req_id -> full f32[vocab] logits row (rows carrying per-request
+    # logits processors; host re-samples and overrides the token)
+    raw_logits: Dict[str, object] = field(default_factory=dict)

@@ -234,6 +234,7 @@ class EngineCore:
         # fall back to a sync step for this iteration
         needs_sync = any(
             r.needs_constraints or r.spec_token_ids
+            or r.sampling_params.logits_processors
             or r.sampling_params.presence_penalty != 0
             or r.sampling_params.frequency_penalty != 0
             or r.sampling_params.repetition_penalty != 1.0
@@ -382,6 +383,7 @@ class EngineCore:
                 continue  # still prefilling
             sp = req.sampling_params
             if (sp.logprobs is not None
+                    or sp.logits_processors
                     or sp.presence_penalty != 0
                     or sp.frequency_penalty != 0
                     or sp.repetition_penalty != 1.0
@@ -402,6 +404,7 @@ class EngineCore:
                 continue  # still prefilling
             sp = req.sampling_params
             if (sp.logprobs is not None
+                    or sp.logits_processors
                     or sp.presence_penalty != 0
                     or sp.frequency_penalty != 0
                     or sp.repetition_penalty != 1.0

@@ -60,8 +60,11 @@ class Processor:
                     vc = raw.get("vision_config", {})
                     size = vc.get("image_size", 336)
                     patches = (size // vc.get("patch_size", 14)) ** 2
-                    if raw.get("vision_feature_select_strategy",
-                               "default") != "default":
+                    # pixtral towers have no CLS row: "full" selects
+                    # exactly the patch rows
+                    if (vc.get("model_type") != "pixtral"
+                            and raw.get("vision_feature_select_strategy",
+                                        "default") != "default"):
                         patches += 1
                     spec = (raw.get("image_token_index", 32000), patches,
                             ImageProcessor.from_pretrained(

@@ -67,6 +67,12 @@ environment_variables: Dict[str, Callable[[], Any]] = {
                                                "auto"),
     "VPQ_WINDOW_ARENA_MAX_GB": lambda: float(os.environ.get(
         "VPQ_WINDOW_ARENA_MAX_GB", "6")),
+    # pin page-table buckets to max_model_len: ONE compiled variant per
+    # step kind instead of one per pow-2 context bucket. Slightly more
+    # gather work on short contexts; removes mid-run compile stalls
+    # (each window variant costs minutes through the remote compiler).
+    "VPQ_PAGES_FIXED": lambda: os.environ.get(
+        "VPQ_PAGES_FIXED", "0") not in ("0", "false", ""),
 }
 
 

@@ -155,6 +155,30 @@ def _load_llava_vision(tower: dict, model, rest: str,
         logger.warning("unmapped LLaVA vision weight %s", rest)
 
 
+def _load_pixtral_vision(tower: dict, model, rest: str,
+                         tensor: np.ndarray) -> None:
+    """Map HF Pixtral vision names into the tower subtree
+    (multimodal/pixtral.py layout); bias-free conv becomes a matmul."""
+    if rest == "patch_conv.weight":
+        h = tensor.shape[0]
+        tower["patch_embedding"] = {
+            "weight": tensor.transpose(2, 3, 1, 0).reshape(-1, h)}
+    elif rest == "ln_pre.weight":
+        tower["ln_pre"] = {"weight": tensor}
+    elif rest.startswith("transformer.layers."):
+        parts = rest.split(".")
+        li = int(parts[2])
+        if li >= len(tower["layers"]):
+            return
+        sub = parts[-2]  # q_proj / attention_norm / gate_proj / ...
+        leaf = parts[-1]
+        d = tower["layers"][li].setdefault(sub, {})
+        d[leaf] = tensor.T if (leaf == "weight"
+                               and "norm" not in sub) else tensor
+    else:
+        logger.warning("unmapped Pixtral vision weight %s", rest)
+
+
 def _load_falcon_weight(tree, cfg, shapes, linear_method, name,
                         tensor) -> None:
     from vllm_pq_tpu.quantization.methods import UnquantizedLinearMethod
@@ -889,6 +913,12 @@ def load_hf(model, mesh: Mesh, model_dir: str,
                 _load_llava_vision(tree["vision"]["tower"], model,
                                    name.split("vision_model.", 1)[1],
                                    tensor)
+                continue
+            elif name.startswith("vision_tower."):
+                # pixtral tower: names sit directly under vision_tower.
+                _load_pixtral_vision(tree["vision"]["tower"], model,
+                                     name.split("vision_tower.", 1)[1],
+                                     tensor)
                 continue
             elif name.startswith("multi_modal_projector."):
                 parts = name.split(".")

@@ -23,18 +23,21 @@ from vllm_pq_tpu.quantization.methods import LinearMethod
 
 class LlavaModel(LlamaModel):
 
-    def __init__(self, cfg: LlamaConfig, vision_cfg: CLIPVisionConfig,
+    def __init__(self, cfg: LlamaConfig, vision_cfg,
                  linear_method: LinearMethod,
                  image_token_index: int = 32000,
                  vision_feature_layer: int = -2,
                  vision_feature_select_strategy: str = "default",
-                 projector_act: str = "gelu"):
+                 projector_act: str = "gelu",
+                 tower=None):
         super().__init__(cfg, linear_method)
         self.vision_cfg = vision_cfg
         self.image_token_index = image_token_index
         self.select_strategy = vision_feature_select_strategy
-        self.vision_tower = CLIPVisionTower(vision_cfg,
-                                            vision_feature_layer)
+        # tower is pluggable: CLIP (classic LLaVA) or Pixtral (RoPE-2D
+        # ViT; reference models/pixtral.py PixtralHFVisionModel)
+        self.vision_tower = tower or CLIPVisionTower(
+            vision_cfg, vision_feature_layer)
         self.projector = MultiModalProjector(vision_cfg.hidden_size,
                                              cfg.hidden_size,
                                              projector_act)
@@ -42,6 +45,8 @@ class LlavaModel(LlamaModel):
     @property
     def num_image_tokens(self) -> int:
         n = self.vision_cfg.num_patches
+        if not isinstance(self.vision_tower, CLIPVisionTower):
+            return n  # pixtral: no CLS token
         return n if self.select_strategy == "default" else n + 1
 
     def param_shapes(self) -> Dict:
@@ -64,6 +69,7 @@ class LlavaModel(LlamaModel):
         """pixels [B, 3, H, W] -> projected features
         [B, num_image_tokens, text_hidden] (jit once per pixel shape)."""
         feats = self.vision_tower(vision_params["tower"], pixels)
-        if self.select_strategy == "default":
-            feats = feats[:, 1:]  # drop CLS
+        if (isinstance(self.vision_tower, CLIPVisionTower)
+                and self.select_strategy == "default"):
+            feats = feats[:, 1:]  # drop CLS (pixtral towers have none)
         return self.projector(vision_params["projector"], feats)

@@ -223,6 +223,23 @@ def _build_llava(hf_config, config: EngineConfig, linear_method):
     vc = ns(getattr(hf_config, "vision_config", None))
     mc = LlamaConfig.from_hf_config(tc) if tc is not None else LlamaConfig()
     mc.dtype = config.model.jax_dtype
+    tower = None
+    if vc is not None and getattr(vc, "model_type", "") == "pixtral":
+        # Pixtral-12B ships as a LLaVA composite with a RoPE-2D ViT
+        # (reference models/pixtral.py PixtralHFVisionModel)
+        from vllm_pq_tpu.multimodal.pixtral import (PixtralVisionConfig,
+                                                    PixtralVisionTower)
+        vcfg = PixtralVisionConfig.from_hf(vc)
+        fl = getattr(hf_config, "vision_feature_layer", -1)
+        tower = PixtralVisionTower(vcfg, fl if fl is not None else -1)
+        return LlavaModel(
+            mc, vcfg, linear_method,
+            image_token_index=getattr(hf_config, "image_token_index",
+                                      10),
+            vision_feature_select_strategy="full",
+            projector_act=getattr(hf_config, "projector_hidden_act",
+                                  "gelu"),
+            tower=tower)
     vcfg = (CLIPVisionConfig.from_hf(vc) if vc is not None
             else CLIPVisionConfig())
     return LlavaModel(

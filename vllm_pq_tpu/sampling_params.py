@@ -71,6 +71,13 @@ class SamplingParams:
     output_kind: RequestOutputKind = RequestOutputKind.CUMULATIVE
     logit_bias: Optional[Dict[int, float]] = None
     allowed_token_ids: Optional[List[int]] = None
+    # per-request logits processors (reference sampling_params.py
+    # logits_processors): arbitrary host callables
+    # ``(output_token_ids, logits) -> logits`` or
+    # ``(prompt_token_ids, output_token_ids, logits) -> logits``.
+    # Rows carrying processors are sampled ON HOST from the full logits
+    # row (sync single-step composition, like constrained requests).
+    logits_processors: Optional[List[Any]] = None
     guided_decoding: Optional[GuidedDecodingParams] = None
     extra_args: Dict[str, Any] = field(default_factory=dict)
 

@@ -58,6 +58,9 @@ class InputBatch:
         self.penalty_reqs: set = set()
         self.logprobs_reqs: Dict[str, int] = {}
         self.prompt_logprobs_reqs: Dict[str, int] = {}
+        # rows whose full logits must be shipped to host (per-request
+        # logits processors)
+        self.logits_procs_reqs: Dict[str, list] = {}
 
     @property
     def all_greedy(self) -> bool:
@@ -112,6 +115,8 @@ class InputBatch:
             self.penalty_reqs.add(rid)
         if sp.logprobs is not None:
             self.logprobs_reqs[rid] = max(1, sp.logprobs)
+        if sp.logits_processors:
+            self.logits_procs_reqs[rid] = sp.logits_processors
         if sp.prompt_logprobs is not None:
             self.prompt_logprobs_reqs[rid] = max(1, sp.prompt_logprobs)
         return idx
@@ -160,6 +165,7 @@ class InputBatch:
         self.random_reqs.discard(req_id)
         self.penalty_reqs.discard(req_id)
         self.logprobs_reqs.pop(req_id, None)
+        self.logits_procs_reqs.pop(req_id, None)
         self.prompt_logprobs_reqs.pop(req_id, None)
         return idx
 

@@ -329,7 +329,7 @@ class ModelRunner:
             f = lay.unpack(packed)
             logits, new_kv = sharded(params, kv, rope, mb_inputs,
                                      f["logits_indices"])
-            toks, gens, lp = self._sample_tail(
+            toks, gens, lp, _ = self._sample_tail(
                 f, logits, step_key, greedy=greedy,
                 num_logprobs=num_logprobs, constrained=constrained,
                 penalized=penalized, spec_k=0,
@@ -431,7 +431,7 @@ class ModelRunner:
                 except Exception:
                     pass
         return ("step", toks, gens, lp, row_req_ids, num_logprobs,
-                None, {})
+                None, {}, None, None, {})
 
     # ------------------------------------------------------------------
     # packed-buffer plumbing
@@ -501,7 +501,8 @@ class ModelRunner:
     def _build_step(self, t_bucket: int, greedy: bool, num_logprobs: int,
                     constrained: bool = False, decode_only: bool = False,
                     plp_k: int = 0, penalized: bool = False,
-                    decode_pages: int = 0, mm: bool = False):
+                    decode_pages: int = 0, mm: bool = False,
+                    raw_n: int = 0):
         model = self.model
         mesh = self.mesh
         lay = self._layout(t_bucket, constrained, penalized)
@@ -573,6 +574,9 @@ class ModelRunner:
                  prev_toks, *mm_arrays):
             if medusa:  # head weights ride as the leading extra array
                 medusa_w, *mm_arrays = mm_arrays
+            raw_rows = None
+            if raw_n:   # host-logits rows ride after the medusa weights
+                raw_rows, *mm_arrays = mm_arrays
             f = lay.unpack(packed)
             inputs = {k: f[k] for k in packed_keys}
             if plp_k:
@@ -598,11 +602,11 @@ class ModelRunner:
                 lora["group_sizes"] = f["lora_groups"]
             logits, new_caches, plp, sel = sharded(params, kv_caches,
                                                    rope, inputs, lora)
-            toks, gens, lp = self._sample_tail(
+            toks, gens, lp, raw = self._sample_tail(
                 f, logits, step_key, greedy=greedy,
                 num_logprobs=num_logprobs, constrained=constrained,
                 penalized=penalized, spec_k=spec_k,
-                mask_words=mask_words)
+                mask_words=mask_words, raw_rows=raw_rows)
             drafts = None
             if medusa:
                 # condition each head on the hidden state at the LAST
@@ -614,13 +618,14 @@ class ModelRunner:
                         else jnp.zeros((s,), jnp.int32))
                 h_last = hsel[jnp.arange(s), pick]
                 drafts = medusa_drafts(medusa_w, h_last)
-            return toks, gens, lp, plp, drafts, new_caches
+            return toks, gens, lp, plp, drafts, raw, new_caches
 
         return jax.jit(step, donate_argnums=(1,))
 
     def _sample_tail(self, f, logits, step_key, *, greedy: bool,
                      num_logprobs: int, constrained: bool,
-                     penalized: bool, spec_k: int, mask_words: int):
+                     penalized: bool, spec_k: int, mask_words: int,
+                     raw_rows=None):
         """Constraint masking + sampling state + (spec-verify or)
         sampling + logprobs — traced inside a step jit; shared by the
         dense and pipeline-parallel step functions."""
@@ -690,7 +695,16 @@ class ModelRunner:
             lp = compute_logprobs(lp_src, lp_tok, num_logprobs)
         else:
             lp = None
-        return toks, gens, lp
+        raw = None
+        if raw_rows is not None:
+            # full post-constraint logits for host-side per-request
+            # logits processors (reference sampling_params
+            # logits_processors semantics; the host re-samples and
+            # overrides the in-graph token)
+            base = (logits.reshape(s, k1, vocab)[:, 0] if spec_k
+                    else logits)
+            raw = base[raw_rows].astype(jnp.float32)
+        return toks, gens, lp, raw
 
     def debug_forward(self, inputs: Dict[str, jax.Array]):
         """Non-donating forward returning logits — tests/debug only."""
@@ -720,14 +734,15 @@ class ModelRunner:
     def _get_step(self, t_bucket: int, greedy: bool, num_logprobs: int,
                   constrained: bool = False, decode_only: bool = False,
                   plp_k: int = 0, penalized: bool = False,
-                  decode_pages: int = 0, mm: bool = False):
+                  decode_pages: int = 0, mm: bool = False,
+                  raw_n: int = 0):
         key = (t_bucket, greedy, num_logprobs, constrained, decode_only,
-               plp_k, penalized, decode_pages, mm)
+               plp_k, penalized, decode_pages, mm, raw_n)
         fn = self._step_fns.get(key)
         if fn is None:
             fn = self._build_step(t_bucket, greedy, num_logprobs,
                                   constrained, decode_only, plp_k,
-                                  penalized, decode_pages, mm)
+                                  penalized, decode_pages, mm, raw_n)
             self._step_fns[key] = fn
         return fn
 
@@ -1514,6 +1529,9 @@ class ModelRunner:
         pow-2 bucketed pages covering the longest sequence this step
         (each bucket is one compiled step variant)."""
         from vllm_pq_tpu.utils import cdiv
+        import vllm_pq_tpu.envs as envs
+        if envs.VPQ_PAGES_FIXED:
+            return self.max_blocks_per_req
         need = max(1, cdiv(max_kv_len, self.block_size))
         b = 8
         while b < need:
@@ -1633,9 +1651,23 @@ class ModelRunner:
         decode_pages = (self._pages_bucket(
             getattr(self, "_last_max_kv_len", 1)) if decode_only else 0)
         mm_step = self._mm_step
+        # rows whose full logits ship to host (per-request logits
+        # processors): pad the row list to a small power-of-2 bucket so
+        # the variant count stays bounded
+        raw_map = {}
+        raw_n = 0
+        if ib.logits_procs_reqs:
+            rows = [row for row, rid in enumerate(row_req_ids)
+                    if rid is not None and rid in ib.logits_procs_reqs]
+            if rows:
+                raw_n = 4
+                while raw_n < len(rows):
+                    raw_n *= 2
+                raw_map = {row_req_ids[r]: i for i, r in enumerate(rows)}
         fn = self._get_step(t_bucket, ib.all_greedy, num_logprobs,
                             constrained, decode_only, plp_k, penalized,
-                            decode_pages, mm=mm_step is not None)
+                            decode_pages, mm=mm_step is not None,
+                            raw_n=raw_n)
         self._step_count += 1
         step_key = jax.random.fold_in(self._rng_key, self._step_count)
 
@@ -1650,9 +1682,14 @@ class ModelRunner:
                    if mm_step is not None else ())
         if getattr(self.model, "is_encoder_decoder", False):
             mm_args = mm_args + self._encdec_buffers()
+        if raw_n:
+            rows_arr = np.zeros(raw_n, np.int32)
+            for rid, i in raw_map.items():
+                rows_arr[i] = row_req_ids.index(rid)
+            mm_args = (jnp.asarray(rows_arr),) + mm_args
         if self.medusa_heads is not None:
             mm_args = (self.medusa_heads,) + mm_args
-        toks, gens, lp, plp, drafts, self.kv_caches = fn(
+        toks, gens, lp, plp, drafts, raw, self.kv_caches = fn(
             self.params, self.kv_caches, self.rope_cache, packed, step_key,
             lora_w, self._prev_toks_or_zeros(), *mm_args)
 
@@ -1663,14 +1700,14 @@ class ModelRunner:
                              if rid is not None}
 
         # start the device->host copies before doing host-side work
-        for a in (toks, gens, drafts) + (tuple(lp) if lp else ()):
+        for a in (toks, gens, drafts, raw) + (tuple(lp) if lp else ()):
             if a is not None:
                 try:
                     a.copy_to_host_async()
                 except Exception:
                     pass
         return ("step", toks, gens, lp, row_req_ids, num_logprobs,
-                plp, plp_rows, drafts)
+                plp, plp_rows, drafts, raw, raw_map)
 
     def _pack_plp_targets(self, so, buf, t_bucket, constrained,
                           penalized=False):
@@ -1716,7 +1753,7 @@ class ModelRunner:
         if handle[0] == "ms":
             return self._fetch_multistep(handle[1])
         (_, toks, gens, lp, row_req_ids, num_logprobs, plp, plp_rows,
-         drafts) = handle
+         drafts, raw, raw_map) = handle
         ib = self.input_batch
         if plp is not None and plp_rows:
             pi = np.asarray(jax.device_get(plp[0]))
@@ -1753,6 +1790,10 @@ class ModelRunner:
             if drafts_np is not None:
                 out.draft_token_ids[rid] = [int(t)
                                             for t in drafts_np[row]]
+        if raw is not None and raw_map:
+            raw_np = np.asarray(jax.device_get(raw))
+            for rid, i in raw_map.items():
+                out.raw_logits[rid] = raw_np[i]
         return out
 
     def enable_medusa(self, heads) -> None:

@@ -22,24 +22,9 @@ from vllm_pq_tpu.worker.runner import ModelRunner
 
 logger = init_logger(__name__)
 
-# conservative per-device HBM when the runtime doesn't report it
-_DEFAULT_HBM = {
-    "tpu": 16 * 2**30,   # v5e
-    "cpu": 4 * 2**30,
-    "axon": 16 * 2**30,
-}
-
-
 def _setup_compile_cache() -> None:
-    path = envs.VPQ_XLA_CACHE_PATH
-    if path:
-        try:
-            os.makedirs(path, exist_ok=True)
-            jax.config.update("jax_compilation_cache_dir", path)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                              1.0)
-        except Exception as e:  # pragma: no cover
-            logger.warning("compile cache disabled: %s", e)
+    from vllm_pq_tpu.platforms import current_platform
+    current_platform().setup_compile_cache(envs.VPQ_XLA_CACHE_PATH)
 
 
 class Worker:
@@ -107,7 +92,8 @@ class Worker:
                 return stats["bytes_limit"], stats.get("bytes_in_use", 0)
         except Exception:
             pass
-        total = _DEFAULT_HBM.get(self.platform, 8 * 2**30)
+        from vllm_pq_tpu.platforms import current_platform
+        total = current_platform().total_memory_bytes()
         used = self._param_bytes() // max(
             self.config.parallel.world_size, 1)
         return total, used
