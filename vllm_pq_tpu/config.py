@@ -94,6 +94,9 @@ class ParallelConfig:
     # (reference VLLM_ENABLE_V1_MULTIPROCESSING / EngineCoreProc) so
     # frontend work never stalls device dispatch.
     engine_multiprocessing: bool = False
+    # Executor seam (reference --distributed-executor-backend):
+    # "uniproc" (default) or "external:module.path:ClassName"
+    distributed_executor_backend: str = "uniproc"
     # First device index for this engine's mesh (used by the DP router
     # to pin replicas onto disjoint device slices).
     device_offset: int = 0

@@ -34,6 +34,7 @@ class EngineArgs:
     enable_prefix_caching: bool = True
 
     tensor_parallel_size: int = 1
+    distributed_executor_backend: str = "uniproc"
     data_parallel_size: int = 1
     pipeline_parallel_size: int = 1
     enable_expert_parallel: bool = False
@@ -82,6 +83,8 @@ class EngineArgs:
                 cache_dtype=self.kv_cache_dtype),
             parallel=ParallelConfig(
                 tensor_parallel_size=self.tensor_parallel_size,
+                distributed_executor_backend=(
+                    self.distributed_executor_backend),
                 data_parallel_size=self.data_parallel_size,
                 pipeline_parallel_size=self.pipeline_parallel_size,
                 enable_expert_parallel=self.enable_expert_parallel,

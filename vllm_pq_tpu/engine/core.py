@@ -10,7 +10,7 @@ from vllm_pq_tpu.config import EngineConfig
 from vllm_pq_tpu.core.scheduler import EngineCoreOutput, Scheduler
 from vllm_pq_tpu.logger import init_logger
 from vllm_pq_tpu.request import Request, RequestStatus
-from vllm_pq_tpu.worker.worker import Worker
+from vllm_pq_tpu.executor import create_executor
 
 logger = init_logger(__name__)
 
@@ -19,10 +19,12 @@ class EngineCore:
 
     def __init__(self, config: EngineConfig):
         self.config = config
-        self.worker = Worker(config)
-        self.worker.load_model()
-        num_blocks = self.worker.determine_num_kv_blocks()
-        self.runner = self.worker.init_runner(num_blocks)
+        # executor seam (executor/): uniproc by default, pluggable via
+        # --distributed-executor-backend external:module:Class
+        self.executor = create_executor(config)
+        num_blocks = self.executor.init_model()
+        self.worker = getattr(self.executor, "worker", None)
+        self.runner = self.executor.runner
         self._medusa = False
         if (config.speculative.enabled
                 and config.speculative.method == "medusa"):
@@ -186,7 +188,7 @@ class EngineCore:
             # payload (parallel/host_agent.py)
             self._broadcaster.publish(scheduler_output,
                                       self._pending_meta)
-        runner_output = self.runner.execute_model(scheduler_output,
+        runner_output = self.executor.execute_model(scheduler_output,
                                                   self._pending_meta)
         step_meta = (dict(self._pending_meta)
                      if self.draft_proposer is not None else None)
@@ -251,7 +253,7 @@ class EngineCore:
 
         scheduler_output = self.scheduler.schedule()
         sampling_rids = self._advance_optimistic(scheduler_output)
-        handle = self.runner.dispatch_model(scheduler_output,
+        handle = self.executor.dispatch_model(scheduler_output,
                                             self._pending_meta)
         for nr in scheduler_output.scheduled_new_reqs:
             self._pending_meta.pop(nr.req_id, None)
@@ -308,7 +310,7 @@ class EngineCore:
                         sampling_rids) -> List[EngineCoreOutput]:
         from vllm_pq_tpu.request import RequestStatus
         sched = self.scheduler
-        runner_output = self.runner.fetch_model(handle)
+        runner_output = self.executor.fetch_model(handle)
         outputs: List[EngineCoreOutput] = []
         sampling = set(sampling_rids)
         for rid in so.num_scheduled_tokens:
