@@ -230,10 +230,13 @@ BENCH_PLANS = {
 
 
 def child_main(model_name):
-    # one compiled variant per step kind: kills the two ~5-minute
-    # mid-run window recompiles (pages-bucket growth) on a cold
-    # compile cache
-    os.environ.setdefault("VPQ_PAGES_FIXED", "1")
+    # flagship: one compiled variant per step kind — kills the two
+    # ~5-minute mid-run window recompiles (pages-bucket growth) on a
+    # cold cache (measured 23.9k vs 22.1k tok/s). The 7B config's
+    # non-pow2 fixed bucket (10 pages) regresses its decode 7x, so it
+    # keeps the pow2 ladder.
+    if model_name == "flagship":
+        os.environ.setdefault("VPQ_PAGES_FIXED", "1")
     if os.environ.get("VPQ_FORCE_CPU"):
         # the axon sitecustomize may have registered the tunnel backend
         # at interpreter start; undo it before any backend initializes

@@ -209,6 +209,27 @@ def bench_pq(tokens: int, nbits: int = 8, m: int = 2):
                 res[f"dequant_{variant}_ms"] = round(t * 1e3, 3)
             except Exception as e:  # noqa
                 res[f"dequant_{variant}_ms"] = f"ERR {type(e).__name__}: {e}"
+    else:
+        # 16-bit codebooks: no per-step Pallas path exists — Mosaic's
+        # gather is lane-local (128-entry tables; 256 fit via the
+        # packed-pair trick, 65536 cannot). Measure the ONE-TIME XLA
+        # dequant (the resident/window transcode this format uses).
+        from vllm_pq_tpu.quantization.pq import pq_dequantize_ref
+
+        @jax.jit
+        def dq16(stack):
+            acc = jnp.zeros((), jnp.float32)
+            for layers in stack:
+                for (codes, cb, sc) in layers:
+                    w = pq_dequantize_ref(codes, cb, sc,
+                                          out_dtype=jnp.bfloat16)
+                    acc = acc + w.astype(jnp.float32)[::64, ::64].sum()
+            return acc
+        try:
+            t = _timeit(dq16, stack, iters=3, warmup=1)
+            res["dequant_xla_ms"] = round(t * 1e3, 3)
+        except Exception as e:  # noqa
+            res["dequant_xla_ms"] = f"ERR {type(e).__name__}: {e}"
     try:
         from vllm_pq_tpu.ops.pq_matmul import pq_matmul
         t = _timeit(chain(pq_matmul), xs, stack)

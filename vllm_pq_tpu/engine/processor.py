@@ -42,6 +42,17 @@ class Processor:
                     }.get(raw.get("model_type", ""), "")
                 if arch0 == "WhisperForConditionalGeneration":
                     spec = ("whisper",)
+                elif arch0 == "MllamaForConditionalGeneration":
+                    from vllm_pq_tpu.multimodal.image import \
+                        ImageProcessor
+                    vc = raw.get("vision_config", {})
+                    tcfg = raw.get("text_config", {})
+                    spec = ("mllama",
+                            raw.get("image_token_index",
+                                    tcfg.get("vocab_size", 128256)),
+                            ImageProcessor.from_pretrained(
+                                self.config.model.model,
+                                default_size=vc.get("image_size", 448)))
                 elif arch0 in ("Qwen2VLForConditionalGeneration",
                                "Qwen2_5_VLForConditionalGeneration"):
                     from vllm_pq_tpu.multimodal.qwen2vl_image import \
@@ -94,6 +105,31 @@ class Processor:
                 mel = mel[0]
             return list(token_ids), [MMInput(offset=0, length=0,
                                              pixel_values=mel)]
+        if spec and spec[0] == "mllama":
+            # the image participates via cross-attention only; the
+            # <|image|> token stays a single ordinary token and its
+            # position gates cross-attention visibility (reference
+            # mllama cross_attention_mask semantics)
+            import numpy as np
+            from vllm_pq_tpu.multimodal import MMInput
+            _, image_tok, improc = spec
+            images = mm_data.get("image")
+            if images is None:
+                raise ValueError("multi_modal_data must contain 'image'")
+            if isinstance(images, (list, tuple)):
+                if len(images) != 1:
+                    raise ValueError(
+                        "mllama currently supports one image/request")
+                images = images[0]
+            spots = [i for i, t in enumerate(token_ids)
+                     if t == image_tok]
+            if len(spots) != 1:
+                raise ValueError(
+                    f"prompt must contain exactly one image token "
+                    f"({image_tok}); found {len(spots)}")
+            pix = improc(images)
+            return list(token_ids), [MMInput(offset=spots[0], length=0,
+                                             pixel_values=pix)]
         if spec and spec[0] == "qwen2vl":
             return self._expand_mm_qwen2vl(token_ids, mm_data, spec)
         if spec is None:

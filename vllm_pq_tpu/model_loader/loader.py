@@ -155,6 +155,137 @@ def _load_llava_vision(tower: dict, model, rest: str,
         logger.warning("unmapped LLaVA vision weight %s", rest)
 
 
+def _load_mllama_weight(tree, cfg, shapes, linear_method, name,
+                        w) -> None:
+    """Mllama (Llama-3.2-Vision) checkpoint mapping: llama text tree
+    under language_model. (cross layers carry cross_attn.* projections,
+    per-head q/k norms and bare gate Parameters), two-stage vision
+    encoder under vision_model., and the multi_modal_projector
+    (reference models/mllama.py weight names)."""
+    put = _mk_put_linear(tree, linear_method)
+    cross = set(cfg.cross_attention_layers)
+    if name == "multi_modal_projector.weight":
+        tree["vision"].setdefault("projector", {})["weight"] = w.T
+        return
+    if name == "multi_modal_projector.bias":
+        tree["vision"].setdefault("projector", {})["bias"] = w
+        return
+    if name.startswith("language_model."):
+        rest = name[len("language_model."):]
+        if rest == "lm_head.weight":
+            tree["lm_head"] = {"weight": w.T}
+            return
+        if rest == "model.embed_tokens.weight":
+            tree["embed_tokens"]["weight"] = w
+            return
+        if rest == "model.norm.weight":
+            tree["norm"]["weight"] = w
+            return
+        if not rest.startswith("model.layers."):
+            logger.warning("unmapped Mllama text weight %s", name)
+            return
+        parts = rest.split(".")
+        li = int(parts[2])
+        L = tree["layers"][li]
+        sub = ".".join(parts[3:-1])
+        leaf = parts[-1]
+        if li in cross:
+            # bare gate Parameters have no leaf suffix
+            if parts[-1] in ("cross_attn_attn_gate",
+                             "cross_attn_mlp_gate"):
+                key = ("attn_gate" if parts[-1].endswith("attn_gate")
+                       else "mlp_gate")
+                L[key] = {"weight": w.reshape(1)}
+                return
+            sub_map = {"cross_attn.q_proj": "q_proj",
+                       "cross_attn.k_proj": "k_proj",
+                       "cross_attn.v_proj": "v_proj",
+                       "cross_attn.o_proj": "o_proj",
+                       "mlp.gate_proj": "gate_proj",
+                       "mlp.up_proj": "up_proj",
+                       "mlp.down_proj": "down_proj"}
+            if sub in sub_map:
+                L[sub_map[sub]] = {"weight": w.T}
+            elif sub in ("cross_attn.q_norm", "cross_attn.k_norm"):
+                L[sub.split(".")[1]] = {"weight": w}
+            elif sub in ("input_layernorm", "post_attention_layernorm"):
+                L.setdefault(sub, {})[leaf] = w
+            else:
+                logger.warning("unmapped Mllama cross weight %s", name)
+            return
+        # standard llama self-attention layer (quantizable)
+        sub_map = {"self_attn.q_proj": "q_proj",
+                   "self_attn.k_proj": "k_proj",
+                   "self_attn.v_proj": "v_proj",
+                   "self_attn.o_proj": "o_proj",
+                   "mlp.gate_proj": "gate_proj",
+                   "mlp.up_proj": "up_proj",
+                   "mlp.down_proj": "down_proj"}
+        if sub in sub_map:
+            put(L, sub_map[sub], w.T)
+        elif sub in ("input_layernorm", "post_attention_layernorm"):
+            L.setdefault(sub, {})[leaf] = w
+        else:
+            logger.warning("unmapped Mllama text weight %s", name)
+        return
+    if not name.startswith("vision_model."):
+        logger.warning("unmapped Mllama weight %s", name)
+        return
+    V = tree["vision"]
+    rest = name[len("vision_model."):]
+    if rest == "patch_embedding.weight":
+        h = w.shape[0]
+        V["patch_embedding"] = {
+            "weight": w.transpose(2, 3, 1, 0).reshape(-1, h)}
+    elif rest == "class_embedding":
+        V["class_embedding"] = {"weight": w}
+    elif rest == "gated_positional_embedding.embedding":
+        V.setdefault("gated_positional_embedding", {})["embedding"] = w
+    elif rest == "gated_positional_embedding.gate":
+        V.setdefault("gated_positional_embedding", {})["gate"] = \
+            w.reshape(1)
+    elif rest == "gated_positional_embedding.tile_embedding.weight":
+        V.setdefault("gated_positional_embedding",
+                     {})["tile_embedding"] = w
+    elif rest.startswith(("pre_tile_positional_embedding",
+                          "post_tile_positional_embedding")):
+        key = rest.split(".")[0]
+        if rest.endswith("embedding.weight"):
+            V.setdefault(key, {})["embedding"] = w
+        else:  # .gate
+            V.setdefault(key, {})["gate"] = w.reshape(1)
+    elif rest.startswith(("layernorm_pre.", "layernorm_post.")):
+        key, leaf = rest.split(".")
+        V.setdefault(key, {})[leaf] = w
+    elif rest.startswith(("transformer.layers.",
+                          "global_transformer.layers.")):
+        parts = rest.split(".")
+        lst = ("layers" if parts[0] == "transformer"
+               else "global_layers")
+        li = int(parts[2])
+        L = V[lst][li]
+        if parts[-1] in ("gate_attn", "gate_ffn"):
+            L[parts[-1]] = {"weight": w.reshape(1)}
+            return
+        sub = parts[-2]
+        leaf = parts[-1]
+        sub_map = {"q_proj": "q_proj", "k_proj": "k_proj",
+                   "v_proj": "v_proj", "o_proj": "o_proj",
+                   "fc1": "fc1", "fc2": "fc2",
+                   "input_layernorm": "input_layernorm",
+                   "post_attention_layernorm":
+                       "post_attention_layernorm"}
+        ours = sub_map.get(sub)
+        if ours is None:
+            logger.warning("unmapped Mllama vision weight %s", name)
+            return
+        d = L.setdefault(ours, {})
+        d[leaf] = (w.T if leaf == "weight" and "norm" not in ours
+                   else w)
+    else:
+        logger.warning("unmapped Mllama vision weight %s", name)
+
+
 def _load_pixtral_vision(tower: dict, model, rest: str,
                          tensor: np.ndarray) -> None:
     """Map HF Pixtral vision names into the tower subtree
@@ -850,8 +981,20 @@ def load_hf(model, mesh: Mesh, model_dir: str,
         tree["embed_positions"] = {}
     is_mamba = model.__class__.__name__ in ("MambaModel", "Mamba2Model")
     is_jamba = model.__class__.__name__ == "JambaModel"
+    is_mllama = model.__class__.__name__ == "MllamaModel"
+    if is_mllama:
+        v = model.cfg.vision
+        tree["vision"] = {
+            "layers": [dict() for _ in range(v.num_hidden_layers)],
+            "global_layers": [dict()
+                              for _ in range(v.num_global_layers)],
+        }
     for name, tensor in _iter_safetensors(model_dir):
         tensor = np.asarray(tensor)
+        if is_mllama:
+            _load_mllama_weight(tree, cfg, shapes, linear_method, name,
+                                tensor)
+            continue
         if is_mamba:
             _load_mamba_weight(tree, cfg, shapes, name, tensor)
             continue

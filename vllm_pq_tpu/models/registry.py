@@ -740,6 +740,49 @@ def _build_qwen2_vl(hf_config, config: EngineConfig, linear_method):
     return Qwen2VLModel(mc, linear_method)
 
 
+@register_model("MllamaForConditionalGeneration")
+def _build_mllama(hf_config, config: EngineConfig, linear_method):
+    # Llama-3.2-Vision (reference models/mllama.py): llama decoder with
+    # tanh-gated cross-attention layers over a two-stage tiled vision
+    # encoder; encoder states cached per request (whisper-style)
+    from types import SimpleNamespace
+
+    from vllm_pq_tpu.models.llama import LlamaConfig
+    from vllm_pq_tpu.models.mllama import (MllamaConfig, MllamaModel,
+                                           MllamaVisionCfg)
+
+    def ns(v):
+        return SimpleNamespace(**v) if isinstance(v, dict) else v
+    tc = ns(getattr(hf_config, "text_config", None)) or hf_config
+    vc = ns(getattr(hf_config, "vision_config", None))
+    base = LlamaConfig.from_hf_config(tc)
+    mc = MllamaConfig(**base.__dict__)
+    mc.cross_attention_layers = tuple(
+        getattr(tc, "cross_attention_layers", ()) or ())
+    if vc is not None:
+        ili = getattr(vc, "intermediate_layers_indices",
+                      (3, 7, 15, 23, 30))
+        mc.vision = MllamaVisionCfg(
+            hidden_size=getattr(vc, "hidden_size", 1280),
+            intermediate_size=getattr(vc, "intermediate_size", 5120),
+            num_hidden_layers=getattr(vc, "num_hidden_layers", 32),
+            num_global_layers=getattr(vc, "num_global_layers", 8),
+            attention_heads=getattr(vc, "attention_heads", 16),
+            image_size=getattr(vc, "image_size", 448),
+            patch_size=getattr(vc, "patch_size", 14),
+            max_num_tiles=getattr(vc, "max_num_tiles", 4),
+            max_aspect_ratio_id=getattr(vc, "max_aspect_ratio_id", 8),
+            intermediate_layers_indices=tuple(ili),
+            norm_eps=getattr(vc, "norm_eps", 1e-5))
+    mc.hf_family = "mllama"
+    mc.dtype = config.model.jax_dtype
+    if config.scheduler.num_scheduler_steps > 1:
+        logger.warning("multi-step windows unsupported for enc-dec "
+                       "cross-attention; forcing num_scheduler_steps=1")
+        config.scheduler.num_scheduler_steps = 1
+    return MllamaModel(mc, linear_method)
+
+
 @register_model("Glm4ForCausalLM")
 def _build_glm4(hf_config, config: EngineConfig, linear_method):
     # GLM-4-0414: glm attention + sandwich norms (post_self_attn /

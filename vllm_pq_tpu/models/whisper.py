@@ -169,7 +169,7 @@ class WhisperModel:
 
     # -- encoder ------------------------------------------------------------
 
-    def encode_audio(self, params: Dict, mel: jax.Array) -> jax.Array:
+    def encode_encoder_input(self, params: Dict, mel: jax.Array) -> jax.Array:
         """mel [num_mel_bins, frames] -> encoder states [frames/2, d]."""
         cfg = self.cfg
         ep = params["encoder"]

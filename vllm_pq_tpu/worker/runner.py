@@ -238,6 +238,9 @@ class ModelRunner:
         # encoder-decoder (Whisper): per-request encoder states cached
         # host-side, kept device-resident per batch row
         self._enc_np: Dict[str, np.ndarray] = {}
+        # per-request encoder-input position (Mllama: the image token's
+        # prompt offset; whisper: 0)
+        self._enc_pos: Dict[str, int] = {}
         self._enc_dirty = True
         self._enc_dev = None
 
@@ -521,8 +524,9 @@ class ModelRunner:
             attn_keys = attn_keys + ("mrope_pos",)
         encdec = getattr(model, "is_encoder_decoder", False)
         if encdec:
-            # whisper-style cross attention: per-row encoder states
-            attn_keys = attn_keys + ("enc_states", "enc_lens")
+            # whisper/mllama cross attention: per-row encoder states
+            attn_keys = attn_keys + ("enc_states", "enc_lens",
+                                     "enc_pos")
         spec_keys = attn_keys + (("plp_targets",) if plp_k else ())
         if mm:
             spec_keys = spec_keys + ("mm_mask", "mm_embeds")
@@ -568,7 +572,8 @@ class ModelRunner:
         )
 
         packed_keys = tuple(k for k in attn_keys
-                            if k not in ("enc_states", "enc_lens"))
+                            if k not in ("enc_states", "enc_lens",
+                                         "enc_pos"))
 
         def step(params, kv_caches, rope, packed, step_key, lora_w,
                  prev_toks, *mm_arrays):
@@ -582,8 +587,9 @@ class ModelRunner:
             if plp_k:
                 inputs["plp_targets"] = f["plp_targets"]
             if encdec:
-                inputs["enc_states"], inputs["enc_lens"] = mm_arrays[-2:]
-                mm_arrays = mm_arrays[:-2]
+                (inputs["enc_states"], inputs["enc_lens"],
+                 inputs["enc_pos"]) = mm_arrays[-3:]
+                mm_arrays = mm_arrays[:-3]
             if mm:
                 inputs["mm_mask"], inputs["mm_embeds"] = mm_arrays
             # async scheduling: tokens marked prev_rows >= 0 take their
@@ -1163,6 +1169,7 @@ class ModelRunner:
             self._mrope_pos3.pop(rid, None)
             self._mrope_delta.pop(rid, None)
             if self._enc_np.pop(rid, None) is not None:
+                self._enc_pos.pop(rid, None)
                 self._enc_dirty = True
             if rid in self._mm_spans:
                 spans = self._mm_spans.pop(rid)
@@ -1191,9 +1198,12 @@ class ModelRunner:
                 ib.set_eos(nr.req_id, eos, ignore)
             if getattr(nr, "mm_inputs", None) and \
                     getattr(self.model, "is_encoder_decoder", False):
-                # whisper: run the audio encoder once, cache per request
-                mel = nr.mm_inputs[0].pixel_values
-                self._enc_np[nr.req_id] = self._encode_audio(mel)
+                # enc-dec models (whisper audio, mllama vision): run
+                # the encoder once, cache its states per request
+                mi = nr.mm_inputs[0]
+                self._enc_np[nr.req_id] = self._encode_encdec(
+                    mi.pixel_values)
+                self._enc_pos[nr.req_id] = int(mi.offset)
                 self._enc_dirty = True
             elif getattr(nr, "mm_inputs", None):
                 self._mm_spans[nr.req_id] = nr.mm_inputs
@@ -1299,24 +1309,26 @@ class ModelRunner:
             mask[fo:fo + hi - lo] = 1
             embeds[fo:fo + hi - lo] = feats[lo - s0:hi - s0]
 
-    def _encode_audio(self, mel: np.ndarray) -> np.ndarray:
-        key = ("audio_enc", mel.shape)
+    def _encode_encdec(self, arr: np.ndarray) -> np.ndarray:
+        key = ("encdec_enc", arr.shape)
         fn = self._step_fns.get(key)
         if fn is None:
-            fn = jax.jit(self.model.encode_audio)
+            fn = jax.jit(self.model.encode_encoder_input)
             self._step_fns[key] = fn
         return np.asarray(jax.device_get(
-            fn(self.params, jnp.asarray(mel)))).astype(np.float32)
+            fn(self.params, jnp.asarray(arr)))).astype(np.float32)
 
     def _encdec_buffers(self):
-        """(enc_states [S, L_enc, d], enc_lens [S]) device arrays,
-        rebuilt when batch membership changed (cross-attention KV role,
-        reference whisper enc-dec runner)."""
+        """(enc_states [S, L_enc, d], enc_lens [S], enc_pos [S]) device
+        arrays, rebuilt when batch membership changed (cross-attention
+        KV role, reference whisper/mllama enc-dec runners); enc_pos is
+        each row's encoder-input prompt offset (mllama cross-attention
+        visibility)."""
         if self._enc_dirty or self._enc_dev is None:
             ib = self.input_batch
             s = self.max_num_reqs
             lens = np.zeros(s, np.int32)
-            rows = []
+            pos = np.zeros(s, np.int32)
             max_len = 8
             for r in range(ib.num_reqs):
                 e = self._enc_np.get(ib.req_ids[r])
@@ -1333,9 +1345,11 @@ class ModelRunner:
                 if e is not None:
                     states[r, :e.shape[0]] = e
                     lens[r] = e.shape[0]
+                    pos[r] = self._enc_pos.get(ib.req_ids[r], 0)
             dt = (jnp.bfloat16 if self.config.model.dtype == "bfloat16"
                   else jnp.float32)
-            self._enc_dev = (jnp.asarray(states, dt), jnp.asarray(lens))
+            self._enc_dev = (jnp.asarray(states, dt), jnp.asarray(lens),
+                             jnp.asarray(pos))
             self._enc_dirty = False
         return self._enc_dev
 
