@@ -146,3 +146,32 @@ def test_decoder_embeddings_endpoint_mp_engine(tmp_path):
         assert len(embs) == 2 and embs[0].shape == (64,)
     finally:
         core.shutdown()
+
+
+def test_roberta_classifier_matches_hf(tmp_path):
+    """Roberta positions start at padding_idx+1 (HF
+    create_position_ids_from_input_ids); golden guards the offset."""
+    import numpy as np
+    import torch
+    from transformers import (RobertaConfig,
+                              RobertaForSequenceClassification)
+    cfg = RobertaConfig(vocab_size=256, hidden_size=64,
+                        intermediate_size=128, num_hidden_layers=2,
+                        num_attention_heads=2, max_position_embeddings=130,
+                        num_labels=3, pad_token_id=1, type_vocab_size=1)
+    torch.manual_seed(0)
+    hf = RobertaForSequenceClassification(cfg).eval().float()
+    d = tmp_path / "roberta"
+    hf.save_pretrained(d, safe_serialization=True)
+    from vllm_pq_tpu import LLM
+    llm = LLM(model=str(d), dtype="float32", max_model_len=64,
+              max_num_seqs=4, max_num_batched_tokens=128, block_size=16,
+              num_kv_blocks=64)
+    rng = np.random.default_rng(2)
+    for _ in range(2):
+        ids = rng.integers(2, 250, int(rng.integers(3, 12))).tolist()
+        got = llm.classify([{"prompt_token_ids": ids}])[0]
+        with torch.no_grad():
+            want = hf(torch.tensor([ids])).logits[0].numpy()
+        np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4,
+                                   atol=2e-4)

@@ -687,6 +687,12 @@ def _load_bert_weight(tree, cfg, shapes, name, w):
         return
     if name.startswith("classifier."):
         leaf = name.split(".")[-1]
+        # Roberta head (classifier.dense -> tanh -> classifier.out_proj)
+        # is exactly BERT's pooler -> classifier composition: map the
+        # head-owned dense onto the pooler slot
+        if name.startswith("classifier.dense."):
+            tree["pooler"][leaf] = w.T if leaf == "weight" else w
+            return
         if "classifier" in shapes:
             tree.setdefault("classifier", {})[leaf] = (
                 w.T if leaf == "weight" else w)

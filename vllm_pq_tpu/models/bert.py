@@ -31,6 +31,9 @@ class BertConfig:
     num_attention_heads: int = 12
     intermediate_size: int = 3072
     max_position_embeddings: int = 512
+    # Roberta/XLM-Roberta: positions start at padding_idx + 1 (HF
+    # create_position_ids_from_input_ids); BERT uses 0
+    position_offset: int = 0
     type_vocab_size: int = 2
     layer_norm_eps: float = 1e-12
     hidden_act: str = "gelu"
@@ -153,7 +156,7 @@ class BertModel:
                 y = jax.lax.psum(y, tp_axis)
             return (y + p["bias"].astype(jnp.float32)).astype(x.dtype)
 
-        pos = jnp.arange(t, dtype=jnp.int32)
+        pos = jnp.arange(t, dtype=jnp.int32) + cfg.position_offset
         x = params["word_embeddings"]["weight"][input_ids]
         x = x + params["position_embeddings"]["weight"][pos]
         tt = (token_type_ids if token_type_ids is not None

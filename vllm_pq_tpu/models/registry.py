@@ -1004,15 +1004,21 @@ def _build_bert(hf_config, config: EngineConfig, linear_method):
 
 
 @register_model("BertForSequenceClassification",
-                "RobertaForSequenceClassification")
+                "RobertaForSequenceClassification",
+                "XLMRobertaForSequenceClassification")
 def _build_bert_classifier(hf_config, config: EngineConfig,
                            linear_method):
-    # Cross-encoder (reference models/bert.py
-    # BertForSequenceClassification — the /score and /rerank family)
+    # Cross-encoder (reference models/bert.py + roberta.py
+    # *ForSequenceClassification — the /score and /rerank family)
     from vllm_pq_tpu.models.bert import BertConfig, BertModel
     mc = BertConfig.from_hf_config(hf_config)
     mc.num_labels = getattr(hf_config, "num_labels", None) or len(
         getattr(hf_config, "id2label", None) or {0: 0})
+    arch = (getattr(hf_config, "architectures", None) or [""])[0]
+    if "Roberta" in arch:
+        # HF create_position_ids_from_input_ids: padding_idx + 1
+        mc.position_offset = (getattr(hf_config, "pad_token_id", 1)
+                              or 1) + 1
     mc.dtype = config.model.jax_dtype
     return BertModel(mc)
 
