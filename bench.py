@@ -256,6 +256,12 @@ def child_main(model_name):
     model_cfg = dict(MODEL_CFGS[model_name])
     batch, prompt_len, decode_steps, max_len, sched_steps = \
         BENCH_PLANS[model_name]
+    # A/B knobs (profiling/tuning; the driver runs defaults)
+    sched_steps = int(os.environ.get("VPQ_BENCH_N", sched_steps))
+    batch = int(os.environ.get("VPQ_BENCH_BATCH", batch))
+    prompt_len = int(os.environ.get("VPQ_BENCH_PROMPT", prompt_len))
+    max_len = int(os.environ.get("VPQ_BENCH_MAXLEN", max_len))
+    decode_steps = int(os.environ.get("VPQ_BENCH_STEPS", decode_steps))
     if not on_tpu:  # CPU smoke fallback: tiny model
         model_cfg.update(hidden_size=256, intermediate_size=512,
                          num_hidden_layers=2, num_attention_heads=8,
@@ -274,9 +280,10 @@ def child_main(model_name):
               # (6 GiB) + HLO temps exceed the 15.75 GiB HBM; int8 KV
               # halves the cache and is the capacity lever this config
               # exists to exercise (reference cache_dtype=fp8 role)
-              kv_cache_dtype=("int8" if (on_tpu and
-                                         model_name == "llama2_7b")
-                              else "auto"),
+              kv_cache_dtype=os.environ.get(
+                  "VPQ_BENCH_KV_DTYPE",
+                  "int8" if (on_tpu and model_name == "llama2_7b")
+                  else "auto"),
               max_model_len=max_len, max_num_seqs=batch,
               max_num_batched_tokens=2048, block_size=16,
               gpu_memory_utilization=0.8,

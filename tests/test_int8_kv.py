@@ -123,3 +123,61 @@ def test_int8_kv_block_budget(model_dir):
     b_int8 = blocks("int8")
     # capped by max_useful in small configs; at least never fewer
     assert b_int8 >= b_bf16
+
+
+def test_int8_window_arena_matches_dense_arena():
+    """Multi-step decode-window attention over an int8 arena: the
+    per-column scale factors out of the dot product exactly, so the
+    int8-arena scores must match dequantize-then-attend within int8
+    quantization noise."""
+    import jax.numpy as jnp
+    from vllm_pq_tpu.ops.attention import QuantKV, quantize_kv_rows
+    from vllm_pq_tpu.ops.window_attention import (build_window_cache,
+                                                  append_ring,
+                                                  window_attention)
+    rng = np.random.default_rng(3)
+    ps, kvh, d, s = 16, 2, 32, 4
+    n_pages_pool = 8
+    kv = rng.standard_normal((n_pages_pool * ps, 2 * kvh, d)).astype(
+        np.float32)
+    qrows, scales = quantize_kv_rows(jnp.asarray(kv))
+    qcache = QuantKV(
+        jnp.asarray(qrows).reshape(n_pages_pool, ps, 2 * kvh, d),
+        jnp.asarray(scales).reshape(n_pages_pool, ps, 2 * kvh))
+    dense = (np.asarray(qrows, np.float32)
+             * np.asarray(scales)[..., None]).reshape(
+        n_pages_pool, ps, 2 * kvh, d).astype(np.float32)
+
+    page_indices = jnp.asarray(
+        [[1, 2, 0, 0], [3, 4, 0, 0], [5, 6, 0, 0], [7, 1, 0, 0]],
+        jnp.int32)
+    base_lens = jnp.asarray([20, 9, 31, 16], jnp.int32)
+
+    wc_q = build_window_cache(qcache, page_indices, 2, ring_n=2)
+    wc_d = build_window_cache(jnp.asarray(dense), page_indices, 2,
+                              ring_n=2)
+    assert wc_q.aK.dtype == jnp.int8
+    k_new = jnp.asarray(rng.standard_normal((s, kvh, d)), jnp.float32)
+    v_new = jnp.asarray(rng.standard_normal((s, kvh, d)), jnp.float32)
+    wc_q = append_ring(wc_q, k_new, v_new)
+    wc_d = append_ring(wc_d, k_new, v_new)
+
+    q = jnp.asarray(rng.standard_normal((s, 2 * kvh, d)), jnp.float32)
+    out_q = window_attention(q, wc_q, base_lens, sm_scale=0.2)
+    out_d = window_attention(q, wc_d, base_lens, sm_scale=0.2)
+    np.testing.assert_allclose(np.asarray(out_q), np.asarray(out_d),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_e2e_int8_kv_multistep_windows(model_dir):
+    """int8 pool + multi-step windows (int8 arena path) generates and
+    stays prefix-consistent with the bf16 multi-step run."""
+    ref, _ = _gen(model_dir, num_scheduler_steps=4)
+    got, runner = _gen(model_dir, kv_cache_dtype="int8",
+                       num_scheduler_steps=4)
+    from vllm_pq_tpu.ops.attention import QuantKV
+    assert isinstance(runner.kv_caches[0], QuantKV)
+    for r, g in zip(ref, got):
+        assert len(g) == len(r)
+        m = sum(1 for a, b in zip(r, g) if a == b)
+        assert m >= 1, (r, g)

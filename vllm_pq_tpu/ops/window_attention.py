@@ -38,12 +38,23 @@ MASK_VALUE = -1e30
 @jax.tree_util.register_dataclass
 @dataclass
 class WindowCache:
-    aK: jax.Array      # [S, CTX, KVH, D] dense arena keys (immutable)
+    aK: jax.Array      # [S, CTX, KVH, D] dense arena keys (immutable;
+    #                    int8 when the paged pool is int8 — the arena
+    #                    streams HALF the bytes per step, the dominant
+    #                    decode-window bandwidth term)
     aV: jax.Array      # [S, CTX, KVH, D]
+    aKs: jax.Array     # f32 [S, CTX, KVH] arena K scales ([S,0,KVH]
+    #                    when bf16: the scale factors out of the dot
+    #                    product exactly, so int8 arenas are as exact
+    #                    as the int8 pool itself)
+    aVs: jax.Array     # f32 [S, CTX, KVH]
     sK: jax.Array      # [Ls, KVH, D] SHARED-prefix keys (cascade role:
     sV: jax.Array      #   stored and read once for the whole batch)
+    sKs: jax.Array     # f32 [Ls, KVH] ([0, KVH] when bf16)
+    sVs: jax.Array     # f32 [Ls, KVH]
     ringK: jax.Array   # [N, S, KVH, D] this window's appended keys
-    ringV: jax.Array   # [N, S, KVH, D]
+    ringV: jax.Array   # [N, S, KVH, D] (always bf16: ~MBs, bandwidth-
+    #                    irrelevant, and the fold consumes them as-is)
     step: jax.Array    # i32[] index of the last written ring row (-1)
 
 
@@ -58,30 +69,54 @@ def build_window_cache(kv_cache: jax.Array, page_indices: jax.Array,
     the cascade-attention bandwidth saving (reference
     use_cascade_attention, v1/worker/gpu_model_runner.py:665)."""
     from vllm_pq_tpu.ops.attention import QuantKV, _gather_pages
-    arr = kv_cache.data if isinstance(kv_cache, QuantKV) else kv_cache
+    int8 = isinstance(kv_cache, QuantKV)
+    arr = kv_cache.data if int8 else kv_cache
     s = page_indices.shape[0]
     ps = arr.shape[1]
     kvh = arr.shape[2] // 2
     d = arr.shape[3]
-    # int8 caches dequantize INTO the arena: the capacity win lives in
-    # the paged pool; window attention reads bf16 either way
-    sh = jnp.bfloat16 if isinstance(kv_cache, QuantKV) else arr.dtype
+    sh = jnp.bfloat16 if int8 else arr.dtype
+
+    def raw_gather(idx):
+        """(data, scales) gathered WITHOUT dequantizing: an int8 arena
+        streams half the bytes every iteration; the scales ride as
+        separate f32 planes (1/128 the data size)."""
+        if int8:
+            dd = jnp.take(kv_cache.data, idx, axis=0, mode="clip")
+            sc = jnp.take(kv_cache.scale, idx, axis=0, mode="clip")
+            return dd, sc
+        return jnp.take(kv_cache, idx, axis=0, mode="clip"), None
+
     if shared_pages:
-        spages = _gather_pages(kv_cache, page_indices[0, :shared_pages],
-                               sh).reshape(shared_pages * ps, 2 * kvh, d)
-        sK, sV = spages[:, 0::2, :], spages[:, 1::2, :]
+        sp, ss = raw_gather(page_indices[0, :shared_pages])
+        sp = sp.reshape(shared_pages * ps, 2 * kvh, d)
+        sK, sV = sp[:, 0::2, :], sp[:, 1::2, :]
+        if int8:
+            ss = ss.reshape(shared_pages * ps, 2 * kvh)
+            sKs, sVs = ss[:, 0::2], ss[:, 1::2]
+        else:
+            sKs = jnp.zeros((0, kvh), jnp.float32)
+            sVs = jnp.zeros((0, kvh), jnp.float32)
     else:
-        sK = jnp.zeros((0, kvh, d), sh)
-        sV = jnp.zeros((0, kvh, d), sh)
-    pages = _gather_pages(
-        kv_cache,
-        page_indices[:, shared_pages:shared_pages + n_pages], sh)
+        kdt = jnp.int8 if int8 else sh
+        sK = jnp.zeros((0, kvh, d), kdt)
+        sV = jnp.zeros((0, kvh, d), kdt)
+        sKs = jnp.zeros((0, kvh), jnp.float32)
+        sVs = jnp.zeros((0, kvh), jnp.float32)
+    pages, pscl = raw_gather(
+        page_indices[:, shared_pages:shared_pages + n_pages])
     pages = pages.reshape(s, n_pages * ps, 2 * kvh, d)
     aK = pages[:, :, 0::2, :]
     aV = pages[:, :, 1::2, :]
+    if int8:
+        pscl = pscl.reshape(s, n_pages * ps, 2 * kvh)
+        aKs, aVs = pscl[:, :, 0::2], pscl[:, :, 1::2]
+    else:
+        aKs = jnp.zeros((s, 0, kvh), jnp.float32)
+        aVs = jnp.zeros((s, 0, kvh), jnp.float32)
     ring_shape = (ring_n, s, kvh, d)
     return WindowCache(
-        aK=aK, aV=aV, sK=sK, sV=sV,
+        aK=aK, aV=aV, aKs=aKs, aVs=aVs, sK=sK, sV=sV, sKs=sKs, sVs=sVs,
         ringK=jnp.zeros(ring_shape, sh),
         ringV=jnp.zeros(ring_shape, sh),
         step=jnp.int32(-1))
@@ -94,7 +129,8 @@ def append_ring(wc: WindowCache, k: jax.Array, v: jax.Array) -> WindowCache:
         wc.ringK, k[None].astype(wc.ringK.dtype), (j, 0, 0, 0))
     ringV = jax.lax.dynamic_update_slice(
         wc.ringV, v[None].astype(wc.ringV.dtype), (j, 0, 0, 0))
-    return WindowCache(aK=wc.aK, aV=wc.aV, sK=wc.sK, sV=wc.sV,
+    return WindowCache(aK=wc.aK, aV=wc.aV, aKs=wc.aKs, aVs=wc.aVs,
+                       sK=wc.sK, sV=wc.sV, sKs=wc.sKs, sVs=wc.sVs,
                        ringK=ringK, ringV=ringV, step=j)
 
 
@@ -112,6 +148,7 @@ def window_attention(q: jax.Array, wc: WindowCache, base_lens: jax.Array,
     s, ctx, kvh, d = wc.aK.shape
     n = wc.ringK.shape[0]
     ls = wc.sK.shape[0]            # shared-prefix length (cascade)
+    int8 = wc.aK.dtype == jnp.int8
     t = q.shape[0]
     qs = q[:s] if t >= s else jnp.pad(q, ((0, s - t), (0, 0), (0, 0)))
     hq = qs.shape[1]
@@ -119,8 +156,13 @@ def window_attention(q: jax.Array, wc: WindowCache, base_lens: jax.Array,
     qh = qs.reshape(s, kvh, rep, d)
     qscaled = qh * jnp.asarray(sm_scale, qh.dtype)
 
-    sc_a = jnp.einsum("sgrd,slgd->sgrl", qscaled, wc.aK,
+    aK = wc.aK.astype(qscaled.dtype) if int8 else wc.aK
+    sc_a = jnp.einsum("sgrd,slgd->sgrl", qscaled, aK,
                       preferred_element_type=jnp.float32)
+    if int8:
+        # per-(row, col, head) scale factors OUT of the dot product:
+        # int8 arena scoring is exact w.r.t. the int8 pool contents
+        sc_a = sc_a * wc.aKs.transpose(0, 2, 1)[:, :, None, :]
     sc_r = jnp.einsum("sgrd,nsgd->sgrn", qscaled, wc.ringK,
                       preferred_element_type=jnp.float32)
 
@@ -150,8 +192,11 @@ def window_attention(q: jax.Array, wc: WindowCache, base_lens: jax.Array,
     if ls:
         # shared prefix scored against ONE stored copy (the whole
         # point: its KV is read once for the batch, not per row)
-        sc_s = jnp.einsum("sgrd,lgd->sgrl", qscaled, wc.sK,
+        sK = wc.sK.astype(qscaled.dtype) if int8 else wc.sK
+        sc_s = jnp.einsum("sgrd,lgd->sgrl", qscaled, sK,
                           preferred_element_type=jnp.float32)
+        if int8:
+            sc_s = sc_s * wc.sKs.T[None, :, None, :]
         spos = jnp.arange(ls, dtype=jnp.int32)[None, :]
         valid_s = spos < jnp.minimum(base_lens[:, None], ls)
         if sliding_window is not None:
@@ -166,13 +211,21 @@ def window_attention(q: jax.Array, wc: WindowCache, base_lens: jax.Array,
     sc = jnp.concatenate(parts, axis=-1)
     p = jax.nn.softmax(sc, axis=-1)
     pss, pa, pr = p[..., :ls], p[..., ls:ls + ctx], p[..., ls + ctx:]
-    out = jnp.einsum("sgrl,slgd->sgrd", pa.astype(wc.aV.dtype), wc.aV,
+    vdt = jnp.bfloat16 if int8 else wc.aV.dtype
+    if int8:
+        # fold the V scales into the (small) probability tensor so the
+        # big arena V streams raw int8
+        pa = pa * wc.aVs.transpose(0, 2, 1)[:, :, None, :]
+    out = jnp.einsum("sgrl,slgd->sgrd", pa.astype(vdt),
+                     wc.aV.astype(vdt) if int8 else wc.aV,
                      preferred_element_type=jnp.float32)
     out = out + jnp.einsum("sgrn,nsgd->sgrd", pr.astype(wc.ringV.dtype),
                            wc.ringV, preferred_element_type=jnp.float32)
     if ls:
-        out = out + jnp.einsum("sgrl,lgd->sgrd",
-                               pss.astype(wc.sV.dtype), wc.sV,
+        if int8:
+            pss = pss * wc.sVs.T[None, :, None, :]
+        out = out + jnp.einsum("sgrl,lgd->sgrd", pss.astype(vdt),
+                               wc.sV.astype(vdt) if int8 else wc.sV,
                                preferred_element_type=jnp.float32)
     out = out.reshape(s, hq, d).astype(q.dtype)
     if t > s:

@@ -879,7 +879,8 @@ class ModelRunner:
             return False  # MLA latent caches: paged path
         kvh = kv_shape[2] // 2
         d = kv_shape[3]
-        itemsize = 2
+        # int8 pools build int8 arenas (scales are 1/128 the data)
+        itemsize = 1 if self.kv_quant else 2
         arena = (self.model.cfg.num_hidden_layers * self.max_num_reqs *
                  n_pages * self.block_size * kvh * d * itemsize * 2)
         budget = envs.VPQ_WINDOW_ARENA_MAX_GB * 2**30
@@ -935,8 +936,12 @@ class ModelRunner:
             wc_spec = WindowCache(
                 aK=PS(None, None, head_ax, None),
                 aV=PS(None, None, head_ax, None),
+                aKs=PS(None, None, head_ax),
+                aVs=PS(None, None, head_ax),
                 sK=PS(None, head_ax, None),
                 sV=PS(None, head_ax, None),
+                sKs=PS(None, head_ax),
+                sVs=PS(None, head_ax),
                 ringK=PS(None, None, head_ax, None),
                 ringV=PS(None, None, head_ax, None),
                 step=PS())
@@ -1053,7 +1058,8 @@ class ModelRunner:
                     from vllm_pq_tpu.ops.window_attention import \
                         WindowCache as _WC
                     kv_caches = [
-                        _WC(aK=wc.aK, aV=wc.aV, sK=wc.sK, sV=wc.sV,
+                        _WC(aK=wc.aK, aV=wc.aV, aKs=wc.aKs, aVs=wc.aVs,
+                            sK=wc.sK, sV=wc.sV, sKs=wc.sKs, sVs=wc.sVs,
                             ringK=rk, ringV=rv, step=st)
                         for wc, (rk, rv, st) in zip(kv_caches, new_state)]
                 else:
@@ -1849,9 +1855,21 @@ class ModelRunner:
                 # decode variants are additionally keyed by the pages
                 # bucket of the gather-based decode attention; compile
                 # the short-context bucket and the worst case
-                pages = ((8, self._pages_bucket(
-                    self.max_blocks_per_req * self.block_size))
-                    if decode_only else (0,))
+                if decode_only:
+                    # the WHOLE pages-bucket ladder: an uncompiled
+                    # bucket appearing mid-serving costs a multi-minute
+                    # remote compile stall (round-3 QPS-sweep lesson)
+                    top = self._pages_bucket(
+                        self.max_blocks_per_req * self.block_size)
+                    pages, b = [], 8
+                    while b < top:
+                        pages.append(self._pages_bucket(
+                            b * self.block_size))
+                        b *= 2
+                    pages.append(top)
+                    pages = tuple(pages)
+                else:
+                    pages = (0,)
                 for greedy in modes:
                     for dp in dict.fromkeys(pages):
                         fn = self._get_step(b, greedy, 0, False,
