@@ -171,3 +171,43 @@ def test_e2e_sampled_rows_get_drafts(tmp_path):
     assert list(s) == list(g)
     assert sched.spec_stats_proposed - p0 > 0
     assert sched.spec_stats_accepted - a0 > 0
+
+
+def test_typical_acceptance_accepts_confident_drafts():
+    """Typical acceptance (reference layers/typical_acceptance_sampler):
+    a draft with dominant target probability is accepted even when the
+    rejection coin would sometimes refuse; a low-probability draft under
+    a confident (low-entropy) target is refused."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from vllm_pq_tpu.layers.rejection import verify_and_sample
+    from vllm_pq_tpu.layers.sampler import SamplingState
+
+    s, k, v = 2, 2, 16
+    logits = np.full((s, k + 1, v), -10.0, np.float32)
+    # row 0: target puts ~all mass on token 3 at both draft positions
+    logits[0, :, 3] = 10.0
+    # row 1: target confident on token 5; draft will be 7 (wrong)
+    logits[1, :, 5] = 10.0
+    drafts = np.array([[3, 3], [7, 7]], np.int32)
+    state = SamplingState(
+        temperature=jnp.full((s,), 1.0), top_k=jnp.zeros(s, jnp.int32),
+        top_p=jnp.ones(s), min_p=jnp.zeros(s),
+        presence_penalty=jnp.zeros(s), frequency_penalty=jnp.zeros(s),
+        repetition_penalty=jnp.ones(s),
+        seed=jnp.zeros(s, jnp.uint32),
+        has_seed=jnp.zeros(s, bool),
+        eos_token_id=jnp.full((s,), -1, jnp.int32),
+        min_tokens=jnp.zeros(s, jnp.int32),
+        output_len=jnp.zeros(s, jnp.int32))
+    toks, gens = verify_and_sample(
+        jnp.asarray(logits), jnp.asarray(drafts),
+        jnp.asarray([2, 2], jnp.int32), state, jax.random.PRNGKey(0),
+        acceptance_method="typical_acceptance_sampler")
+    gens = np.asarray(gens)
+    toks = np.asarray(toks)
+    assert gens[0] == 3  # both drafts accepted + bonus
+    assert list(toks[0][:2]) == [3, 3]
+    assert gens[1] == 1  # first draft rejected immediately
+    assert toks[1][0] == 5  # greedy-confident recovery

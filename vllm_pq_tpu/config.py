@@ -164,6 +164,14 @@ class SpeculativeConfig:
     # ngram window: match the last n in [min, max] tokens against history.
     prompt_lookup_min: int = 2
     prompt_lookup_max: int = 4
+    # verification for sampled rows: "rejection_sampler" preserves the
+    # target distribution exactly; "typical_acceptance_sampler" accepts
+    # by posterior-probability threshold for higher acceptance at the
+    # cost of a small, bounded distribution shift (role of reference
+    # layers/typical_acceptance_sampler.py)
+    acceptance_method: str = "rejection_sampler"
+    posterior_threshold: float = 0.09
+    posterior_alpha: float = 0.3
 
     def __post_init__(self):
         if self.method is not None and self.method not in (
@@ -176,6 +184,10 @@ class SpeculativeConfig:
             self.num_spec_tokens = 3
         if self.prompt_lookup_min > self.prompt_lookup_max:
             raise ValueError("prompt_lookup_min > prompt_lookup_max")
+        if self.acceptance_method not in (
+                "rejection_sampler", "typical_acceptance_sampler"):
+            raise ValueError(
+                f"Unknown acceptance_method {self.acceptance_method!r}")
 
     @property
     def enabled(self) -> bool:

@@ -64,6 +64,9 @@ class EngineArgs:
     num_speculative_tokens: int = 0
     prompt_lookup_min: int = 2
     prompt_lookup_max: int = 4
+    spec_decoding_acceptance_method: str = "rejection_sampler"
+    typical_acceptance_sampler_posterior_threshold: float = 0.09
+    typical_acceptance_sampler_posterior_alpha: float = 0.3
 
     def create_engine_config(self) -> EngineConfig:
         return EngineConfig(

@@ -97,6 +97,9 @@ def verify_and_sample(
     all_greedy: bool = False,
     counts: jax.Array = None,
     prompt_mask: jax.Array = None,
+    acceptance_method: str = "rejection_sampler",
+    posterior_threshold: float = 0.09,
+    posterior_alpha: float = 0.3,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (tokens [S, K+1] i32, num_generated [S] i32).
 
@@ -139,7 +142,18 @@ def verify_and_sample(
         us.append(jax.vmap(lambda kk: jax.random.uniform(kk, ()))(keys_i))
     u = jnp.stack(us, axis=1) if k else jnp.zeros((s, 0))  # [S, K]
 
-    match_st = (u < p_draft) & (pos < num_drafts[:, None])
+    if acceptance_method == "typical_acceptance_sampler":
+        # reference layers/typical_acceptance_sampler.py: accept the
+        # draft when its posterior probability clears an entropy-scaled
+        # threshold; looser than exact rejection, bounded shift
+        plog = jnp.log(jnp.clip(probs[:, :k], 1e-20, 1.0))
+        entropy = -jnp.sum(probs[:, :k] * plog, axis=-1)      # [S, K]
+        thresh = jnp.minimum(
+            jnp.asarray(posterior_threshold, jnp.float32),
+            jnp.sqrt(posterior_alpha) * jnp.exp(-entropy))
+        match_st = (p_draft > thresh) & (pos < num_drafts[:, None])
+    else:
+        match_st = (u < p_draft) & (pos < num_drafts[:, None])
     acc_st = jnp.cumprod(match_st.astype(jnp.int32), axis=1)
     num_acc_st = jnp.sum(acc_st, axis=1)            # [S]
 

@@ -687,10 +687,14 @@ class ModelRunner:
         if spec_k:
             from vllm_pq_tpu.layers.rejection import verify_and_sample
             l3 = logits.reshape(s, k1, -1)
+            sc = self.config.speculative
             toks, gens = verify_and_sample(
                 l3, f["drafts"].reshape(s, spec_k), f["num_drafts"],
                 state, step_key, all_greedy=greedy, counts=counts,
-                prompt_mask=prompt_mask)
+                prompt_mask=prompt_mask,
+                acceptance_method=sc.acceptance_method,
+                posterior_threshold=sc.posterior_threshold,
+                posterior_alpha=sc.posterior_alpha)
             lp_src, lp_tok = l3[:, 0], toks[:, 0]
         else:
             toks = sample(logits, state, step_key, all_greedy=greedy,
