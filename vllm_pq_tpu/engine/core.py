@@ -45,6 +45,28 @@ class EngineCore:
             self.runner.enable_medusa(
                 heads[:config.speculative.num_spec_tokens])
             self._medusa = True
+        elif (config.speculative.enabled
+              and config.speculative.method == "mlp_speculator"):
+            # recurrent (hidden, token)-conditioned draft stack riding
+            # the medusa in-graph plumbing (reference
+            # models/mlp_speculator.py)
+            from vllm_pq_tpu.spec_decode.mlp_speculator import \
+                load_mlp_speculator
+            import jax.numpy as jnp
+            dt = (jnp.bfloat16 if config.model.dtype == "bfloat16"
+                  else jnp.float32)
+            spec, n_heads = load_mlp_speculator(config.speculative.model,
+                                                dt)
+            if config.speculative.num_spec_tokens > n_heads:
+                raise ValueError(
+                    f"num_speculative_tokens "
+                    f"{config.speculative.num_spec_tokens} exceeds the "
+                    f"checkpoint's {n_heads} speculator stages")
+            spec = dict(spec,
+                        heads=spec["heads"]
+                        [:config.speculative.num_spec_tokens])
+            self.runner.enable_mlp_speculator(spec)
+            self._medusa = True
         if config.compilation.warmup:
             self.runner.warmup()
         # Uniform sliding-window models (every layer windowed): the KV

@@ -533,6 +533,7 @@ class ModelRunner:
         input_specs = {k: P() for k in spec_keys}
 
         medusa = self.medusa_heads is not None
+        mlp_spec = getattr(self, "_mlp_spec_mode", False)
 
         def fwd(params, kv_caches, rope, inputs, lora):
             # mm kwarg only exists on the llama-family signature; other
@@ -623,7 +624,19 @@ class ModelRunner:
                         if gens is not None
                         else jnp.zeros((s,), jnp.int32))
                 h_last = hsel[jnp.arange(s), pick]
-                drafts = medusa_drafts(medusa_w, h_last)
+                if mlp_spec:
+                    from vllm_pq_tpu.spec_decode.mlp_speculator import \
+                        mlp_spec_drafts
+                    scale_in, alpha = self._mlp_static
+                    t3 = toks.reshape(s, k1) if spec_k else \
+                        toks.reshape(s, 1)
+                    tok_last = t3[jnp.arange(s),
+                                  jnp.minimum(pick, t3.shape[1] - 1)]
+                    drafts = mlp_spec_drafts(medusa_w, h_last, tok_last,
+                                             scale_input=scale_in,
+                                             alpha=alpha)
+                else:
+                    drafts = medusa_drafts(medusa_w, h_last)
             return toks, gens, lp, plp, drafts, raw, new_caches
 
         return jax.jit(step, donate_argnums=(1,))
@@ -1824,6 +1837,17 @@ class ModelRunner:
         """Install medusa head params (list of {"res", "lm"} trees);
         must run before step functions compile (engine init order)."""
         self.medusa_heads = heads
+        self._step_fns = {}
+
+    def enable_mlp_speculator(self, spec) -> None:
+        """Install MLP-speculator params (spec_decode/mlp_speculator);
+        rides the medusa in-graph draft plumbing with a recurrent
+        (hidden, token)-conditioned head stack."""
+        # only ARRAYS ride the jit boundary; the scalars are static
+        self.medusa_heads = {"heads": spec["heads"]}
+        self._mlp_spec_mode = True
+        self._mlp_static = (bool(spec["scale_input"]),
+                            float(spec["emb_w"]) / float(spec["state_w"]))
         self._step_fns = {}
 
     # ------------------------------------------------------------------
