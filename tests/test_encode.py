@@ -57,3 +57,21 @@ def test_encode_does_not_disturb_generation(llm):
     llm.encode([{"prompt_token_ids": [100, 101, 102]}])
     got = llm.generate(p, sp)[0].outputs[0].token_ids
     assert got == ref
+
+
+def test_bare_model_arch_encodes(tmp_path):
+    """Bare-model registry rows (LlamaModel/Qwen2Model) serve the
+    embedding role (reference pooling-model rows)."""
+    import json
+    cfg = dict(TINY, architectures=["Qwen2Model"])
+    d = tmp_path / "bare"
+    d.mkdir()
+    with open(d / "config.json", "w") as f:
+        json.dump(cfg, f)
+    from vllm_pq_tpu import LLM
+    llm2 = LLM(model=str(d), load_format="dummy", dtype="float32",
+               max_model_len=128, max_num_seqs=4,
+               max_num_batched_tokens=128, block_size=16,
+               num_kv_blocks=64)
+    e = llm2.encode([{"prompt_token_ids": [5, 6, 7]}])
+    assert np.isfinite(e[0]).all() and e[0].shape == (128,)

@@ -65,7 +65,11 @@ def _build_qwen2(hf_config, config: EngineConfig, linear_method):
                 # llama-architecture aliases (reference registry rows
                 # with identical math: models/{aquila,xverse}.py)
                 "AquilaForCausalLM", "AquilaModel",
-                "XverseForCausalLM")
+                "XverseForCausalLM",
+                # bare-model rows: embedding/pooling checkpoints served
+                # via LLM.encode / /v1/embeddings (reference registry
+                # pooling rows, registry.py:137-141)
+                "LlamaModel", "MistralModel", "Qwen2Model")
 def _build_llama(hf_config, config: EngineConfig, linear_method):
     from vllm_pq_tpu.models.llama import LlamaConfig, LlamaModel
     if hf_config is not None:
