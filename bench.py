@@ -359,11 +359,20 @@ def child_main(model_name):
                   file=sys.stderr, flush=True)
         if any(o.finished for o in outs):
             break
+    # Steady-state throughput = AGGREGATE tokens/time over full windows
+    # after dropping the slowest one (a window that absorbed an XLA
+    # compile). A per-window median is NOT robust here: with lag-1
+    # async scheduling a fetch can return while the next window
+    # computes, making individual windows look arbitrarily fast (a
+    # 70 ms "window" of 16k tokens was observed); aggregates conserve
+    # wall-clock so pipelining artifacts cancel.
     full = batch * sched_steps
-    window_rates = sorted(nt / dt_s for dt_s, nt in samples
-                          if nt >= full)
-    if window_rates:
-        tput = window_rates[len(window_rates) // 2]
+    wins = [(dt_s, nt) for dt_s, nt in samples if nt >= full]
+    if len(wins) >= 3:
+        wins.remove(max(wins))  # drop the compile-afflicted window
+        tput = sum(n for _, n in wins) / sum(d for d, _ in wins)
+    elif wins:
+        tput = sum(n for _, n in wins) / sum(d for d, _ in wins)
     else:  # single-step fallback path
         tot_t = sum(d for d, _ in samples)
         tput = sum(n for _, n in samples) / max(tot_t, 1e-9)
