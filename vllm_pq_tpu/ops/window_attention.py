@@ -188,7 +188,7 @@ def window_attention(q: jax.Array, wc: WindowCache, base_lens: jax.Array,
 
     sc_a = jnp.where(valid_a[:, None, None, :], sc_a, MASK_VALUE)
     sc_r = jnp.where(valid_r[:, None, None, :], sc_r, MASK_VALUE)
-    parts = [sc_a, sc_r]
+    sc_s = None
     if ls:
         # shared prefix scored against ONE stored copy (the whole
         # point: its KV is read once for the batch, not per row)
@@ -207,11 +207,26 @@ def window_attention(q: jax.Array, wc: WindowCache, base_lens: jax.Array,
         if soft_cap is not None:
             sc_s = jnp.tanh(sc_s / soft_cap) * soft_cap
         sc_s = jnp.where(valid_s[:, None, None, :], sc_s, MASK_VALUE)
-        parts = [sc_s] + parts
-    sc = jnp.concatenate(parts, axis=-1)
-    p = jax.nn.softmax(sc, axis=-1)
-    pss, pa, pr = p[..., :ls], p[..., ls:ls + ctx], p[..., ls + ctx:]
+
+    # segmented softmax: normalize each segment against the GLOBAL max
+    # and a shared denominator instead of concatenating the score
+    # tensors (the concat materialized ~1 ms/step of pure copies at
+    # batch 256 — profiler round 3)
+    segs = ([sc_s] if sc_s is not None else []) + [sc_a, sc_r]
+    gmax = segs[0].max(axis=-1)
+    for sg in segs[1:]:
+        gmax = jnp.maximum(gmax, sg.max(axis=-1))
+    gmax = gmax[..., None]
+    exps = [jnp.exp(sg - gmax) for sg in segs]
+    denom = sum(e.sum(axis=-1) for e in exps)[..., None]
+    if sc_s is not None:
+        ess, ea, er = exps
+    else:
+        ea, er = exps
+        ess = None
     vdt = jnp.bfloat16 if int8 else wc.aV.dtype
+    pa = ea / denom
+    pr = er / denom
     if int8:
         # fold the V scales into the (small) probability tensor so the
         # big arena V streams raw int8
@@ -221,7 +236,8 @@ def window_attention(q: jax.Array, wc: WindowCache, base_lens: jax.Array,
                      preferred_element_type=jnp.float32)
     out = out + jnp.einsum("sgrn,nsgd->sgrd", pr.astype(wc.ringV.dtype),
                            wc.ringV, preferred_element_type=jnp.float32)
-    if ls:
+    if ess is not None:
+        pss = ess / denom
         if int8:
             pss = pss * wc.sVs.T[None, :, None, :]
         out = out + jnp.einsum("sgrl,lgd->sgrd", pss.astype(vdt),

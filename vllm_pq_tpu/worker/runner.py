@@ -1012,9 +1012,14 @@ class ModelRunner:
                                  in_specs=(param_specs,),
                                  out_specs=dense_specs)
 
-        def run(params, kv_caches, rope, packed, step_key, prev_toks):
-            if dequant is not None:
-                params = dequant(params)
+        def window_core(params, kv_caches, rope, packed, step_key,
+                        prev_toks, *, per_shard: bool):
+            """The N-iteration decode window. ``per_shard=True`` runs
+            the WHOLE loop inside one shard_map (arena mode): rings and
+            scores never cross a shard_map boundary, which the profiler
+            showed cost ~3 ms/step in materialization copies (8k ring
+            copies per 3 windows) when each iteration was its own
+            shard_map call."""
             f = lay.unpack(packed)
             page_indices = f["page_indices"].reshape(
                 s, self.max_blocks_per_req)
@@ -1069,27 +1074,26 @@ class ModelRunner:
                     ef = jnp.zeros(t_bucket, jnp.int32).at[:m].set(
                         eff[:m])
                     inputs["mrope_pos"] = jnp.tile(ef, 3)
-                logits, new_state = sharded(params, kv_caches, rope,
-                                            inputs)
-                if use_arena:
-                    from vllm_pq_tpu.ops.window_attention import \
-                        WindowCache as _WC
-                    kv_caches = [
-                        _WC(aK=wc.aK, aV=wc.aV, aKs=wc.aKs, aVs=wc.aVs,
-                            sK=wc.sK, sV=wc.sV, sKs=wc.sKs, sVs=wc.sVs,
-                            ringK=rk, ringV=rv, step=st)
-                        for wc, (rk, rv, st) in zip(kv_caches, new_state)]
+                if per_shard:
+                    hidden, kv_caches = model(
+                        params, inputs["token_ids"], inputs["positions"],
+                        kv_caches, inputs, rope, decode_mode=True,
+                        decode_pages=ctx_pages)
+                    sel = hidden[inputs["logits_indices"]]
+                    logits = model.compute_logits(params, sel)
                 else:
-                    kv_caches = new_state
+                    logits, kv_caches = sharded(params, kv_caches, rope,
+                                                inputs)
                 state = base_state._replace(output_len=out_len)
                 toks = sample(logits, state, jax.random.fold_in(step_key, i),
                               all_greedy=greedy)
                 return (kv_caches, toks, pos + 1, out_len + 1), toks
 
             if use_arena:
-                kv_caches = build_sharded(kv_caches,
-                                          f["page_indices"].reshape(
-                                              s, self.max_blocks_per_req))
+                builder = (build_all if per_shard else build_sharded)
+                kv_caches = builder(kv_caches,
+                                    f["page_indices"].reshape(
+                                        s, self.max_blocks_per_req))
 
             # Unrolled rather than lax.scan: the graph is identical per
             # iteration, XLA can overlap across iterations, and the
@@ -1110,7 +1114,28 @@ class ModelRunner:
             return toks_all, kv_caches
 
         if use_arena:
+            ring_stack_spec = PS(None, None, None, head_ax, None)
+            # inputs are the PAGED caches: the arena build happens
+            # inside this same program
+            whole = _shard_map(
+                functools.partial(window_core, per_shard=True), mesh,
+                in_specs=(fwd_param_specs, self._layer_specs(n_layers),
+                          P(None, None), P(), P(), P()),
+                out_specs=(P(), (ring_stack_spec, ring_stack_spec)))
+
+            def run(params, kv_caches, rope, packed, step_key,
+                    prev_toks):
+                if dequant is not None:
+                    params = dequant(params)
+                return whole(params, kv_caches, rope, packed, step_key,
+                             prev_toks)
             return jax.jit(run), True
+
+        def run(params, kv_caches, rope, packed, step_key, prev_toks):
+            if dequant is not None:
+                params = dequant(params)
+            return window_core(params, kv_caches, rope, packed, step_key,
+                               prev_toks, per_shard=False)
         return jax.jit(run, donate_argnums=(1,)), False
 
     def _get_fold(self, n_steps: int):
