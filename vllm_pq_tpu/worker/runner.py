@@ -763,6 +763,11 @@ class ModelRunner:
                plp_k, penalized, decode_pages, mm, raw_n)
         fn = self._step_fns.get(key)
         if fn is None:
+            logger.info("compiling step variant (t=%d greedy=%s lp=%d "
+                        "constrained=%s decode=%s plp=%d pen=%s pages=%d "
+                        "mm=%s raw=%d)", t_bucket, greedy, num_logprobs,
+                        constrained, decode_only, plp_k, penalized,
+                        decode_pages, mm, raw_n)
             fn = self._build_step(t_bucket, greedy, num_logprobs,
                                   constrained, decode_only, plp_k,
                                   penalized, decode_pages, mm, raw_n)
@@ -1890,8 +1895,16 @@ class ModelRunner:
             # PP variants are keyed by (microbatch width, packing
             # bucket); compile on demand
             return
-        for b in self.token_buckets:
-            for decode_only in (False, True):
+        # bootstrap pass: the first call's outputs give kv_caches and
+        # _prev_toks their steady-state (committed Auto) shardings, so
+        # every variant compiled below keys EXACTLY like serving calls
+        # (see the feed-back note at the bottom of the loop)
+        bootstrap = [True, False]
+        for is_boot in bootstrap:
+            buckets = (self.token_buckets[:1] if is_boot
+                       else self.token_buckets)
+            for b in buckets:
+              for decode_only in ((False,) if is_boot else (False, True)):
                 lay = self._layout(b, False)
                 buf = self._packed_bufs[(b, False, False)]
                 buf[:] = 0
@@ -1938,6 +1951,16 @@ class ModelRunner:
                                  jax.random.PRNGKey(0), lora_w,
                                  self._prev_toks_or_zeros(), *extra)
                         self.kv_caches = out[-1]
+                        # feed the sampled tokens back as prev_toks:
+                        # serving passes the PREVIOUS step's output here,
+                        # which carries a committed (Auto) sharding. A
+                        # fresh zeros array keys a DIFFERENT trace, so
+                        # every variant silently recompiled (25-200 s
+                        # through the remote compiler) on its first live
+                        # call — warmup was priming the wrong cache keys.
+                        toks0 = out[0]
+                        self._prev_toks = (toks0[:, 0] if toks0.ndim == 2
+                                           else toks0)
                         jax.block_until_ready(out[0])
                         n += 1
         logger.info("warmup: compiled %d step variants in %.1fs", n,
