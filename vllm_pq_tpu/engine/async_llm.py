@@ -83,7 +83,13 @@ class AsyncLLM:
                 busy = self.engine.has_unfinished_requests()
                 if busy:
                     try:
+                        t0 = time.monotonic()
                         outputs = self.engine.step()
+                        dt = time.monotonic() - t0
+                        if dt > 1.0:
+                            logger.warning(
+                                "engine step took %.1f s (one-time "
+                                "compile/load or overload)", dt)
                     except BaseException as e:  # engine death => fail fast
                         logger.exception("engine loop died")
                         self.dead_error = e

@@ -131,8 +131,31 @@ class EngineCore:
                 self.proposer = NgramProposer(sc.prompt_lookup_min,
                                               sc.prompt_lookup_max,
                                               sc.num_spec_tokens)
+        if config.compilation.warmup:
+            self._warmup_live_path()
 
     # ------------------------------------------------------------------
+
+    def _warmup_live_path(self) -> None:
+        """One real generation through the live dispatch path. The
+        runner warmup compiles every step variant, but the FIRST live
+        step still paid a one-time 20-110 s stall on the tunneled
+        runtime (helper programs / transfer setup the variant warmup
+        never exercises); absorb it at boot instead of on the first
+        request."""
+        import time as _time
+        from vllm_pq_tpu.sampling_params import SamplingParams
+        t0 = _time.perf_counter()
+        req = Request("warmup-live", [1, 2, 3],
+                      SamplingParams(temperature=0.0, max_tokens=2,
+                                     ignore_eos=True))
+        req.eos_token_id = -1
+        self.add_request(req)
+        guard = 0
+        while self.scheduler.has_unfinished_requests() and guard < 64:
+            self.step()
+            guard += 1
+        logger.info("live-path warmup: %.1fs", _time.perf_counter() - t0)
 
     def add_request(self, request: Request) -> None:
         if request.lora_request is not None:

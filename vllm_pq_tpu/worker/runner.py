@@ -1963,6 +1963,12 @@ class ModelRunner:
                                            else toks0)
                         jax.block_until_ready(out[0])
                         n += 1
+        # helper programs dispatched OUTSIDE the step jits (per-step key
+        # folding etc.): their first execution pays the same remote
+        # compile/load round trip as a full variant (~20 s observed), so
+        # run them here rather than on the first live request
+        jax.block_until_ready(
+            jax.random.fold_in(self._rng_key, self._step_count))
         logger.info("warmup: compiled %d step variants in %.1fs", n,
                     time.perf_counter() - t0)
 
