@@ -146,16 +146,26 @@ class EngineCore:
         import time as _time
         from vllm_pq_tpu.sampling_params import SamplingParams
         t0 = _time.perf_counter()
-        req = Request("warmup-live", [1, 2, 3],
-                      SamplingParams(temperature=0.0, max_tokens=2,
-                                     ignore_eos=True))
-        req.eos_token_id = -1
-        self.add_request(req)
-        guard = 0
-        while self.scheduler.has_unfinished_requests() and guard < 64:
-            self.step()
-            guard += 1
-        logger.info("live-path warmup: %.1fs", _time.perf_counter() - t0)
+        smax = self.config.scheduler.max_num_seqs
+        # walk the decode token buckets (1, 12, 48, ... concurrent
+        # rows): residual one-time stalls fire on the FIRST live
+        # execution of each bucket's variant; absorb them all at boot
+        waves = [n for n in (1, 12, 48, 192) if n <= smax] or [1]
+        total = 0
+        for wave, n_req in enumerate(waves):
+            sp = SamplingParams(temperature=0.0, max_tokens=2,
+                                ignore_eos=True)
+            for i in range(n_req):
+                req = Request(f"warmup-live-{wave}-{i}", [1, 2, 3], sp)
+                req.eos_token_id = -1
+                self.add_request(req)
+            guard = 0
+            while self.scheduler.has_unfinished_requests() and guard < 64:
+                self.step()
+                guard += 1
+                total += 1
+        logger.info("live-path warmup: %d steps in %.1fs", total,
+                    _time.perf_counter() - t0)
 
     def add_request(self, request: Request) -> None:
         if request.lora_request is not None:
