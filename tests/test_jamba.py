@@ -79,3 +79,40 @@ def test_jamba_batched_and_condense(setup):
            for p, sp in zip(prompts, sps)]
     outs = llm.generate(prompts, sps)
     assert [o.outputs[0].token_ids for o in outs] == seq
+
+
+def test_bamba_matches_hf(tmp_path):
+    """Bamba (hybrid Mamba-2 / attention, reference models/bamba.py
+    role): HF-golden token-exact through mixed ssm/kv layer caches."""
+    import numpy as np
+    import torch
+    from transformers import BambaConfig, BambaForCausalLM
+    cfg = BambaConfig(vocab_size=256, hidden_size=64,
+                      intermediate_size=128, num_hidden_layers=3,
+                      num_attention_heads=4, num_key_value_heads=2,
+                      attn_layer_indices=[1], mamba_n_heads=8,
+                      mamba_d_head=16, mamba_n_groups=1,
+                      mamba_d_state=32, mamba_d_conv=4, mamba_expand=2,
+                      pad_token_id=0, tie_word_embeddings=False)
+    torch.manual_seed(0)
+    hf = BambaForCausalLM(cfg).eval().float()
+    d = tmp_path / "bamba"
+    hf.save_pretrained(d, safe_serialization=True)
+
+    from vllm_pq_tpu import LLM, SamplingParams
+    llm = LLM(model=str(d), dtype="float32", max_model_len=96,
+              max_num_seqs=4, max_num_batched_tokens=128, block_size=16,
+              num_kv_blocks=64)
+    rng = np.random.default_rng(4)
+    for trial in range(3):
+        prompt = rng.integers(3, 250, int(rng.integers(4, 16))).tolist()
+        with torch.no_grad():
+            exp = hf.generate(
+                torch.tensor([prompt]), max_new_tokens=10,
+                do_sample=False, num_beams=1,
+                pad_token_id=0)[0, len(prompt):].tolist()
+        got = llm.generate(
+            [{"prompt_token_ids": prompt}],
+            SamplingParams(temperature=0.0, max_tokens=10,
+                           ignore_eos=True))[0].outputs[0].token_ids
+        assert got == exp, (trial, got, exp)

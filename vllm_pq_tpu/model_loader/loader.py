@@ -420,6 +420,10 @@ def _load_jamba_weight(tree, cfg, shapes, linear_method, name, w,
                                                 else w)
         elif which in ("dt_layernorm", "b_layernorm", "c_layernorm"):
             node.setdefault(which, {})[leaf] = w
+        elif which in ("dt_bias", "norm"):
+            # Bamba mamba-2 mixer extras (bare dt_bias Parameter, gated
+            # RMSNorm weight)
+            node.setdefault(which, {})["weight"] = w
         else:
             logger.warning("unmapped Jamba mamba weight %s", name)
         return
@@ -986,7 +990,7 @@ def load_hf(model, mesh: Mesh, model_dir: str,
             "layers": [dict() for _ in range(cfg.encoder_layers)]}
         tree["embed_positions"] = {}
     is_mamba = model.__class__.__name__ in ("MambaModel", "Mamba2Model")
-    is_jamba = model.__class__.__name__ == "JambaModel"
+    is_jamba = model.__class__.__name__ in ("JambaModel", "BambaModel")
     is_mllama = model.__class__.__name__ == "MllamaModel"
     if is_mllama:
         v = model.cfg.vision

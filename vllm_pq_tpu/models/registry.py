@@ -917,6 +917,26 @@ def _build_jamba(hf_config, config: EngineConfig, linear_method):
     return JambaModel(mc, linear_method, expert_parallel=ep)
 
 
+@register_model("BambaForCausalLM")
+def _build_bamba(hf_config, config: EngineConfig, linear_method):
+    # IBM Bamba: hybrid Mamba-2 / attention (reference models/bamba.py
+    # role) — the Jamba hybrid skeleton with SSD mixers and
+    # partial-rotary GQA on the sparse attention layers
+    from vllm_pq_tpu.models.bamba import BambaConfig, BambaModel
+    mc = (BambaConfig.from_hf_config(hf_config)
+          if hf_config is not None else BambaConfig())
+    mc.dtype = config.model.jax_dtype
+    if config.cache.enable_prefix_caching:
+        logger.warning("prefix caching is incompatible with hybrid "
+                       "recurrent layers; disabling")
+        config.cache.enable_prefix_caching = False
+    if config.scheduler.num_scheduler_steps > 1:
+        logger.warning("multi-step windows unsupported for hybrid "
+                       "models; forcing num_scheduler_steps=1")
+        config.scheduler.num_scheduler_steps = 1
+    return BambaModel(mc, linear_method)
+
+
 @register_model("Mamba2ForCausalLM")
 def _build_mamba2(hf_config, config: EngineConfig, linear_method):
     # Mamba-2 / SSD (reference models/mamba2.py role): scalar-per-head
