@@ -108,9 +108,10 @@ def _cpu_env():
     }
 
 
-def run_measurement(model, timeout_s, force_cpu=False):
+def run_measurement(model, timeout_s, force_cpu=False, env_extra=None):
     """Run one measurement child; returns parsed dict or None."""
-    env_extra = _cpu_env() if force_cpu else None
+    if force_cpu:
+        env_extra = dict(_cpu_env(), **(env_extra or {}))
     rc, out, err = _run_child(
         [sys.executable, os.path.abspath(__file__), "--child", model],
         timeout_s, env_extra)
@@ -183,7 +184,7 @@ def parent_main():
     # 4. north-star-scale 7B measurement (best effort, never blocks headline)
     if on_tpu and flagship is not None and _left() > 420 \
             and not os.environ.get("VPQ_BENCH_SKIP_7B"):
-        budget = _left() - 60
+        budget = min(_left() - 260, 1500)
         _log(f"llama2_7b run (timeout {budget:.0f}s)")
         seven = run_measurement("llama2_7b", budget)
         if seven is not None:
@@ -192,6 +193,27 @@ def parent_main():
             errors.append("llama2_7b child failed")
     elif on_tpu:
         errors.append("llama2_7b skipped (deadline or env)")
+
+    # 5. small-batch latency + long-context rows (best effort;
+    #    VERDICT r3 #3 and weak #7). The fused-PQ A/B streams codes
+    #    per step instead of the resident-dense weights.
+    if on_tpu and flagship is not None:
+        for name, env in (
+                ("smallbatch", None),
+                ("smallbatch_fused", {"VPQ_PQ_RESIDENT": "0",
+                                      "VPQ_WINDOW_DEQUANT": "0"}),
+                ("longctx", None)):
+            if _left() < 260:
+                errors.append(f"{name} skipped (deadline)")
+                continue
+            budget = min(_left() - 40, 500)
+            _log(f"{name} run (timeout {budget:.0f}s)")
+            extra = run_measurement(name.replace("_fused", ""), budget,
+                                    env_extra=env)
+            if extra is not None:
+                result["extras"][name] = extra
+            else:
+                errors.append(f"{name} child failed")
 
     result["error"] = "; ".join(errors) if errors else None
     print(json.dumps(result), flush=True)
@@ -226,7 +248,16 @@ BENCH_PLANS = {
     #                 batch  prompt decode  max_len  sched_steps
     "flagship":      (256,   32,    193,    256,     32),
     "llama2_7b":     (64,    32,    97,     160,     16),
+    # small-batch latency configs (VERDICT r3 #3): where codes-streaming
+    # was supposed to win; measured resident vs fused-PQ (the fused A/B
+    # runs the same plan with VPQ_PQ_RESIDENT=0 VPQ_WINDOW_DEQUANT=0)
+    "smallbatch":    (8,     32,    193,    256,     16),
+    # driver-visible long-context decode row (VERDICT r3 weak #7)
+    "longctx":       (64,    992,   193,    1216,    32),
 }
+# smallbatch/longctx reuse the flagship model config
+MODEL_CFGS["smallbatch"] = MODEL_CFGS["flagship"]
+MODEL_CFGS["longctx"] = MODEL_CFGS["flagship"]
 
 
 def child_main(model_name):
@@ -235,7 +266,7 @@ def child_main(model_name):
     # cold cache (measured 23.9k vs 22.1k tok/s). The 7B config's
     # non-pow2 fixed bucket (10 pages) regresses its decode 7x, so it
     # keeps the pow2 ladder.
-    if model_name == "flagship":
+    if model_name in ("flagship", "smallbatch", "longctx"):
         os.environ.setdefault("VPQ_PAGES_FIXED", "1")
     if os.environ.get("VPQ_FORCE_CPU"):
         # the axon sitecustomize may have registered the tunnel backend
@@ -381,7 +412,10 @@ def child_main(model_name):
         eng.step()
 
     # roofline: per decode step the chip must stream PQ codes + bf16
-    # embeddings/lm_head + the live KV prefix
+    # embeddings/lm_head + the live KV prefix. The KV term uses the
+    # bytes the task minimally needs WITH THE CHOSEN cache dtype
+    # (VERDICT r3 weak #4: an int8-KV run must not be scored against a
+    # bf16-KV denominator).
     h = model_cfg["hidden_size"]
     inter = model_cfg["intermediate_size"]
     kvh = model_cfg["num_key_value_heads"]
@@ -393,7 +427,12 @@ def child_main(model_name):
     codes_bytes = lin_params // 4          # 2x8 = 2 bits/weight
     lm_head_bytes = model_cfg["vocab_size"] * h * 2
     avg_ctx = prompt_len + decode_steps / 2
-    kv_bytes_step = batch * avg_ctx * layers * 2 * kvh * head_dim * 2
+    kv_int8 = type(llm.llm_engine.engine_core.runner
+                   .kv_caches[0]).__name__ == "QuantKV"
+    # int8 cache: 1 B/elem + one f32 scale per (token, head)
+    kv_elem_bytes = (1 + 4 / head_dim) if kv_int8 else 2
+    kv_bytes_step = int(batch * avg_ctx * layers * 2 * kvh *
+                        head_dim * kv_elem_bytes)
     hbm_bw = 819e9 if on_tpu else 50e9
     step_roofline = (codes_bytes + lm_head_bytes + kv_bytes_step) / hbm_bw
     roofline_tput = batch / step_roofline

@@ -245,6 +245,226 @@ def bench_pq(tokens: int, nbits: int = 8, m: int = 2):
     return res
 
 
+def bench_arena(batch: int, ctx: int, int8: bool = False,
+                ring_n: int = 32):
+    """Decode-window arena attention, 22-layer chain: Pallas flash
+    kernel (ops/arena_kernel.py) vs the XLA segmented-softmax path."""
+    from vllm_pq_tpu.ops.window_attention import (WindowCache,
+                                                  window_attention)
+    rng = np.random.default_rng(0)
+    s = batch
+    kdt = jnp.int8 if int8 else jnp.bfloat16
+    if int8:
+        aK = jnp.asarray(rng.integers(-127, 128, (s, KVH, ctx, D)),
+                         jnp.int8)
+        aV = jnp.asarray(rng.integers(-127, 128, (s, KVH, ctx, D)),
+                         jnp.int8)
+        aKs = jnp.asarray(rng.uniform(0.01, 0.03, (s, KVH, ctx)),
+                          jnp.float32)
+        aVs = jnp.asarray(rng.uniform(0.01, 0.03, (s, KVH, ctx)),
+                          jnp.float32)
+    else:
+        aK = jnp.asarray(rng.standard_normal((s, KVH, ctx, D)),
+                         jnp.bfloat16)
+        aV = jnp.asarray(rng.standard_normal((s, KVH, ctx, D)),
+                         jnp.bfloat16)
+        aKs = jnp.zeros((s, KVH, 0), jnp.float32)
+        aVs = jnp.zeros((s, KVH, 0), jnp.float32)
+    zero3 = jnp.zeros((0, KVH, D), kdt)
+    zscl = jnp.zeros((0, KVH), jnp.float32)
+    wc = WindowCache(
+        aK=aK, aV=aV, aKs=aKs, aVs=aVs, sK=zero3, sV=zero3, sKs=zscl,
+        sVs=zscl,
+        ringK=jnp.asarray(rng.standard_normal((ring_n, s, KVH, D)),
+                          jnp.bfloat16),
+        ringV=jnp.asarray(rng.standard_normal((ring_n, s, KVH, D)),
+                          jnp.bfloat16),
+        step=jnp.int32(ring_n - 1))
+    q = jnp.asarray(rng.standard_normal((s, HQ, D)), jnp.bfloat16)
+    base = jnp.full((s,), ctx, jnp.int32)
+    sm = 1.0 / np.sqrt(D)
+
+    def mk_chain():
+        @jax.jit
+        def chain(q, wc, base):
+            o = q
+            for _ in range(LAYERS):
+                o = window_attention(o, wc, base, sm_scale=sm)
+            return o
+        return chain
+
+    res = {"batch": batch, "ctx": ctx,
+           "dtype": "int8" if int8 else "bf16"}
+    kv_bytes = LAYERS * s * ctx * 2 * KVH * D * (1 if int8 else 2)
+    if int8:
+        kv_bytes += LAYERS * s * ctx * 2 * KVH * 4  # scale planes
+    res["kv_mb"] = round(kv_bytes / 2**20, 1)
+    res["roofline_ms"] = round(kv_bytes / HBM_BW * 1e3, 3)
+    os.environ["VPQ_ARENA_KERNEL"] = "0"
+    res["xla_ms"] = round(_timeit(mk_chain(), q, wc, base) * 1e3, 3)
+    os.environ["VPQ_ARENA_KERNEL"] = "auto"
+    try:
+        res["pallas_ms"] = round(_timeit(mk_chain(), q, wc, base) * 1e3,
+                                 3)
+    except Exception as e:  # noqa
+        res["pallas_ms"] = f"ERR {type(e).__name__}: {e}"
+    print("arena", json.dumps(res))
+    return res
+
+
+def bench_w8(tokens: int):
+    """TinyLlama linear stack (qkv+o+gate_up+down x 22): Pallas w8a16
+    (ops/int8_matmul.py) vs XLA astype+dot vs dense bf16."""
+    from vllm_pq_tpu.ops.int8_matmul import int8_matmul
+    rng = np.random.default_rng(0)
+    shapes = [(HIDDEN, HQ * D + 2 * KVH * D), (HQ * D, HIDDEN),
+              (HIDDEN, 2 * INTER), (INTER, HIDDEN)]
+    ws, scs, wd = [], [], []
+    for (i, o) in shapes:
+        ws.append(jnp.asarray(rng.integers(-127, 128, (i, o)), jnp.int8))
+        scs.append(jnp.asarray(rng.uniform(1e-3, 2e-3, (o,)),
+                               jnp.float32))
+        wd.append((ws[-1].astype(jnp.float32)
+                   * scs[-1][None, :]).astype(jnp.bfloat16))
+    x = jnp.asarray(rng.standard_normal((tokens, HIDDEN)), jnp.bfloat16)
+    params = sum(i * o for i, o in shapes) * LAYERS
+
+    def layer(x, mm):
+        qkv = mm(x, 0)
+        o = mm(qkv[:, :HQ * D], 1)
+        gu = mm(o, 2)
+        return mm(gu[:, :INTER], 3)
+
+    @jax.jit
+    def chain_pallas(x):
+        for _ in range(LAYERS):
+            x = layer(x, lambda h, i: int8_matmul(h, ws[i], scs[i]))
+        return x
+
+    @jax.jit
+    def chain_xla_int8(x):
+        def mm(h, i):
+            y = jnp.dot(h, ws[i].astype(h.dtype),
+                        preferred_element_type=jnp.float32)
+            return (y * scs[i][None, :]).astype(h.dtype)
+        for _ in range(LAYERS):
+            x = layer(x, mm)
+        return x
+
+    @jax.jit
+    def chain_dense(x):
+        def mm(h, i):
+            return jnp.dot(h, wd[i], preferred_element_type=jnp.float32
+                           ).astype(h.dtype)
+        for _ in range(LAYERS):
+            x = layer(x, mm)
+        return x
+
+    @jax.jit
+    def chain_w8a8(x):
+        def mm(h, i):
+            absmax = jnp.max(jnp.abs(h), axis=-1, keepdims=True)
+            sx = (absmax / 127.0 + 1e-8).astype(jnp.float32)
+            xq = jnp.clip(jnp.round(h.astype(jnp.float32) / sx),
+                          -127, 127).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                xq, ws[i], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            return (acc.astype(jnp.float32) * sx
+                    * scs[i][None, :]).astype(h.dtype)
+        for _ in range(LAYERS):
+            x = layer(x, mm)
+        return x
+
+    res = {"tokens": tokens, "params_g": round(params / 1e9, 3),
+           "int8_roofline_ms": round(params / HBM_BW * 1e3, 3),
+           "bf16_roofline_ms": round(2 * params / HBM_BW * 1e3, 3)}
+    try:
+        res["pallas_w8a16_ms"] = round(_timeit(chain_pallas, x) * 1e3, 3)
+    except Exception as e:  # noqa
+        res["pallas_w8a16_ms"] = f"ERR {type(e).__name__}: {e}"
+    res["xla_int8_ms"] = round(_timeit(chain_xla_int8, x) * 1e3, 3)
+    res["dense_bf16_ms"] = round(_timeit(chain_dense, x) * 1e3, 3)
+    res["xla_w8a8_ms"] = round(_timeit(chain_w8a8, x) * 1e3, 3)
+    print("w8", json.dumps(res))
+    return res
+
+
+def bench_onehot():
+    """MXU one-hot dequant for 2x8 codes (VERDICT r3 #2): build a
+    [codes, 256] one-hot on the VPU, contract against the codebook on
+    the MXU. Measured per-linear on the TinyLlama qkv shape; reported
+    as G weights/s next to the packed-gather Pallas dequant."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from vllm_pq_tpu.ops.pq_matmul import pq_dequant_full_pallas
+
+    rng = np.random.default_rng(0)
+    J, O, G = HIDDEN // 8, 2048, 8          # qkv-ish linear, 2x8 PQ
+    REPS = 16                               # amortize dispatch overhead
+    codes_list = [jnp.asarray(rng.integers(0, 256, (2, J, O)),
+                              jnp.uint8) for _ in range(REPS)]
+    codes = codes_list[0]
+    cbs = jnp.asarray(rng.standard_normal((2, 256, G)), jnp.bfloat16)
+    scales = jnp.ones((O,), jnp.float32)
+
+    TJ = 32
+
+    def kernel(codes_ref, cb_ref, o_ref):
+        acc = None
+        for k in range(2):
+            c = codes_ref[k].astype(jnp.int32)          # [TJ, 128]
+            iota = jax.lax.broadcasted_iota(
+                jnp.int32, (TJ, 128, 256), 2)
+            oh = (c[:, :, None] == iota).astype(jnp.bfloat16)
+            wk = jax.lax.dot_general(
+                oh.reshape(TJ * 128, 256), cb_ref[k],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = wk if acc is None else acc + wk
+        o_ref[...] = acc.reshape(TJ, 128, G).astype(jnp.bfloat16)
+
+    def onehot_one(codes, cbs):
+        return pl.pallas_call(
+            kernel,
+            grid=(J // TJ, O // 128),
+            in_specs=[
+                pl.BlockSpec((2, TJ, 128), lambda j, o: (0, j, o)),
+                pl.BlockSpec((2, 256, G), lambda j, o: (0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((TJ, 128, G),
+                                   lambda j, o: (j, o, 0)),
+            out_shape=jax.ShapeDtypeStruct((J, O, G), jnp.bfloat16),
+        )(codes, cbs)
+
+    @jax.jit
+    def onehot_chain(codes_list, cbs):
+        return [onehot_one(c, cbs) for c in codes_list]
+
+    weights = J * O * G * REPS
+    res = {"weights_m": round(weights / 1e6, 2)}
+    try:
+        t = _timeit(onehot_chain, codes_list, cbs)
+        res["onehot_pallas_ms"] = round(t * 1e3, 3)
+        res["onehot_gw_s"] = round(weights / t / 1e9, 1)
+    except Exception as e:  # noqa
+        res["onehot_pallas_ms"] = f"ERR {type(e).__name__}: {e}"
+
+    @jax.jit
+    def gather_chain(codes_list, cbs, scales):
+        return [pq_dequant_full_pallas(c, cbs, scales)
+                for c in codes_list]
+
+    try:
+        t = _timeit(gather_chain, codes_list, cbs, scales)
+        res["gather_pallas_ms"] = round(t * 1e3, 3)
+        res["gather_gw_s"] = round(weights / t / 1e9, 1)
+    except Exception as e:  # noqa
+        res["gather_pallas_ms"] = f"ERR {type(e).__name__}: {e}"
+    print("onehot", json.dumps(res))
+    return res
+
+
 def bench_kvw(batch: int, pool_pages: int = 4160):
     from vllm_pq_tpu.ops.attention import write_kv_cache
     rng = np.random.default_rng(0)
@@ -319,19 +539,30 @@ def bench_step(batch: int, pool_blocks: int = 0, backend: str = ""):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("which", choices=["attn", "pq", "kvw", "step", "all"])
+    ap.add_argument("which", choices=["attn", "arena", "pq", "w8",
+                                      "onehot", "kvw", "step", "all"])
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--ctx", type=int, default=128)
     ap.add_argument("--tokens", type=int, default=256)
     ap.add_argument("--nbits", type=int, default=8)
     ap.add_argument("--m", type=int, default=2)
+    ap.add_argument("--int8", action="store_true")
     ap.add_argument("--pool-blocks", type=int, default=0)
     ap.add_argument("--backend", default="")
     args = ap.parse_args()
     if args.which in ("attn", "all"):
         bench_attn(args.batch, args.ctx)
+    if args.which == "arena":
+        bench_arena(args.batch, args.ctx, int8=args.int8)
+    if args.which == "all":
+        bench_arena(args.batch, args.ctx, int8=False)
+        bench_arena(args.batch, args.ctx, int8=True)
     if args.which in ("pq", "all"):
         bench_pq(args.tokens, args.nbits, args.m)
+    if args.which in ("w8", "all"):
+        bench_w8(args.tokens)
+    if args.which in ("onehot", "all"):
+        bench_onehot()
     if args.which in ("kvw", "all"):
         bench_kvw(args.batch)
     if args.which == "step":

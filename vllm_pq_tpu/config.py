@@ -175,10 +175,12 @@ class SpeculativeConfig:
 
     def __post_init__(self):
         if self.method is not None and self.method not in (
-                "ngram", "draft_model", "medusa", "mlp_speculator"):
+                "ngram", "draft_model", "medusa", "mlp_speculator",
+                "eagle", "deepseek_mtp"):
             raise ValueError(f"Unknown speculative method {self.method!r}")
         if self.method in ("draft_model", "medusa",
-                           "mlp_speculator") and not self.model:
+                           "mlp_speculator", "eagle",
+                           "deepseek_mtp") and not self.model:
             raise ValueError(f"speculative method {self.method!r} requires "
                              "a checkpoint path (speculative_model)")
         if self.method and self.num_spec_tokens <= 0:

@@ -123,6 +123,11 @@ class EngineCore:
                     DraftModelProposer
                 self.draft_proposer = DraftModelProposer(
                     config, self.worker.mesh, num_blocks)
+            elif sc.method in ("eagle", "deepseek_mtp"):
+                from vllm_pq_tpu.spec_decode.eagle import EagleProposer
+                self.draft_proposer = EagleProposer(
+                    config, self.worker.mesh, num_blocks, self.runner,
+                    style="eagle" if sc.method == "eagle" else "mtp")
             elif sc.method == "medusa":
                 pass  # in-graph heads installed above; drafts ride
                 # runner output (_attach_medusa_drafts)

@@ -67,6 +67,14 @@ environment_variables: Dict[str, Callable[[], Any]] = {
                                                "auto"),
     "VPQ_WINDOW_ARENA_MAX_GB": lambda: float(os.environ.get(
         "VPQ_WINDOW_ARENA_MAX_GB", "6")),
+    # Pallas flash arena-attention kernel (ops/arena_kernel.py): "auto"
+    # (on on TPU for supported shapes), "1" force (interpret off-TPU,
+    # tests), "0" off (XLA einsum fallback, round-3 behavior).
+    "VPQ_ARENA_KERNEL": lambda: os.environ.get("VPQ_ARENA_KERNEL",
+                                               "auto"),
+    # Pallas w8a16 int8-weight matmul (ops/int8_matmul.py): "auto" (on
+    # on TPU), "1" force (interpret off-TPU, tests), "0" XLA astype+dot.
+    "VPQ_INT8_MM": lambda: os.environ.get("VPQ_INT8_MM", "auto"),
     # pin page-table buckets to max_model_len: ONE compiled variant per
     # step kind instead of one per pow-2 context bucket. Slightly more
     # gather work on short contexts; removes mid-run compile stalls

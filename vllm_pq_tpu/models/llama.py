@@ -177,6 +177,10 @@ def _linear_defs(cfg: LlamaConfig):
 class LlamaModel:
     """Stateless model definition: param templates, specs, forward."""
 
+    # layers whose input_layernorm is bypassed (EAGLE draft layer 0,
+    # models/eagle_draft.py; reference eagle.py DummyInputLayerNorm)
+    identity_input_norm_layers: frozenset = frozenset()
+
     def __init__(self, cfg: LlamaConfig, linear_method: LinearMethod,
                  lm_head_method: Optional[LinearMethod] = None):
         from vllm_pq_tpu.quantization.methods import UnquantizedLinearMethod
@@ -458,8 +462,11 @@ class LlamaModel:
             # Gemma3 dual tables: local (sliding) layers use row 1
             rope_cache = rope_cache[
                 1 if self.layer_window(li) is not None else 0]
-        # self-attention (OLMo2 block_style norms branch OUTPUTS only)
-        h = (x if cfg.block_style == "olmo2"
+        # self-attention (OLMo2 block_style norms branch OUTPUTS only;
+        # EAGLE draft layers skip the input norm entirely — reference
+        # eagle.py DummyInputLayerNorm on layer 0)
+        h = (x if (cfg.block_style == "olmo2"
+                   or li in self.identity_input_norm_layers)
              else norm(x, lp["input_layernorm"]))
         q = self._lin(lp, "q_proj", h, lora_layer, lora_md)
         k = self._lin(lp, "k_proj", h, lora_layer, lora_md)

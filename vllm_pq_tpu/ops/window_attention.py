@@ -38,16 +38,18 @@ MASK_VALUE = -1e30
 @jax.tree_util.register_dataclass
 @dataclass
 class WindowCache:
-    aK: jax.Array      # [S, CTX, KVH, D] dense arena keys (immutable;
+    aK: jax.Array      # [S, KVH, CTX, D] dense arena keys (immutable;
     #                    int8 when the paged pool is int8 — the arena
     #                    streams HALF the bytes per step, the dominant
-    #                    decode-window bandwidth term)
-    aV: jax.Array      # [S, CTX, KVH, D]
-    aKs: jax.Array     # f32 [S, CTX, KVH] arena K scales ([S,0,KVH]
+    #                    decode-window bandwidth term). Head-major so a
+    #                    Pallas (row, head, ctx-tile) block is one
+    #                    contiguous DMA run per head (ops/arena_kernel).
+    aV: jax.Array      # [S, KVH, CTX, D]
+    aKs: jax.Array     # f32 [S, KVH, CTX] arena K scales ([S,KVH,0]
     #                    when bf16: the scale factors out of the dot
     #                    product exactly, so int8 arenas are as exact
     #                    as the int8 pool itself)
-    aVs: jax.Array     # f32 [S, CTX, KVH]
+    aVs: jax.Array     # f32 [S, KVH, CTX]
     sK: jax.Array      # [Ls, KVH, D] SHARED-prefix keys (cascade role:
     sV: jax.Array      #   stored and read once for the whole batch)
     sKs: jax.Array     # f32 [Ls, KVH] ([0, KVH] when bf16)
@@ -106,14 +108,18 @@ def build_window_cache(kv_cache: jax.Array, page_indices: jax.Array,
     pages, pscl = raw_gather(
         page_indices[:, shared_pages:shared_pages + n_pages])
     pages = pages.reshape(s, n_pages * ps, 2 * kvh, d)
-    aK = pages[:, :, 0::2, :]
-    aV = pages[:, :, 1::2, :]
+    # head-major arena [S, KVH, CTX, D]: the relayout is paid once per
+    # window; every iteration's attention then streams contiguous
+    # (ctx, d) runs per head (arena_kernel BlockSpec requirement)
+    aK = pages[:, :, 0::2, :].transpose(0, 2, 1, 3)
+    aV = pages[:, :, 1::2, :].transpose(0, 2, 1, 3)
     if int8:
         pscl = pscl.reshape(s, n_pages * ps, 2 * kvh)
-        aKs, aVs = pscl[:, :, 0::2], pscl[:, :, 1::2]
+        aKs = pscl[:, :, 0::2].transpose(0, 2, 1)
+        aVs = pscl[:, :, 1::2].transpose(0, 2, 1)
     else:
-        aKs = jnp.zeros((s, 0, kvh), jnp.float32)
-        aVs = jnp.zeros((s, 0, kvh), jnp.float32)
+        aKs = jnp.zeros((s, kvh, 0), jnp.float32)
+        aVs = jnp.zeros((s, kvh, 0), jnp.float32)
     ring_shape = (ring_n, s, kvh, d)
     return WindowCache(
         aK=aK, aV=aV, aKs=aKs, aVs=aVs, sK=sK, sV=sV, sKs=sKs, sVs=sVs,
@@ -145,7 +151,7 @@ def window_attention(q: jax.Array, wc: WindowCache, base_lens: jax.Array,
     row's kv length at WINDOW START (arena-valid prefix); ring cols
     0..wc.step hold the window's tokens (query attends through its own
     ring position)."""
-    s, ctx, kvh, d = wc.aK.shape
+    s, kvh, ctx, d = wc.aK.shape
     n = wc.ringK.shape[0]
     ls = wc.sK.shape[0]            # shared-prefix length (cascade)
     int8 = wc.aK.dtype == jnp.int8
@@ -153,16 +159,45 @@ def window_attention(q: jax.Array, wc: WindowCache, base_lens: jax.Array,
     qs = q[:s] if t >= s else jnp.pad(q, ((0, s - t), (0, 0), (0, 0)))
     hq = qs.shape[1]
     rep = hq // kvh
+
+    # Pallas flash kernel (ops/arena_kernel.py), VPQ_ARENA_KERNEL=1
+    # only: on v5e the XLA einsum path over the head-major arena
+    # measures AT the KV roofline (bf16 1.45 ms vs 1.80 roofline, int8
+    # 1.01 vs 0.96 for the 22-layer batch-256 ctx-256 chain —
+    # benchmarks/microbench.py arena, round 4), while the Pallas kernel
+    # measures 3.1 ms: Mosaic lowers the tiny per-(row, head) GQA dots
+    # as a serial matmul loop. The kernel is kept for A/B and for its
+    # per-row tile clamp (ragged batches skip dead context tiles).
+    import vllm_pq_tpu.envs as envs
+    mode = envs.VPQ_ARENA_KERNEL
+    use_kernel = (
+        mode == "1" and ls == 0 and alibi_slopes is None
+        and soft_cap is None and d in (64, 128))
+    if use_kernel:
+        from vllm_pq_tpu.ops.arena_kernel import arena_attention_pallas
+        ring = wc.ringK.astype(qs.dtype)
+        out = arena_attention_pallas(
+            qs, wc.aK, wc.aV, wc.aKs if int8 else None,
+            wc.aVs if int8 else None, ring,
+            wc.ringV.astype(qs.dtype), base_lens[:s], wc.step,
+            sm_scale=sm_scale, sliding_window=sliding_window,
+            interpret=jax.default_backend() != "tpu")
+        if t > s:
+            out = jnp.pad(out, ((0, t - s), (0, 0), (0, 0)))
+        elif t < s:
+            out = out[:t]
+        return out
+
     qh = qs.reshape(s, kvh, rep, d)
     qscaled = qh * jnp.asarray(sm_scale, qh.dtype)
 
     aK = wc.aK.astype(qscaled.dtype) if int8 else wc.aK
-    sc_a = jnp.einsum("sgrd,slgd->sgrl", qscaled, aK,
+    sc_a = jnp.einsum("sgrd,sgld->sgrl", qscaled, aK,
                       preferred_element_type=jnp.float32)
     if int8:
         # per-(row, col, head) scale factors OUT of the dot product:
         # int8 arena scoring is exact w.r.t. the int8 pool contents
-        sc_a = sc_a * wc.aKs.transpose(0, 2, 1)[:, :, None, :]
+        sc_a = sc_a * wc.aKs[:, :, None, :]
     sc_r = jnp.einsum("sgrd,nsgd->sgrn", qscaled, wc.ringK,
                       preferred_element_type=jnp.float32)
 
@@ -230,8 +265,8 @@ def window_attention(q: jax.Array, wc: WindowCache, base_lens: jax.Array,
     if int8:
         # fold the V scales into the (small) probability tensor so the
         # big arena V streams raw int8
-        pa = pa * wc.aVs.transpose(0, 2, 1)[:, :, None, :]
-    out = jnp.einsum("sgrl,slgd->sgrd", pa.astype(vdt),
+        pa = pa * wc.aVs[:, :, None, :]
+    out = jnp.einsum("sgrl,sgld->sgrd", pa.astype(vdt),
                      wc.aV.astype(vdt) if int8 else wc.aV,
                      preferred_element_type=jnp.float32)
     out = out + jnp.einsum("sgrn,nsgd->sgrd", pr.astype(wc.ringV.dtype),

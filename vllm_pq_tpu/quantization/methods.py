@@ -89,6 +89,15 @@ class Int8LinearMethod(LinearMethod):
         return {"weight": P(None, None), "scale": P(None)}
 
     def apply(self, params, x):
+        import vllm_pq_tpu.envs as envs
+        from vllm_pq_tpu.ops.int8_matmul import int8_matmul, supported
+        mode = envs.VPQ_INT8_MM
+        if (mode != "0" and supported(x.shape[-1])
+                and (jax.default_backend() == "tpu" or mode == "1")):
+            # Pallas w8a16: weights stream as raw int8 with in-register
+            # dequant (XLA's astype+dot materializes the bf16 copy)
+            return int8_matmul(x, params["weight"], params["scale"],
+                               interpret=jax.default_backend() != "tpu")
         w = params["weight"].astype(x.dtype)
         y = jnp.dot(x, w, preferred_element_type=jnp.float32)
         return (y * params["scale"][None, :]).astype(x.dtype)

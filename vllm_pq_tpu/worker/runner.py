@@ -160,6 +160,18 @@ class ModelRunner:
         # medusa heads (spec_decode/medusa.py): evaluated in-graph at
         # the step tail; set via enable_medusa() before step fns build
         self.medusa_heads = None
+        # EAGLE / MTP (spec_decode/eagle.py): the target runner exports
+        # per-step hidden states (device handles, never fetched to
+        # host); the DRAFT runner consumes a hidden_cond step input
+        self.needs_hidden_cond = getattr(model, "needs_hidden_cond",
+                                         False)
+        self.export_hidden = (self.needs_hidden_cond or
+                              (config.speculative.enabled and
+                               config.speculative.method in
+                               ("eagle", "deepseek_mtp")))
+        self._next_hidden_cond = None
+        self.last_hidden = None
+        self.last_sel_hidden = None
         # device state
         self.rope_cache = jax.device_put(
             model.rope_cache(),
@@ -530,6 +542,10 @@ class ModelRunner:
         spec_keys = attn_keys + (("plp_targets",) if plp_k else ())
         if mm:
             spec_keys = spec_keys + ("mm_mask", "mm_embeds")
+        needs_cond = self.needs_hidden_cond
+        export_hidden = self.export_hidden
+        if needs_cond:
+            spec_keys = spec_keys + ("hidden_cond",)
         input_specs = {k: P() for k in spec_keys}
 
         medusa = self.medusa_heads is not None
@@ -560,7 +576,8 @@ class ModelRunner:
                 plp = (pi.astype(jnp.int32), pv, tgt_lp)
             else:
                 plp = None
-            return logits, new_caches, plp, (sel if medusa else None)
+            exp = (hidden, sel) if export_hidden else None
+            return logits, new_caches, plp, (sel if medusa else None), exp
 
         sharded = _shard_map(
             fwd, mesh,
@@ -569,7 +586,8 @@ class ModelRunner:
                       self._lora_specs() if lora_on else None),
             out_specs=(P(), self._layer_specs(n_layers),
                        (P(), P(), P()) if plp_k else None,
-                       P() if medusa else None),
+                       P() if medusa else None,
+                       (P(), P()) if export_hidden else None),
         )
 
         packed_keys = tuple(k for k in attn_keys
@@ -578,6 +596,9 @@ class ModelRunner:
 
         def step(params, kv_caches, rope, packed, step_key, lora_w,
                  prev_toks, *mm_arrays):
+            hidden_cond = None
+            if needs_cond:  # draft-model conditioning rides first
+                hidden_cond, *mm_arrays = mm_arrays
             if medusa:  # head weights ride as the leading extra array
                 medusa_w, *mm_arrays = mm_arrays
             raw_rows = None
@@ -585,6 +606,8 @@ class ModelRunner:
                 raw_rows, *mm_arrays = mm_arrays
             f = lay.unpack(packed)
             inputs = {k: f[k] for k in packed_keys}
+            if needs_cond:
+                inputs["hidden_cond"] = hidden_cond
             if plp_k:
                 inputs["plp_targets"] = f["plp_targets"]
             if encdec:
@@ -607,8 +630,8 @@ class ModelRunner:
                 lora = dict(lora_w)
                 lora["sorted_tok"] = f["lora_sorted_tok"]
                 lora["group_sizes"] = f["lora_groups"]
-            logits, new_caches, plp, sel = sharded(params, kv_caches,
-                                                   rope, inputs, lora)
+            logits, new_caches, plp, sel, exp = sharded(
+                params, kv_caches, rope, inputs, lora)
             toks, gens, lp, raw = self._sample_tail(
                 f, logits, step_key, greedy=greedy,
                 num_logprobs=num_logprobs, constrained=constrained,
@@ -637,7 +660,7 @@ class ModelRunner:
                                              alpha=alpha)
                 else:
                     drafts = medusa_drafts(medusa_w, h_last)
-            return toks, gens, lp, plp, drafts, raw, new_caches
+            return toks, gens, lp, plp, drafts, raw, exp, new_caches
 
         return jax.jit(step, donate_argnums=(1,))
 
@@ -956,10 +979,10 @@ class ModelRunner:
                 4 - len(tuple(self.kv_spec)))
             head_ax = kv_axes[2]
             wc_spec = WindowCache(
-                aK=PS(None, None, head_ax, None),
-                aV=PS(None, None, head_ax, None),
-                aKs=PS(None, None, head_ax),
-                aVs=PS(None, None, head_ax),
+                aK=PS(None, head_ax, None, None),
+                aV=PS(None, head_ax, None, None),
+                aKs=PS(None, head_ax, None),
+                aVs=PS(None, head_ax, None),
                 sK=PS(None, head_ax, None),
                 sV=PS(None, head_ax, None),
                 sKs=PS(None, head_ax),
@@ -1513,6 +1536,9 @@ class ModelRunner:
             for r in range(n):
                 if m[r]:
                     row_req_ids[r] = ib.req_ids[r]
+            if self.export_hidden or self.needs_hidden_cond:
+                self.last_flat_offsets = {
+                    ib.req_ids[r]: (r, 1) for r in range(n) if m[r]}
             self._decode_aligned = True  # q row i == seq row i
             self._finish_packing(so, lay, buf, ib, constrained,
                                  tok_slot)
@@ -1588,6 +1614,16 @@ class ModelRunner:
             off += nt
         cu[ib.num_reqs + 1:] = cu[ib.num_reqs]
         self._last_max_kv_len = int(kv_lens.max()) if ib.num_reqs else 1
+        if self.export_hidden or self.needs_hidden_cond:
+            offs, o2 = {}, 0
+            for row in range(ib.num_reqs):
+                nt2 = so.num_scheduled_tokens.get(ib.req_ids[row], 0)
+                if one_per_row and nt2:
+                    nt2 = 1
+                if nt2:
+                    offs[ib.req_ids[row]] = (o2, nt2)
+                o2 += nt2
+            self.last_flat_offsets = offs
         self._finish_packing(so, lay, buf, ib, constrained, tok_slot)
         return t_bucket, buf, row_req_ids, constrained, penalized
 
@@ -1756,9 +1792,37 @@ class ModelRunner:
             mm_args = (jnp.asarray(rows_arr),) + mm_args
         if self.medusa_heads is not None:
             mm_args = (self.medusa_heads,) + mm_args
-        toks, gens, lp, plp, drafts, raw, self.kv_caches = fn(
+        if self.needs_hidden_cond:
+            hc = self._next_hidden_cond
+            self._next_hidden_cond = None
+            if isinstance(hc, tuple):
+                # (source hidden [T_src, H], {rid: (src_off, src_nt)}):
+                # gather source slots into THIS step's packed layout
+                src, src_offs = hc
+                idx = np.zeros(t_bucket, np.int32)
+                for rid, (off, nt) in self.last_flat_offsets.items():
+                    so_ = src_offs.get(rid)
+                    if so_ is None:
+                        continue
+                    k = min(nt, so_[1])
+                    idx[off:off + k] = np.arange(so_[0], so_[0] + k)
+                hc = jnp.take(src, jnp.asarray(idx), axis=0,
+                              mode="clip")
+            if hc is None:
+                hc = jnp.zeros(
+                    (t_bucket, self.model.cfg.hidden_size),
+                    jnp.bfloat16 if self.model.cfg.dtype == "bfloat16"
+                    else jnp.float32)
+            elif hc.shape[0] != t_bucket:
+                hc = (hc[:t_bucket] if hc.shape[0] > t_bucket else
+                      jnp.pad(hc, ((0, t_bucket - hc.shape[0]), (0, 0))))
+            mm_args = (hc,) + mm_args
+        toks, gens, lp, plp, drafts, raw, exp, self.kv_caches = fn(
             self.params, self.kv_caches, self.rope_cache, packed, step_key,
             lora_w, self._prev_toks_or_zeros(), *mm_args)
+        if exp is not None:
+            # device handles only — the proposer consumes them on device
+            self.last_hidden, self.last_sel_hidden = exp
 
         # device state for async prev-token routing
         self._prev_toks = toks[:, 0] if self.spec_k else toks
@@ -1946,6 +2010,12 @@ class ModelRunner:
                                   else None)
                         extra = ((self.medusa_heads,)
                                  if self.medusa_heads is not None else ())
+                        if self.needs_hidden_cond:
+                            extra = (jnp.zeros(
+                                (b, self.model.cfg.hidden_size),
+                                jnp.bfloat16
+                                if self.model.cfg.dtype == "bfloat16"
+                                else jnp.float32),) + extra
                         out = fn(self.params, self.kv_caches,
                                  self.rope_cache, jnp.asarray(buf.copy()),
                                  jax.random.PRNGKey(0), lora_w,
