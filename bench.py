@@ -304,6 +304,7 @@ def child_main(model_name):
     with open(os.path.join(d, "config.json"), "w") as f:
         json.dump(model_cfg, f)
 
+    block_size = int(os.environ.get("VPQ_BENCH_BLOCK", "16"))
     llm = LLM(model=d, load_format="dummy",
               dtype="bfloat16" if on_tpu else "float32",
               quantization="pq",
@@ -316,12 +317,12 @@ def child_main(model_name):
                   "int8" if (on_tpu and model_name == "llama2_7b")
                   else "auto"),
               max_model_len=max_len, max_num_seqs=batch,
-              max_num_batched_tokens=2048, block_size=16,
+              max_num_batched_tokens=2048, block_size=block_size,
               gpu_memory_utilization=0.8,
               # size the pool to the workload: an oversized pool costs
               # ~14 ms/step (donation copies scale with pool size)
-              num_kv_blocks=batch * (max_len // 16) + 64 if on_tpu
-              else None,
+              num_kv_blocks=batch * (max_len // block_size) + 64
+              if on_tpu else None,
               enable_prefix_caching=True,
               # multi-step windows (N fused decode iterations per
               # dispatch) amortize per-dispatch overhead AND the PQ

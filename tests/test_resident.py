@@ -78,9 +78,15 @@ def test_resident_auto_policy_fallback(tiny_model_dir):
 
 
 def test_resident_int8_generates(tiny_model_dir):
+    # default apply form: w8a8 (dynamic-act int8, MXU s8xs8)
     toks, method = _gen(tiny_model_dir, {"VPQ_PQ_RESIDENT": "int8"})
-    assert method == "Int8LinearMethod"
+    assert method == "Int8W8A8LinearMethod"
     assert all(len(t) == 16 for t in toks)
+    # w8a16 stays available (no activation quantization error)
+    toks2, m2 = _gen(tiny_model_dir, {"VPQ_PQ_RESIDENT": "int8",
+                                      "VPQ_INT8_APPLY": "w8a16"})
+    assert m2 == "Int8LinearMethod"
+    assert all(len(t) == 16 for t in toks2)
 
 
 def _mk_pq_node(rng, in_f, out_f):
@@ -136,3 +142,60 @@ def test_int8_row_parallel_scales_agree():
     shards = [np.asarray(s.data) for s in scale.addressable_shards]
     for s in shards[1:]:
         np.testing.assert_array_equal(shards[0], s)
+
+
+def test_1x16_sharded_resident_int8():
+    """1x16 (Code1x16-format) checkpoints transcode through the SHARDED
+    int8-resident path: column-parallel codes over a tp mesh produce
+    shard-consistent int8 weights matching the unsharded dequant
+    (VERDICT r3 #6; reference Code1x16 format, gemm_kernels.cu:31)."""
+    from jax.sharding import Mesh
+    from jax.sharding import PartitionSpec as P
+
+    from vllm_pq_tpu.quantization.methods import PQLinearMethod
+    from vllm_pq_tpu.quantization.pq import PQConfig, pq_dequantize_ref
+    from vllm_pq_tpu.quantization.resident import _transform_node
+
+    rng = np.random.default_rng(2)
+    method = PQLinearMethod(PQConfig(num_codebooks=1,
+                                     nbits_per_codebook=16))
+    w = rng.standard_normal((64, 256)).astype(np.float32)
+    node = {k: jnp.asarray(v)
+            for k, v in method.quantize(w, np.float32).items()}
+    assert node["codes"].dtype == jnp.uint16
+    dense = np.asarray(pq_dequantize_ref(
+        node["codes"], node["codebooks"], node["scales"],
+        out_dtype=jnp.float32))
+
+    devs = jax.devices("cpu")
+    if len(devs) < 4:
+        pytest.skip("needs >=4 virtual devices")
+    mesh = Mesh(np.array(devs[:4]), ("model",))
+    # column-parallel: codes sharded on the out axis
+    out = _transform_node(node, P(None, None, "model"), mesh, "int8",
+                          jnp.float32)
+    q = np.asarray(out["weight"], np.float32)
+    scale = np.asarray(out["scale"])
+    assert q.shape == dense.shape
+    assert np.all(np.abs(q * scale[None, :] - dense)
+                  <= scale[None, :] / 2 + 1e-6)
+
+
+def test_hbm_budget_config5():
+    """70B @ pp=2 x tp=8 int8-resident + int8 KV must fit v5e; the bf16
+    KV pool capacity must shrink vs int8 (worker/hbm_budget.py)."""
+    from vllm_pq_tpu.worker.hbm_budget import (LLAMA2_70B, hbm_budget,
+                                               max_kv_blocks)
+    b = hbm_budget(LLAMA2_70B, tp=8, pp=2, resident_form="int8",
+                   kv_cache_dtype="int8",
+                   num_kv_blocks=32 * 128 + 64)
+    assert b["fits"], b
+    # 70B bf16-resident on ONE chip must NOT fit
+    b1 = hbm_budget(LLAMA2_70B, tp=1, pp=1, resident_form="bf16",
+                    kv_cache_dtype="auto", num_kv_blocks=0)
+    assert not b1["fits"], b1
+    assert (max_kv_blocks(LLAMA2_70B, tp=8, pp=2, resident_form="int8",
+                          kv_cache_dtype="int8")
+            > max_kv_blocks(LLAMA2_70B, tp=8, pp=2,
+                            resident_form="int8",
+                            kv_cache_dtype="auto"))

@@ -75,6 +75,10 @@ environment_variables: Dict[str, Callable[[], Any]] = {
     # Pallas w8a16 int8-weight matmul (ops/int8_matmul.py): "auto" (on
     # on TPU), "1" force (interpret off-TPU, tests), "0" XLA astype+dot.
     "VPQ_INT8_MM": lambda: os.environ.get("VPQ_INT8_MM", "auto"),
+    # int8-resident apply form: "w8a8" (dynamic per-token int8
+    # activations, MXU s8xs8 — fastest measured) or "w8a16"
+    # (weight-only dequant, no activation quantization error).
+    "VPQ_INT8_APPLY": lambda: os.environ.get("VPQ_INT8_APPLY", "w8a8"),
     # pin page-table buckets to max_model_len: ONE compiled variant per
     # step kind instead of one per pow-2 context bucket. Slightly more
     # gather work on short contexts; removes mid-run compile stalls

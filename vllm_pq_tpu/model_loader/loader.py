@@ -1537,9 +1537,11 @@ def _restore_linear_method(model, path: str) -> None:
     if name == current or name is None:
         return
     from vllm_pq_tpu.quantization.methods import (Int8LinearMethod,
+                                                  Int8W8A8LinearMethod,
                                                   UnquantizedLinearMethod)
     swap = {"UnquantizedLinearMethod": UnquantizedLinearMethod,
-            "Int8LinearMethod": Int8LinearMethod}.get(name)
+            "Int8LinearMethod": Int8LinearMethod,
+            "Int8W8A8LinearMethod": Int8W8A8LinearMethod}.get(name)
     if swap is None:
         logger.warning("sharded-state manifest method %r unknown; "
                        "restoring with the configured method", name)

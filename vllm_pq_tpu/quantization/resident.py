@@ -44,6 +44,7 @@ from jax.sharding import PartitionSpec as P
 import vllm_pq_tpu.envs as envs
 from vllm_pq_tpu.logger import init_logger
 from vllm_pq_tpu.quantization.methods import (Int8LinearMethod,
+                                              Int8W8A8LinearMethod,
                                               PQLinearMethod,
                                               UnquantizedLinearMethod)
 
@@ -163,8 +164,20 @@ def maybe_make_resident(model, params, mesh, config) -> Optional[Any]:
         return _transform_node(node, codes_spec, mesh, form, dtype)
 
     new_params = _walk(params, specs, tx)
-    model.linear_method = (UnquantizedLinearMethod() if form == "dense"
-                           else Int8LinearMethod())
+    if form == "dense":
+        method = UnquantizedLinearMethod()
+    elif envs.VPQ_INT8_APPLY == "w8a16":
+        method = Int8LinearMethod()
+    else:
+        # w8a8 (default): dynamic per-token int8 activations feed the
+        # MXU-native s8xs8 dot — measured 1.60 ms for the TinyLlama
+        # linear stack at T=256 vs 2.59 ms for the w8a16 astype+dot and
+        # 2.72 ms dense bf16 (microbench w8, round 4); same int8 weight
+        # storage, so the two apply forms share one param tree.
+        # Accuracy precedent: reference compressed-tensors w8a8 GSM8K
+        # 0.76 (tests/tpu/test_quantization_accuracy.py:24-36).
+        method = Int8W8A8LinearMethod()
+    model.linear_method = method
     resident_b = dense_b if form == "dense" else dense_b // 2
     logger.info("PQ resident %s: %.2f GiB/device dense weights "
                 "(dequantized once at load; window dequant off)",
