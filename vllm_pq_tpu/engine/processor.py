@@ -66,6 +66,43 @@ class Processor:
                                     "temporal_patch_size", 2),
                                 merge_size=vc.get("spatial_merge_size",
                                                   2)))
+                elif arch0 in ("Idefics3ForConditionalGeneration",
+                               "SmolVLMForConditionalGeneration"):
+                    from vllm_pq_tpu.multimodal.image import ImageProcessor
+                    vc = raw.get("vision_config", {})
+                    size = vc.get("image_size", 364)
+                    sf = int(raw.get("scale_factor", 2))
+                    patches = (size // vc.get("patch_size", 14)) ** 2
+                    spec = (raw.get("image_token_id", 128257),
+                            patches // (sf * sf),
+                            ImageProcessor.from_pretrained(
+                                self.config.model.model,
+                                default_size=size))
+                elif arch0 == "InternVLForConditionalGeneration":
+                    from vllm_pq_tpu.multimodal.image import ImageProcessor
+                    vc = raw.get("vision_config", {})
+
+                    def _sc(v, dflt):
+                        v = vc.get(v, dflt)
+                        return v[0] if isinstance(v, (list, tuple)) else v
+                    size = _sc("image_size", 448)
+                    ds = raw.get("downsample_ratio", 0.5)
+                    patches = (size // _sc("patch_size", 14)) ** 2
+                    spec = (raw.get("image_token_id", 151667),
+                            int(patches * ds * ds),
+                            ImageProcessor.from_pretrained(
+                                self.config.model.model,
+                                default_size=size))
+                elif arch0 == "PaliGemmaForConditionalGeneration":
+                    from vllm_pq_tpu.multimodal.image import ImageProcessor
+                    vc = raw.get("vision_config", {})
+                    size = vc.get("image_size", 224)
+                    patches = (size // vc.get("patch_size", 14)) ** 2
+                    spec = (raw.get("image_token_index", 257152),
+                            patches,
+                            ImageProcessor.from_pretrained(
+                                self.config.model.model,
+                                default_size=size))
                 elif arch0 == "LlavaForConditionalGeneration":
                     from vllm_pq_tpu.multimodal.image import ImageProcessor
                     vc = raw.get("vision_config", {})

@@ -155,6 +155,72 @@ def _load_llava_vision(tower: dict, model, rest: str,
         logger.warning("unmapped LLaVA vision weight %s", rest)
 
 
+def _load_siglip_vision(tower: dict, rest: str,
+                        tensor: np.ndarray) -> None:
+    """Map HF SigLIP vision-model names into the tower subtree
+    (multimodal/siglip.py layout); conv patch kernel becomes a matmul.
+    The multihead pooling head is unused (consumers read the post-LN
+    last hidden state) and skipped."""
+    if rest == "embeddings.patch_embedding.weight":
+        h = tensor.shape[0]
+        tower["patch_embedding"] = dict(
+            tower.get("patch_embedding", {}),
+            weight=tensor.transpose(2, 3, 1, 0).reshape(-1, h))
+    elif rest == "embeddings.patch_embedding.bias":
+        tower.setdefault("patch_embedding", {})["bias"] = tensor
+    elif rest == "embeddings.position_embedding.weight":
+        tower["position_embedding"] = {"weight": tensor}
+    elif rest.startswith("encoder.layers."):
+        parts = rest.split(".")
+        li = int(parts[2])
+        sub = parts[3] if parts[3] not in ("self_attn", "mlp") \
+            else parts[4]
+        leaf = parts[-1]
+        d = tower["layers"][li].setdefault(sub, {})
+        d[leaf] = tensor.T if (leaf == "weight"
+                               and "norm" not in sub) else tensor
+    elif rest.startswith("post_layernorm."):
+        tower.setdefault("post_layernorm", {})[rest.split(".")[-1]] = \
+            tensor
+    elif rest.startswith("head."):
+        pass  # attention-pooling head: unused
+    else:
+        logger.warning("unmapped SigLIP vision weight %s", rest)
+
+
+def _load_internvit_vision(tower: dict, rest: str,
+                           tensor: np.ndarray) -> None:
+    """Map HF InternVLVisionModel names into the tower subtree
+    (multimodal/internvit.py layout)."""
+    if rest == "embeddings.cls_token":
+        tower["cls_token"] = {"weight": tensor.reshape(-1)}
+    elif rest == "embeddings.position_embeddings":
+        tower["position_embeddings"] = {"weight": tensor[0]}
+    elif rest == "embeddings.patch_embeddings.projection.weight":
+        h = tensor.shape[0]
+        tower["patch_embedding"] = dict(
+            tower.get("patch_embedding", {}),
+            weight=tensor.transpose(2, 3, 1, 0).reshape(-1, h))
+    elif rest == "embeddings.patch_embeddings.projection.bias":
+        tower.setdefault("patch_embedding", {})["bias"] = tensor
+    elif rest.startswith("encoder.layer."):
+        parts = rest.split(".")
+        li = int(parts[2])
+        d = tower["layers"][li]
+        if parts[3] in ("lambda_1", "lambda_2"):
+            d[parts[3]] = {"weight": tensor}
+            return
+        sub = parts[4] if parts[3] in ("attention", "mlp") else parts[3]
+        leaf = parts[-1]
+        dd = d.setdefault(sub, {})
+        dd[leaf] = tensor.T if (leaf == "weight" and "norm" not in sub
+                                and "lambda" not in sub) else tensor
+    elif rest.startswith("layernorm."):
+        tower.setdefault("layernorm", {})[rest.split(".")[-1]] = tensor
+    else:
+        logger.warning("unmapped InternViT vision weight %s", rest)
+
+
 def _load_mllama_weight(tree, cfg, shapes, linear_method, name,
                         w) -> None:
     """Mllama (Llama-3.2-Vision) checkpoint mapping: llama text tree
@@ -942,7 +1008,10 @@ def load_hf(model, mesh: Mesh, model_dir: str,
     is_moe = model.__class__.__name__ in ("MixtralModel", "Qwen2MoeModel",
                                           "DeepseekV2Model")
     is_llava = model.__class__.__name__ == "LlavaModel"
-    if is_llava:
+    is_paligemma = model.__class__.__name__ == "PaliGemmaModel"
+    is_internvl = model.__class__.__name__ == "InternVLModel"
+    is_idefics3 = model.__class__.__name__ == "Idefics3Model"
+    if is_llava or is_paligemma or is_internvl or is_idefics3:
         tree["vision"] = {
             "tower": {"layers": [dict() for _ in
                                  range(model.vision_tower.n_blocks)]},
@@ -1055,6 +1124,65 @@ def load_hf(model, mesh: Mesh, model_dir: str,
             _load_falcon_weight(tree, cfg, shapes, linear_method,
                                 name, tensor)
             continue
+        if is_idefics3:
+            # Idefics3 composition (models/idefics3.py): "model."
+            # prefix; SigLIP tower under vision_model., pixel-shuffle
+            # connector, Llama LM under text_model.
+            if name.startswith("model."):
+                name = name[len("model."):]
+            if name.startswith("vision_model."):
+                _load_siglip_vision(
+                    tree["vision"]["tower"],
+                    name[len("vision_model."):], tensor)
+                continue
+            if name == "connector.modality_projection.proj.weight":
+                tree["vision"]["projector"].setdefault("proj", {})[
+                    "weight"] = tensor.T
+                continue
+            if name.startswith("text_model."):
+                # the llama tree sits directly under text_model. (no
+                # nested model.); re-prefix for the generic branch
+                name = "model." + name[len("text_model."):]
+        if is_internvl:
+            # InternVL composition (models/internvl.py): "model."
+            # prefix; InternViT tower directly under vision_tower.,
+            # LN+MLP projector, Qwen2/Llama LM under language_model.
+            if name.startswith("model."):
+                name = name[len("model."):]
+            if name.startswith("vision_tower."):
+                _load_internvit_vision(
+                    tree["vision"]["tower"],
+                    name[len("vision_tower."):], tensor)
+                continue
+            if name.startswith("multi_modal_projector."):
+                parts = name.split(".")
+                sub, leaf = parts[1], parts[2]
+                d = tree["vision"]["projector"].setdefault(sub, {})
+                d[leaf] = tensor.T if (leaf == "weight"
+                                       and sub != "layer_norm") \
+                    else tensor
+                continue
+            if name.startswith("language_model."):
+                name = name[len("language_model."):]
+        if is_paligemma:
+            # PaliGemma composition (models/paligemma.py): HF nests
+            # everything under a leading "model."; vision tower is
+            # SigLIP, projector is one linear, LM is Gemma (generic
+            # llama branch after stripping language_model.)
+            if name.startswith("model."):
+                name = name[len("model."):]
+            if name.startswith("vision_tower.vision_model."):
+                _load_siglip_vision(
+                    tree["vision"]["tower"],
+                    name.split("vision_model.", 1)[1], tensor)
+                continue
+            if name.startswith("multi_modal_projector.linear."):
+                leaf = name.split(".")[-1]
+                d = tree["vision"]["projector"].setdefault("linear", {})
+                d[leaf] = tensor.T if leaf == "weight" else tensor
+                continue
+            if name.startswith("language_model."):
+                name = name[len("language_model."):]
         if is_llava:
             # LLaVA composition (models/llava.py): LM weights carry a
             # language_model. prefix (strip and fall through to the

@@ -256,6 +256,87 @@ def _build_llava(hf_config, config: EngineConfig, linear_method):
         projector_act=getattr(hf_config, "projector_hidden_act", "gelu"))
 
 
+@register_model("PaliGemmaForConditionalGeneration")
+def _build_paligemma(hf_config, config: EngineConfig, linear_method):
+    from types import SimpleNamespace
+
+    from vllm_pq_tpu.models.llama import LlamaConfig
+    from vllm_pq_tpu.models.paligemma import PaliGemmaModel
+    from vllm_pq_tpu.multimodal.siglip import SiglipVisionConfig
+
+    def ns(v):
+        return SimpleNamespace(**v) if isinstance(v, dict) else v
+    tc = ns(getattr(hf_config, "text_config", None))
+    vc = ns(getattr(hf_config, "vision_config", None))
+    mc = LlamaConfig.from_hf_config(tc) if tc is not None else LlamaConfig()
+    # Gemma text stack flags (same as _build_gemma)
+    mc.hidden_act = (getattr(tc, "hidden_activation", None)
+                     or getattr(tc, "hidden_act", None)
+                     or "gelu_pytorch_tanh")
+    mc.embed_scale = mc.hidden_size ** 0.5
+    mc.gemma_norm = True
+    mc.tie_word_embeddings = True
+    mc.dtype = config.model.jax_dtype
+    vcfg = (SiglipVisionConfig.from_hf(vc) if vc is not None
+            else SiglipVisionConfig())
+    return PaliGemmaModel(
+        mc, vcfg, linear_method,
+        image_token_index=getattr(hf_config, "image_token_index",
+                                  257152),
+        projection_dim=(getattr(vc, "projection_dim", None)
+                        or getattr(hf_config, "projection_dim", 0)
+                        or 0))
+
+
+@register_model("InternVLForConditionalGeneration")
+def _build_internvl(hf_config, config: EngineConfig, linear_method):
+    from types import SimpleNamespace
+
+    from vllm_pq_tpu.models.internvl import InternVLModel
+    from vllm_pq_tpu.models.llama import LlamaConfig
+    from vllm_pq_tpu.multimodal.internvit import InternVisionConfig
+
+    def ns(v):
+        return SimpleNamespace(**v) if isinstance(v, dict) else v
+    tc = ns(getattr(hf_config, "text_config", None))
+    vc = ns(getattr(hf_config, "vision_config", None))
+    mc = LlamaConfig.from_hf_config(tc) if tc is not None else LlamaConfig()
+    if getattr(tc, "model_type", "") == "qwen2":
+        mc.attention_bias = True  # qwen2 text stack (registry _build_qwen2)
+    mc.dtype = config.model.jax_dtype
+    vcfg = (InternVisionConfig.from_hf(vc) if vc is not None
+            else InternVisionConfig())
+    return InternVLModel(
+        mc, vcfg, linear_method,
+        image_token_id=getattr(hf_config, "image_token_id", 151667),
+        downsample_ratio=getattr(hf_config, "downsample_ratio", 0.5),
+        projector_act=getattr(hf_config, "projector_hidden_act",
+                              "gelu"))
+
+
+@register_model("Idefics3ForConditionalGeneration",
+                "SmolVLMForConditionalGeneration")
+def _build_idefics3(hf_config, config: EngineConfig, linear_method):
+    from types import SimpleNamespace
+
+    from vllm_pq_tpu.models.idefics3 import Idefics3Model
+    from vllm_pq_tpu.models.llama import LlamaConfig
+    from vllm_pq_tpu.multimodal.siglip import SiglipVisionConfig
+
+    def ns(v):
+        return SimpleNamespace(**v) if isinstance(v, dict) else v
+    tc = ns(getattr(hf_config, "text_config", None))
+    vc = ns(getattr(hf_config, "vision_config", None))
+    mc = LlamaConfig.from_hf_config(tc) if tc is not None else LlamaConfig()
+    mc.dtype = config.model.jax_dtype
+    vcfg = (SiglipVisionConfig.from_hf(vc) if vc is not None
+            else SiglipVisionConfig())
+    return Idefics3Model(
+        mc, vcfg, linear_method,
+        image_token_id=getattr(hf_config, "image_token_id", 128257),
+        scale_factor=int(getattr(hf_config, "scale_factor", 2)))
+
+
 @register_model("GPTNeoXForCausalLM")
 def _build_gpt_neox(hf_config, config: EngineConfig, linear_method):
     # parallel-residual layernorm decoder with fused (de-interleaved at
