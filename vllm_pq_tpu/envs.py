@@ -79,6 +79,10 @@ environment_variables: Dict[str, Callable[[], Any]] = {
     # activations, MXU s8xs8 — fastest measured) or "w8a16"
     # (weight-only dequant, no activation quantization error).
     "VPQ_INT8_APPLY": lambda: os.environ.get("VPQ_INT8_APPLY", "w8a8"),
+    # fused Pallas activation quantization for w8a8
+    # (ops/act_quant.py): "auto" (on on TPU), "1" force (interpret
+    # off-TPU, tests), "0" XLA absmax+clamp chain.
+    "VPQ_ACT_QUANT": lambda: os.environ.get("VPQ_ACT_QUANT", "auto"),
     # pin page-table buckets to max_model_len: ONE compiled variant per
     # step kind instead of one per pow-2 context bucket. Slightly more
     # gather work on short contexts; removes mid-run compile stalls

@@ -200,11 +200,10 @@ class Int8W8A8LinearMethod(LinearMethod):
         return {"weight": P(None, None), "scale": P(None)}
 
     def apply(self, params, x):
-        # dynamic per-token absmax quantization of activations
-        absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
-        sx = (absmax / 127.0 + 1e-8).astype(jnp.float32)
-        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx),
-                      -127, 127).astype(jnp.int8)
+        # dynamic per-token absmax quantization of activations, fused
+        # absmax+round in one Pallas pass on TPU (ops/act_quant.py)
+        from vllm_pq_tpu.ops.act_quant import quantize_rows_auto
+        xq, sx = quantize_rows_auto(x)
         acc = jax.lax.dot_general(
             xq, params["weight"],
             dimension_numbers=(((1,), (0,)), ((), ())),
