@@ -42,6 +42,9 @@ class Processor:
                     }.get(raw.get("model_type", ""), "")
                 if arch0 == "WhisperForConditionalGeneration":
                     spec = ("whisper",)
+                elif arch0 in ("BartForConditionalGeneration",
+                               "BartModel"):
+                    spec = ("encdec_text",)
                 elif arch0 == "MllamaForConditionalGeneration":
                     from vllm_pq_tpu.multimodal.image import \
                         ImageProcessor
@@ -127,6 +130,21 @@ class Processor:
         placeholder expansion)."""
         from vllm_pq_tpu.multimodal import MMInput
         spec = self._mm()
+        if spec and spec[0] == "encdec_text":
+            # text encoder-decoder (BART): the encoder prompt rides
+            # multi_modal_data["encoder"] (token ids); prompt_token_ids
+            # is the decoder prompt (reference
+            # ExplicitEncoderDecoderPrompt role)
+            import numpy as np
+            from vllm_pq_tpu.multimodal import MMInput
+            enc = mm_data.get("encoder")
+            if enc is None:
+                raise ValueError(
+                    "encoder-decoder text models take the encoder "
+                    "prompt via multi_modal_data={'encoder': [ids]}")
+            ids_arr = np.asarray(enc, np.int32)
+            return list(token_ids), [MMInput(offset=0, length=0,
+                                             pixel_values=ids_arr)]
         if spec and spec[0] == "whisper":
             # audio attaches whole (no placeholder expansion): the
             # decoder cross-attends to the encoder output

@@ -155,6 +155,50 @@ def _load_llava_vision(tower: dict, model, rest: str,
         logger.warning("unmapped LLaVA vision weight %s", rest)
 
 
+def _load_bart_weight(tree, cfg, name: str, w: np.ndarray) -> None:
+    """BART checkpoint mapping (models/bart.py layout; reference
+    models/bart.py weight names). shared/encoder/decoder embed_tokens
+    are the same tied tensor; lm_head is tied too."""
+    if name.startswith("model."):
+        name = name[len("model."):]
+    if name in ("shared.weight", "encoder.embed_tokens.weight",
+                "decoder.embed_tokens.weight"):
+        tree["embed_tokens"]["weight"] = w
+        return
+    if name == "final_logits_bias":
+        tree["final_logits_bias"]["weight"] = w.reshape(-1)
+        return
+    if name == "lm_head.weight":
+        return  # tied to shared
+    for side, sub in (("encoder.", tree["encoder"]), ("decoder.", tree)):
+        if not name.startswith(side):
+            continue
+        rest = name[len(side):]
+        if rest.startswith("embed_positions."):
+            sub["embed_positions"]["weight"] = w
+            return
+        if rest.startswith("layernorm_embedding."):
+            sub["layernorm_embedding"][rest.split(".")[-1]] = w
+            return
+        if rest.startswith("layers."):
+            parts = rest.split(".")
+            li = int(parts[1])
+            lsub = parts[2] if parts[2] not in ("self_attn",
+                                                "encoder_attn") \
+                else f"{parts[2]}.{parts[3]}"
+            leaf = parts[-1]
+            d = sub["layers"][li]
+            if "." in lsub:
+                outer, inner = lsub.split(".")
+                d = d.setdefault(outer, {}).setdefault(inner, {})
+            else:
+                d = d.setdefault(lsub, {})
+            d[leaf] = w.T if (leaf == "weight" and "norm" not in lsub) \
+                else w
+            return
+    logger.warning("unmapped BART weight %s", name)
+
+
 def _load_siglip_vision(tower: dict, rest: str,
                         tensor: np.ndarray) -> None:
     """Map HF SigLIP vision-model names into the tower subtree
@@ -1051,6 +1095,15 @@ def load_hf(model, mesh: Mesh, model_dir: str,
         tree["vision"] = {"patch_embed": {},
                           "blocks": [dict() for _ in range(nv)],
                           "merger": {}}
+    is_bart = model.__class__.__name__ == "BartModel"
+    if is_bart:
+        tree["encoder"] = {
+            "embed_positions": {}, "layernorm_embedding": {},
+            "layers": [dict() for _ in range(cfg.encoder_layers)]}
+        tree["embed_positions"] = {}
+        tree["layernorm_embedding"] = {}
+        tree["final_logits_bias"] = {
+            "weight": np.zeros(cfg.vocab_size, np.float32)}
     is_whisper = model.__class__.__name__ == "WhisperModel"
     if is_whisper:
         tree["encoder"] = {
@@ -1083,6 +1136,9 @@ def load_hf(model, mesh: Mesh, model_dir: str,
             continue
         if is_whisper:
             _load_whisper_weight(tree, cfg, shapes, name, tensor)
+            continue
+        if is_bart:
+            _load_bart_weight(tree, cfg, name, tensor)
             continue
         if is_bert:
             _load_bert_weight(tree, cfg, shapes, name, tensor)

@@ -65,7 +65,8 @@ def _build_qwen2(hf_config, config: EngineConfig, linear_method):
                 # llama-architecture aliases (reference registry rows
                 # with identical math: models/{aquila,xverse}.py)
                 "AquilaForCausalLM", "AquilaModel",
-                "XverseForCausalLM",
+                "XverseForCausalLM", "InternLM3ForCausalLM",
+                "LLaMAForCausalLM",  # legacy spelling (registry.py:74)
                 # bare-model rows: embedding/pooling checkpoints served
                 # via LLM.encode / /v1/embeddings (reference registry
                 # pooling rows, registry.py:137-141)
@@ -196,7 +197,11 @@ def _build_opt(hf_config, config: EngineConfig, linear_method):
     return OPTModel(mc, linear_method)
 
 
-@register_model("MixtralForCausalLM")
+@register_model("MixtralForCausalLM",
+                # GPTQ/AWQ mixtral checkpoints (reference
+                # mixtral_quant.py — same math, quantized weights ride
+                # the normal quantization registry here)
+                "QuantMixtralForCausalLM")
 def _build_mixtral(hf_config, config: EngineConfig, linear_method):
     from vllm_pq_tpu.models.mixtral import MixtralConfig, MixtralModel
     if hf_config is not None:
@@ -286,6 +291,15 @@ def _build_paligemma(hf_config, config: EngineConfig, linear_method):
         projection_dim=(getattr(vc, "projection_dim", None)
                         or getattr(hf_config, "projection_dim", 0)
                         or 0))
+
+
+@register_model("BartForConditionalGeneration", "BartModel")
+def _build_bart(hf_config, config: EngineConfig, linear_method):
+    from vllm_pq_tpu.models.bart import BartConfig, BartModel
+    mc = (BartConfig.from_hf_config(hf_config) if hf_config is not None
+          else BartConfig())
+    mc.dtype = config.model.jax_dtype
+    return BartModel(mc, linear_method)
 
 
 @register_model("InternVLForConditionalGeneration")
