@@ -69,6 +69,15 @@ class Processor:
                                     "temporal_patch_size", 2),
                                 merge_size=vc.get("spatial_merge_size",
                                                   2)))
+                elif arch0 == "FuyuForCausalLM":
+                    from vllm_pq_tpu.multimodal.image import ImageProcessor
+                    size = raw.get("image_size") or 300
+                    ps = raw.get("patch_size", 30)
+                    spec = (raw.get("image_token_id", 71011),
+                            (size // ps) ** 2,
+                            ImageProcessor.from_pretrained(
+                                self.config.model.model,
+                                default_size=size))
                 elif arch0 in ("Idefics3ForConditionalGeneration",
                                "SmolVLMForConditionalGeneration"):
                     from vllm_pq_tpu.multimodal.image import ImageProcessor

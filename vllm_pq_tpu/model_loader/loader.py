@@ -1055,12 +1055,15 @@ def load_hf(model, mesh: Mesh, model_dir: str,
     is_paligemma = model.__class__.__name__ == "PaliGemmaModel"
     is_internvl = model.__class__.__name__ == "InternVLModel"
     is_idefics3 = model.__class__.__name__ == "Idefics3Model"
+    is_fuyu = model.__class__.__name__ == "FuyuModel"
     if is_llava or is_paligemma or is_internvl or is_idefics3:
         tree["vision"] = {
             "tower": {"layers": [dict() for _ in
                                  range(model.vision_tower.n_blocks)]},
             "projector": {},
         }
+    if is_fuyu:
+        tree["vision"] = {"vision_embed_tokens": {}}
     # deepseek routed experts: layer -> proj -> expert idx -> [in, out]
     pending_experts: Dict[int, Dict[str, Dict[int, np.ndarray]]] = {}
 
@@ -1180,6 +1183,21 @@ def load_hf(model, mesh: Mesh, model_dir: str,
             _load_falcon_weight(tree, cfg, shapes, linear_method,
                                 name, tensor)
             continue
+        if is_fuyu:
+            # Fuyu composition (models/fuyu.py): Persimmon decoder
+            # under [model.]language_model.[model.], one
+            # vision_embed_tokens linear (both HF checkpoint layouts)
+            if name.startswith("model."):
+                name = name[len("model."):]
+            if name.startswith("vision_embed_tokens."):
+                leaf = name.split(".")[-1]
+                d = tree["vision"]["vision_embed_tokens"]
+                d[leaf] = tensor.T if leaf == "weight" else tensor
+                continue
+            if name.startswith("language_model."):
+                name = name[len("language_model."):]
+                if not name.startswith(("model.", "lm_head.")):
+                    name = "model." + name
         if is_idefics3:
             # Idefics3 composition (models/idefics3.py): "model."
             # prefix; SigLIP tower under vision_model., pixel-shuffle

@@ -960,6 +960,41 @@ def _build_persimmon(hf_config, config: EngineConfig, linear_method):
     return LlamaModel(mc, linear_method)
 
 
+@register_model("FuyuForCausalLM")
+def _build_fuyu(hf_config, config: EngineConfig, linear_method):
+    # Persimmon decoder (see _build_persimmon) + raw-patch linear
+    # vision embedding (reference models/fuyu.py)
+    from types import SimpleNamespace
+
+    from vllm_pq_tpu.models.fuyu import FuyuModel
+    from vllm_pq_tpu.models.llama import LlamaConfig
+    hf = getattr(hf_config, "text_config", None) or hf_config
+    if isinstance(hf, dict):
+        hf = SimpleNamespace(**hf)
+    mc = LlamaConfig.from_hf_config(hf)
+    mc.norm_type = "layernorm"
+    mc.rms_norm_eps = getattr(hf, "layer_norm_eps", 1e-5)
+    mc.partial_rotary_factor = getattr(hf, "partial_rotary_factor", 0.5)
+    mc.rope_theta = getattr(hf, "rope_theta", 25000.0)
+    mc.mlp_style = "mlp"
+    mc.hidden_act = getattr(hf, "hidden_act", "relu2")
+    mc.attention_bias = True
+    mc.o_proj_bias = True
+    mc.mlp_bias = True
+    mc.num_key_value_heads = mc.num_attention_heads
+    if getattr(hf, "qk_layernorm", True):
+        mc.qk_norm = "head_ln_bias"
+    mc.tie_word_embeddings = getattr(hf, "tie_word_embeddings", False)
+    mc.hf_family = "persimmon"
+    mc.dtype = config.model.jax_dtype
+    return FuyuModel(
+        mc, linear_method,
+        patch_size=getattr(hf_config, "patch_size", 30),
+        num_channels=getattr(hf_config, "num_channels", 3),
+        image_size=getattr(hf_config, "image_size", 300) or 300,
+        image_token_index=getattr(hf_config, "image_token_id", 71011))
+
+
 @register_model("FalconMambaForCausalLM")
 def _build_falcon_mamba(hf_config, config: EngineConfig, linear_method):
     # FalconMamba = mamba + weightless RMS on the (dt, B, C) selections
