@@ -313,9 +313,16 @@ class EngineConfig:
             logger.warning("speculative decoding and multi-step decoding "
                            "are mutually exclusive; disabling multi-step")
             self.scheduler.num_scheduler_steps = 1
-        if self.scheduler.async_scheduling and self.speculative.enabled:
+        if (self.scheduler.async_scheduling and self.speculative.enabled
+                and self.speculative.method not in ("medusa",
+                                                    "mlp_speculator")):
+            # in-graph proposers compose with the lag-1 pipeline
+            # (device-resolved sentinel drafts, engine/core.py); host
+            # proposers need same-step tokens
             logger.warning("async scheduling is exclusive with "
-                           "speculative decoding; disabling async")
+                           "host-proposer speculative decoding "
+                           "(%s); disabling async",
+                           self.speculative.method)
             self.scheduler.async_scheduling = False
 
     @property

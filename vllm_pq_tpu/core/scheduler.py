@@ -85,6 +85,13 @@ class Scheduler:
         # capacity); drained by the engine to emit client outputs
         self.ignored_req_ids: Set[str] = set()
 
+        # spec x async (in-graph proposers): when > 0, pure-decode
+        # steps ride k SENTINEL (-1) draft tokens per eligible row; the
+        # runner resolves them on device from the previous dispatch's
+        # proposals (engine/core.py sets this for async scheduling with
+        # medusa / mlp_speculator)
+        self.device_spec_k = 0
+
         # stats
         self.num_preemptions = 0
         self.spec_stats_proposed = 0
@@ -92,6 +99,19 @@ class Scheduler:
         # priority scheduling engages lazily (reference V0 priority
         # mode, core/scheduler.py:952): lower value = more important
         self._has_priority = False
+
+    def _device_spec_ok(self, r) -> bool:
+        """Row eligibility for device-resolved drafts — mirrors the
+        host proposers' exclusions (engine/core.py _propose_drafts):
+        the verifier applies no penalties/constraints/logprobs and
+        cannot honor min_tokens mid-emission."""
+        sp = r.sampling_params
+        return (sp.logprobs is None and not sp.logits_processors
+                and sp.presence_penalty == 0
+                and sp.frequency_penalty == 0
+                and sp.repetition_penalty == 1.0
+                and not r.needs_constraints
+                and r.num_output_tokens >= sp.min_tokens)
 
     # ------------------------------------------------------------------
     # request lifecycle
@@ -143,6 +163,25 @@ class Scheduler:
                 key=lambda r: (r.priority, r.arrival_time)))
         if self._has_priority and self.waiting:
             self._priority_preempt()
+
+        # spec x async: on pure-decode steps, attach k SENTINEL drafts
+        # per eligible row — the runner resolves their values on device
+        # from the previous dispatch's in-graph proposals (medusa /
+        # mlp_speculator), so speculation rides the async pipeline
+        # without the host ever waiting for draft tokens
+        if self.device_spec_k:
+            # sentinels never outlive one schedule: a mixed (prefill)
+            # step must not carry them into the ragged packing
+            for r in self.running:
+                if r.spec_token_ids and r.spec_token_ids[0] == -1:
+                    r.spec_token_ids = []
+            if (not self.waiting and self.running
+                    and all(r.num_tokens - r.num_computed_tokens == 1
+                            for r in self.running)):
+                sent = [-1] * self.device_spec_k
+                for r in self.running:
+                    if not r.spec_token_ids and self._device_spec_ok(r):
+                        r.spec_token_ids = list(sent)
 
         # -- running requests first (decodes + in-flight chunked prefills)
         req_index = 0

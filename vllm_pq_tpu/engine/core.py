@@ -136,6 +136,17 @@ class EngineCore:
                 self.proposer = NgramProposer(sc.prompt_lookup_min,
                                               sc.prompt_lookup_max,
                                               sc.num_spec_tokens)
+        # spec x async: in-graph proposers (medusa / mlp_speculator)
+        # compose with lag-1 async scheduling — drafts stay on device
+        # as SENTINELS the runner resolves (core/scheduler.py
+        # device_spec_k); host proposers (ngram, draft model, eagle)
+        # still drain to sync steps
+        if (config.scheduler.async_scheduling
+                and config.speculative.enabled
+                and config.speculative.method in ("medusa",
+                                                  "mlp_speculator")):
+            self.scheduler.device_spec_k = \
+                config.speculative.num_spec_tokens
         if config.compilation.warmup:
             self._warmup_live_path()
 
@@ -265,7 +276,7 @@ class EngineCore:
             self.scheduler.ignored_req_ids.clear()
         if self.proposer is not None:
             self._propose_drafts()
-        if self._medusa:
+        if self._medusa and not self.scheduler.device_spec_k:
             self._attach_medusa_drafts(runner_output)
         if self.draft_proposer is not None:
             self.draft_proposer.on_step(scheduler_output, step_meta,
@@ -295,7 +306,10 @@ class EngineCore:
         # constrained / spec work needs same-step tokens: drain and
         # fall back to a sync step for this iteration
         needs_sync = any(
-            r.needs_constraints or r.spec_token_ids
+            r.needs_constraints
+            # host-proposed drafts need same-step tokens; device
+            # sentinels (-1, spec x async) ride the pipeline
+            or (r.spec_token_ids and r.spec_token_ids[0] != -1)
             or r.sampling_params.logits_processors
             or r.sampling_params.presence_penalty != 0
             or r.sampling_params.frequency_penalty != 0
@@ -345,8 +359,14 @@ class EngineCore:
             req = sched.requests.get(rid)
             if req is None:
                 continue
+            n_spec = len(so.scheduled_spec_decode_tokens.get(rid, ()))
             if multistep:
                 n_sample = nt  # one sampled token per fused iteration
+            elif n_spec:
+                # spec x async: assume FULL acceptance (n_spec drafts +
+                # bonus); finalize rolls back by what the verifier
+                # actually rejected
+                n_sample = n_spec + 1
             else:
                 n_sample = (1 if req.num_computed_tokens + nt
                             >= req.num_tokens else 0)
@@ -421,6 +441,30 @@ class EngineCore:
                         pass
                     sched._free_request(req)
                     break
+            n_spec = len(so.scheduled_spec_decode_tokens.get(rid, ()))
+            if n_spec:
+                # spec x async reconcile: the schedule assumed full
+                # acceptance (n_spec + 1 samples); drop the unfilled
+                # placeholders, roll the KV accounting back by the
+                # rejected count, and un-park rows the optimistic cap
+                # check removed from running
+                sched.spec_stats_proposed += n_spec
+                sched.spec_stats_accepted += max(len(new_toks) - 1, 0)
+                if req.status == RequestStatus.RUNNING:
+                    leftover = (n_spec + 1) - len(new_toks)
+                    removed = 0
+                    for _ in range(max(leftover, 0)):
+                        try:
+                            idx = toks.index(self.PLACEHOLDER,
+                                             req.num_prompt_tokens)
+                        except ValueError:
+                            break
+                        del toks[idx]
+                        removed += 1
+                    if leftover > 0:
+                        req.num_computed_tokens -= leftover
+                        if req not in sched.running:
+                            sched.running.append(req)
             if not new_toks:
                 continue
             outputs.append(EngineCoreOutput(

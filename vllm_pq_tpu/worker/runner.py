@@ -21,6 +21,7 @@ JAX:
 """
 
 import functools
+import os
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -52,7 +53,8 @@ class _PackedLayout:
 
     I32_FIELDS = ("token_ids", "positions", "slot_mapping", "kv_lens",
                   "cu_q_lens", "num_seqs", "logits_indices", "page_indices",
-                  "drafts", "num_drafts", "top_k", "seed", "has_seed",
+                  "drafts", "num_drafts", "prev_assumed",
+                  "top_k", "seed", "has_seed",
                   "eos_token_id", "min_tokens", "output_len",
                   "logits_mask", "bias_rows", "bias_toks",
                   "lora_sorted_tok", "lora_groups", "prev_rows",
@@ -84,6 +86,10 @@ class _PackedLayout:
             "kv_lens": s, "cu_q_lens": s + 1, "num_seqs": 1,
             "logits_indices": s * k1, "page_indices": s * max_blocks,
             "drafts": s * spec_k, "num_drafts": s,
+            # spec x async: the previous dispatch's ASSUMED sample
+            # count for this row's prev_rows source (0 = no position
+            # correction); the device subtracts its actual gens
+            "prev_assumed": s if spec_k else 0,
             "top_k": s, "seed": s, "has_seed": s, "eos_token_id": s,
             "min_tokens": s, "output_len": s,
             # constrained-decoding payloads (zero-sized when disabled)
@@ -596,6 +602,9 @@ class ModelRunner:
 
         def step(params, kv_caches, rope, packed, step_key, lora_w,
                  prev_toks, *mm_arrays):
+            prev_drafts = prev_gens = None
+            if spec_k:  # spec x async device state rides first
+                prev_drafts, prev_gens, *mm_arrays = mm_arrays
             hidden_cond = None
             if needs_cond:  # draft-model conditioning rides first
                 hidden_cond, *mm_arrays = mm_arrays
@@ -625,6 +634,48 @@ class ModelRunner:
                 inputs["token_ids"])
             inputs["page_indices"] = f["page_indices"].reshape(
                 s, self.max_blocks_per_req)
+            if spec_k and os.environ.get("VPQ_SPEC_CORR", "1") != "0":
+                # spec x async: resolve sentinel (-1) drafts from the
+                # previous dispatch's on-device proposals, and correct
+                # the host's OPTIMISTIC positions/kv_lens/slots by how
+                # many tokens the previous dispatch actually emitted
+                # (prev_assumed - prev_gens); sync dispatches pack
+                # prev_assumed = 0 and real drafts, making this a no-op
+                bs_ = self.block_size
+                t_ = inputs["token_ids"].shape[0]
+                rows_s = jnp.arange(s)
+                pr_row = pr[jnp.minimum(rows_s * k1, t_ - 1)]
+                pa = f["prev_assumed"]
+                gens_prev = prev_gens[jnp.maximum(pr_row, 0)]
+                corr = jnp.where((pa > 0) & (pr_row >= 0),
+                                 jnp.clip(pa - gens_prev, 0, spec_k), 0)
+                d2 = f["drafts"].reshape(s, spec_k)
+                pd = prev_drafts[jnp.maximum(pr_row, 0)]
+                d2 = jnp.where((d2 < 0) & (pr_row >= 0)[:, None], pd,
+                               d2)
+                f["drafts"] = d2.reshape(-1)
+                # the resolved drafts are also the MODEL INPUTS of the
+                # draft q rows (aligned layout: row r at flat r*k1)
+                rows_fit = min(t_ // k1, s)
+                if rows_fit:
+                    tk = inputs["token_ids"]
+                    t3 = tk[:rows_fit * k1].reshape(rows_fit, k1)
+                    t3 = jnp.concatenate(
+                        [t3[:, :1],
+                         jnp.where(t3[:, 1:] == -1, d2[:rows_fit],
+                                   t3[:, 1:])], axis=1)
+                    inputs["token_ids"] = tk.at[:rows_fit * k1].set(
+                        t3.reshape(-1))
+                row_of = jnp.minimum(jnp.arange(t_) // k1, s - 1)
+                cflat = corr[row_of]
+                posc = jnp.maximum(inputs["positions"] - cflat, 0)
+                inputs["positions"] = posc
+                inputs["kv_lens"] = jnp.maximum(
+                    inputs["kv_lens"] - corr, 0)
+                slot_new = (inputs["page_indices"][row_of, posc // bs_]
+                            * bs_ + posc % bs_)
+                inputs["slot_mapping"] = jnp.where(
+                    cflat > 0, slot_new, inputs["slot_mapping"])
             lora = None
             if lora_on:
                 lora = dict(lora_w)
@@ -1460,6 +1511,20 @@ class ModelRunner:
                          or all(v == 1
                                 for v in so.num_scheduled_tokens.values()))
                     and not self._mm_pending(so))
+        k1 = self.spec_k + 1
+        dr_map = so.scheduled_spec_decode_tokens
+        fast_spec = bool(
+            n and self.spec_k and dr_map and not one_per_row
+            and not self._mm_pending(so)
+            and os.environ.get("VPQ_SPEC_ALIGNED", "1") != "0"
+            and all(v in (1, k1)
+                    for v in so.num_scheduled_tokens.values())
+            and all(len(d) == self.spec_k for d in dr_map.values())
+            # uniform-span kv_lens must stay in bounds for every row
+            and int(ib.num_computed_tokens[:n].max(initial=0)) + k1
+            <= self.max_model_len)
+        if fast_spec:
+            total = max(total, n * k1)  # row r at flat slots [r*k1, ..)
         sched_mask = None
         if fast:
             sched_mask = np.fromiter(
@@ -1539,7 +1604,97 @@ class ModelRunner:
             if self.export_hidden or self.needs_hidden_cond:
                 self.last_flat_offsets = {
                     ib.req_ids[r]: (r, 1) for r in range(n) if m[r]}
+            if self.spec_k:
+                # spec x async bookkeeping: plain decode rows sample 1
+                self._assumed_np = np.zeros(s, np.int32)
+                self._assumed_np[:n] = np.where(m, 1, 0)
             self._decode_aligned = True  # q row i == seq row i
+            self._finish_packing(so, lay, buf, ib, constrained,
+                                 tok_slot)
+            return t_bucket, buf, row_req_ids, constrained, penalized
+
+        if fast_spec:
+            # aligned spec packing: EVERY row occupies k1 flat slots at
+            # r*k1 (rows without drafts repeat their single token; the
+            # verifier keeps only position 0 via num_drafts = 0). This
+            # is the layout the spec x async device correction assumes
+            # (row of flat i == i // k1).
+            rows = np.arange(n)
+            m = np.fromiter((ib.req_ids[r] in so.num_scheduled_tokens
+                             for r in range(n)), bool, count=n)
+            start = ib.num_computed_tokens[:n]
+            start = np.where(m, start,
+                             np.minimum(start, self.max_model_len - 1))
+            j = np.arange(k1)
+            posr = np.minimum(start[:, None] + j[None, :],
+                              self.max_model_len - 1)       # [n, k1]
+            dn = np.zeros(n, np.int32)
+            tok2 = np.zeros((n, k1), np.int32)
+            tok2[:, 0] = np.where(m, ib.token_ids[rows, start], 0)
+            for r in range(n):
+                dr = dr_map.get(ib.req_ids[r])
+                if dr and m[r]:
+                    dn[r] = len(dr)
+                    tok2[r, 1:1 + len(dr)] = dr
+                    drafts_v[r, :len(dr)] = dr
+            spec_rows = m & (dn > 0)
+            blk = ib.block_table[rows[:, None],
+                                 np.minimum(posr // self.block_size,
+                                            ib.block_table.shape[1] - 1)]
+            slot2 = np.where(spec_rows[:, None],
+                             blk * self.block_size
+                             + posr % self.block_size, 0)
+            slot2[:, 0] = np.where(
+                m, ib.block_table[rows, start // self.block_size]
+                * self.block_size + start % self.block_size, 0)
+            tok[:n * k1] = tok2.reshape(-1)
+            pos[:n * k1] = np.where(m[:, None], posr, 0).reshape(-1)
+            slots[:n * k1] = slot2.reshape(-1)
+            # kv_len = start + k1 for EVERY scheduled row (draft-less
+            # rows included): the ragged attention infers q positions
+            # as kv_len - span + j, so with the uniform k1 span row 0
+            # must infer exactly `start` — a draft-less row's true
+            # kv_len (start + 1) would shift it to start - k + 1 and
+            # corrupt its mask. Padding rows beyond a row's real length
+            # read garbage their discarded outputs never propagate.
+            kv_lens[:n] = np.where(m, start + k1, 0)
+            self._last_max_kv_len = (int(kv_lens[:n].max())
+                                     if m.any() else 1)
+            cu[1:n + 1] = np.arange(1, n + 1) * k1
+            cu[n + 1:] = n * k1
+            logits_idx.reshape(s, k1)[:n] = (rows[:, None] * k1
+                                             + np.minimum(j, dn[:, None]))
+            num_drafts[:n] = np.where(m, dn, 0)
+            # async: placeholder first tokens + sentinel drafts resolve
+            # on device; prev_assumed carries the source row's assumed
+            # sample count for the position correction
+            if prev_row_of is not None:
+                pa_v = lay.view(buf, "prev_assumed")
+                assumed_prev = getattr(self, "_assumed_np", None)
+                for r in range(n):
+                    if not m[r]:
+                        continue
+                    pr_src = prev_row_of.get(ib.req_ids[r], -1)
+                    if tok2[r, 0] == -1 and pr_src >= 0:
+                        prev_rows[r * k1] = pr_src
+                        if assumed_prev is not None:
+                            pa_v[r] = assumed_prev[pr_src]
+            for r in range(n):
+                if m[r]:
+                    row_req_ids[r] = ib.req_ids[r]
+            if lora_on:
+                tok_slot[:n * k1] = np.repeat(
+                    np.where(m, ib.lora_slot[:n], 0), k1)
+            # this dispatch's assumed sample count per row (consumed by
+            # the NEXT dispatch's prev_assumed)
+            self._assumed_np = np.zeros(s, np.int32)
+            self._assumed_np[:n] = np.where(m, np.where(dn > 0, k1, 1),
+                                            0)
+            if self.export_hidden or self.needs_hidden_cond:
+                self.last_flat_offsets = {
+                    ib.req_ids[r]: (r * k1, k1) for r in range(n)
+                    if m[r]}
+            self._decode_aligned = False  # k1 q rows per seq
             self._finish_packing(so, lay, buf, ib, constrained,
                                  tok_slot)
             return t_bucket, buf, row_req_ids, constrained, penalized
@@ -1613,6 +1768,13 @@ class ModelRunner:
                     prev_rows[off + ph] = pr
             off += nt
         cu[ib.num_reqs + 1:] = cu[ib.num_reqs]
+        if self.spec_k:
+            # spec x async bookkeeping: any row scheduled by a slow
+            # (prefill/mixed) dispatch samples at most 1 token
+            self._assumed_np = np.zeros(s, np.int32)
+            for row in range(ib.num_reqs):
+                if so.num_scheduled_tokens.get(ib.req_ids[row], 0):
+                    self._assumed_np[row] = 1
         self._last_max_kv_len = int(kv_lens.max()) if ib.num_reqs else 1
         if self.export_hidden or self.needs_hidden_cond:
             offs, o2 = {}, 0
@@ -1817,6 +1979,8 @@ class ModelRunner:
                 hc = (hc[:t_bucket] if hc.shape[0] > t_bucket else
                       jnp.pad(hc, ((0, t_bucket - hc.shape[0]), (0, 0))))
             mm_args = (hc,) + mm_args
+        if self.spec_k:
+            mm_args = self._prev_spec_or_zeros() + mm_args
         toks, gens, lp, plp, drafts, raw, exp, self.kv_caches = fn(
             self.params, self.kv_caches, self.rope_cache, packed, step_key,
             lora_w, self._prev_toks_or_zeros(), *mm_args)
@@ -1824,8 +1988,22 @@ class ModelRunner:
             # device handles only — the proposer consumes them on device
             self.last_hidden, self.last_sel_hidden = exp
 
-        # device state for async prev-token routing
-        self._prev_toks = toks[:, 0] if self.spec_k else toks
+        # device state for async prev-token routing; spec steps route
+        # the LAST emitted token (position gens-1), and stash the
+        # in-graph drafts + emitted counts for the next dispatch's
+        # sentinel resolution / position correction
+        if self.spec_k:
+            k1 = self.spec_k + 1
+            s = self.max_num_reqs
+            last = jnp.clip((gens if gens is not None else 1) - 1,
+                            0, k1 - 1)
+            self._prev_toks = toks[jnp.arange(s), last]
+            if drafts is not None:
+                self._prev_drafts = drafts
+            if gens is not None:
+                self._prev_gens = gens
+        else:
+            self._prev_toks = toks
         self._prev_row_of = {rid: row
                              for row, rid in enumerate(row_req_ids)
                              if rid is not None}
@@ -1876,6 +2054,18 @@ class ModelRunner:
         if pt is None:
             pt = jnp.zeros(self.max_num_reqs, jnp.int32)
         return pt
+
+    def _prev_spec_or_zeros(self):
+        """(prev_drafts [S, k], prev_gens [S]) device state for the
+        spec x async sentinel resolution; zeros/ones before the first
+        spec step (prev_assumed = 0 gates the correction off)."""
+        pd = getattr(self, "_prev_drafts", None)
+        if pd is None:
+            pd = jnp.zeros((self.max_num_reqs, self.spec_k), jnp.int32)
+        pg = getattr(self, "_prev_gens", None)
+        if pg is None:
+            pg = jnp.ones(self.max_num_reqs, jnp.int32)
+        return (pd, pg)
 
     def fetch_model(self, handle) -> ModelRunnerOutput:
         out = ModelRunnerOutput()
@@ -2265,6 +2455,17 @@ class ModelRunner:
         self._step_count += 1
         step_key = jax.random.fold_in(self._rng_key, self._step_count)
         packed = jnp.asarray(buf.copy())
+        dump = os.environ.get("VPQ_DUMP_STEP_HLO")
+        if dump and not getattr(self, "_hlo_dumped", False):
+            # dev tool: write the OPTIMIZED multistep HLO for op-level
+            # perf forensics (profiler traces only give op names)
+            self._hlo_dumped = True
+            txt = fn.lower(self.params, self.kv_caches, self.rope_cache,
+                           packed, step_key,
+                           self._prev_toks_or_zeros()).compile().as_text()
+            with open(dump, "w") as fh:
+                fh.write(txt)
+            logger.info("multistep HLO (%d chars) -> %s", len(txt), dump)
         all_toks, aux = fn(self.params, self.kv_caches,
                            self.rope_cache, packed, step_key,
                            self._prev_toks_or_zeros())
