@@ -302,12 +302,28 @@ def bench_arena(batch: int, ctx: int, int8: bool = False,
     res["roofline_ms"] = round(kv_bytes / HBM_BW * 1e3, 3)
     os.environ["VPQ_ARENA_KERNEL"] = "0"
     res["xla_ms"] = round(_timeit(mk_chain(), q, wc, base) * 1e3, 3)
-    os.environ["VPQ_ARENA_KERNEL"] = "auto"
+    os.environ["VPQ_ARENA_KERNEL"] = "1"
     try:
         res["pallas_ms"] = round(_timeit(mk_chain(), q, wc, base) * 1e3,
                                  3)
     except Exception as e:  # noqa
         res["pallas_ms"] = f"ERR {type(e).__name__}: {e}"
+    # lane-packed arena ([S, KVH, CTX, 2D], K|V in one 128-lane group)
+    aKV = jnp.concatenate([aK[..., None, :], aV[..., None, :]],
+                          axis=3).reshape(s, KVH, ctx, 2 * D)
+    import dataclasses
+    try:
+        wc2 = dataclasses.replace(
+            wc, aK=aKV, aV=jnp.zeros((s, KVH, 0, 2 * D), kdt))
+    except TypeError:
+        wc2 = wc._replace(aK=aKV,
+                          aV=jnp.zeros((s, KVH, 0, 2 * D), kdt))
+    os.environ["VPQ_ARENA_KERNEL"] = "2"
+    try:
+        res["packed_ms"] = round(
+            _timeit(mk_chain(), q, wc2, base) * 1e3, 3)
+    except Exception as e:  # noqa
+        res["packed_ms"] = f"ERR {type(e).__name__}: {e}"
     print("arena", json.dumps(res))
     return res
 

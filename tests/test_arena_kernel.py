@@ -115,3 +115,47 @@ def test_arena_kernel_padded_queries(monkeypatch):
     got = np.asarray(window_attention(q16, wc, base_lens, sm_scale=0.2))
     act = np.concatenate([np.asarray(base_lens) > 0, np.zeros(8, bool)])
     np.testing.assert_allclose(got[act], ref[act], rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("int8", [False, True])
+def test_arena_kernel_packed_matches_xla(monkeypatch, int8):
+    """Lane-packed arena (VPQ_ARENA_KERNEL=2): K|V of one head share a
+    128-lane group; compact tiles stream at the true byte roofline."""
+    rng = np.random.default_rng(7)
+    s, kvh, d, n_pages, ps = 16, 2, 64, 4, 16
+    # reference build + run (unpacked, XLA)
+    monkeypatch.setenv("VPQ_ARENA_KERNEL", "0")
+    q, wc = _setup(np.random.default_rng(7), s, kvh, d, n_pages, ps,
+                   int8, ring_writes=3)
+    base_lens = jnp.asarray(
+        rng.integers(1, n_pages * ps, s), jnp.int32)
+    ref = np.asarray(window_attention(q, wc, base_lens,
+                                      sm_scale=d ** -0.5))
+    # packed build + kernel run (same rng stream -> same cache/q/ring)
+    monkeypatch.setenv("VPQ_ARENA_KERNEL", "2")
+    q2, wc2 = _setup(np.random.default_rng(7), s, kvh, d, n_pages, ps,
+                     int8, ring_writes=3)
+    assert wc2.aK.shape[-1] == 2 * d and wc2.aV.shape[2] == 0
+    got = np.asarray(window_attention(q2, wc2, base_lens,
+                                      sm_scale=d ** -0.5))
+    tol = 1e-2 if int8 else 2e-5
+    np.testing.assert_allclose(got, ref, rtol=tol, atol=tol)
+
+
+def test_arena_kernel_packed_gqa_and_window(monkeypatch):
+    rng = np.random.default_rng(9)
+    s, kvh, d, n_pages, ps = 8, 4, 64, 2, 16
+    monkeypatch.setenv("VPQ_ARENA_KERNEL", "0")
+    q, wc = _setup(np.random.default_rng(9), s, kvh, d, n_pages, ps,
+                   False, ring_writes=2, hq=16)
+    base_lens = jnp.asarray(rng.integers(1, n_pages * ps, s), jnp.int32)
+    ref = np.asarray(window_attention(q, wc, base_lens,
+                                      sm_scale=d ** -0.5,
+                                      sliding_window=24))
+    monkeypatch.setenv("VPQ_ARENA_KERNEL", "2")
+    q2, wc2 = _setup(np.random.default_rng(9), s, kvh, d, n_pages, ps,
+                     False, ring_writes=2, hq=16)
+    got = np.asarray(window_attention(q2, wc2, base_lens,
+                                      sm_scale=d ** -0.5,
+                                      sliding_window=24))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)

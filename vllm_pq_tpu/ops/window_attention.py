@@ -108,11 +108,26 @@ def build_window_cache(kv_cache: jax.Array, page_indices: jax.Array,
     pages, pscl = raw_gather(
         page_indices[:, shared_pages:shared_pages + n_pages])
     pages = pages.reshape(s, n_pages * ps, 2 * kvh, d)
-    # head-major arena [S, KVH, CTX, D]: the relayout is paid once per
-    # window; every iteration's attention then streams contiguous
-    # (ctx, d) runs per head (arena_kernel BlockSpec requirement)
-    aK = pages[:, :, 0::2, :].transpose(0, 2, 1, 3)
-    aV = pages[:, :, 1::2, :].transpose(0, 2, 1, 3)
+    # packed arena: one head's K and V share a 128-lane group
+    # ([S, KVH, CTX, 2D]; the page layout interleaves K_h/V_h in dim 2,
+    # so the pairing is a free reshape). Mosaic pads D=64 slices to 128
+    # lanes, which would DOUBLE the arena's HBM bytes — packing streams
+    # K and V compactly in ONE tile and the kernel slices V's lanes for
+    # the P@V contraction (same trick as ops/rpa_kernel.py head
+    # packing). Only the Pallas packed kernel consumes this layout.
+    import vllm_pq_tpu.envs as envs2
+    packed = (envs2.VPQ_ARENA_KERNEL == "2" and 2 * d == 128
+              and shared_pages == 0)
+    if packed:
+        aK = pages.reshape(s, n_pages * ps, kvh, 2 * d) \
+            .transpose(0, 2, 1, 3)
+        aV = jnp.zeros((s, kvh, 0, 2 * d), pages.dtype)
+    else:
+        # head-major arena [S, KVH, CTX, D]: the relayout is paid once
+        # per window; every iteration's attention then streams
+        # contiguous (ctx, d) runs per head
+        aK = pages[:, :, 0::2, :].transpose(0, 2, 1, 3)
+        aV = pages[:, :, 1::2, :].transpose(0, 2, 1, 3)
     if int8:
         pscl = pscl.reshape(s, n_pages * ps, 2 * kvh)
         aKs = pscl[:, :, 0::2].transpose(0, 2, 1)
@@ -170,6 +185,22 @@ def window_attention(q: jax.Array, wc: WindowCache, base_lens: jax.Array,
     # per-row tile clamp (ragged batches skip dead context tiles).
     import vllm_pq_tpu.envs as envs
     mode = envs.VPQ_ARENA_KERNEL
+    if wc.aV.shape[2] == 0 and wc.aK.shape[-1] == 2 * q.shape[2]:
+        # lane-packed arena (build_window_cache VPQ_ARENA_KERNEL=2):
+        # only the packed kernel can consume it
+        from vllm_pq_tpu.ops.arena_kernel import arena_attention_packed
+        out = arena_attention_packed(
+            qs, wc.aK, wc.aKs if int8 else None,
+            wc.aVs if int8 else None,
+            wc.ringK.astype(qs.dtype), wc.ringV.astype(qs.dtype),
+            base_lens[:s], wc.step, sm_scale=sm_scale,
+            sliding_window=sliding_window,
+            interpret=jax.default_backend() != "tpu")
+        if t > s:
+            out = jnp.pad(out, ((0, t - s), (0, 0), (0, 0)))
+        elif t < s:
+            out = out[:t]
+        return out
     use_kernel = (
         mode == "1" and ls == 0 and alibi_slopes is None
         and soft_cap is None and d in (64, 128))
