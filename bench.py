@@ -268,6 +268,9 @@ def child_main(model_name):
     # keeps the pow2 ladder.
     if model_name in ("flagship", "smallbatch", "longctx"):
         os.environ.setdefault("VPQ_PAGES_FIXED", "1")
+        # w8a8-resident weights: measured fastest serving form
+        # (BENCHMARKS.md round 4: 1.60 ms linear stack vs 2.72 dense)
+        os.environ.setdefault("VPQ_PQ_RESIDENT", "int8")
     if os.environ.get("VPQ_FORCE_CPU"):
         # the axon sitecustomize may have registered the tunnel backend
         # at interpreter start; undo it before any backend initializes
@@ -312,9 +315,14 @@ def child_main(model_name):
               # (6 GiB) + HLO temps exceed the 15.75 GiB HBM; int8 KV
               # halves the cache and is the capacity lever this config
               # exists to exercise (reference cache_dtype=fp8 role)
+              # flagship: int8 KV is a measured +15% bandwidth win on
+              # top of w8a8-resident weights (BENCHMARKS.md round 4);
+              # 7B: int8 KV is the capacity lever (fit at all)
               kv_cache_dtype=os.environ.get(
                   "VPQ_BENCH_KV_DTYPE",
-                  "int8" if (on_tpu and model_name == "llama2_7b")
+                  "int8" if (on_tpu and model_name in
+                             ("llama2_7b", "flagship", "smallbatch",
+                              "longctx"))
                   else "auto"),
               max_model_len=max_len, max_num_seqs=batch,
               max_num_batched_tokens=2048, block_size=block_size,
