@@ -69,6 +69,12 @@ class Processor:
                                     "temporal_patch_size", 2),
                                 merge_size=vc.get("spatial_merge_size",
                                                   2)))
+                elif arch0 == "Qwen2AudioForConditionalGeneration":
+                    ac = raw.get("audio_config", {})
+                    spec = ("qwen2audio",
+                            raw.get("audio_token_index", 151646),
+                            int(ac.get("max_source_positions", 1500)),
+                            int(ac.get("num_mel_bins", 128)))
                 elif arch0 == "FuyuForCausalLM":
                     from vllm_pq_tpu.multimodal.image import ImageProcessor
                     size = raw.get("image_size") or 300
@@ -139,6 +145,47 @@ class Processor:
         placeholder expansion)."""
         from vllm_pq_tpu.multimodal import MMInput
         spec = self._mm()
+        if spec and spec[0] == "qwen2audio":
+            # audio splice (NOT cross-attention like whisper): each
+            # <|AUDIO|> placeholder expands to the TRUE output frame
+            # count; the mel pads to the encoder's fixed input length
+            import numpy as np
+            from vllm_pq_tpu.multimodal import MMInput
+            _, audio_tok, max_src, nmel = spec
+            audios = mm_data.get("audio")
+            if audios is None:
+                raise ValueError("multi_modal_data must contain 'audio'")
+            if not isinstance(audios, (list, tuple)):
+                audios = [audios]
+            spots = [i for i, t in enumerate(token_ids)
+                     if t == audio_tok]
+            if len(spots) != len(audios):
+                raise ValueError(
+                    f"prompt has {len(spots)} audio placeholders but "
+                    f"{len(audios)} audios were provided")
+            out: list = []
+            mm_inputs = []
+            prev = 0
+            exp_len = 2 * max_src
+            for spot, au in zip(spots, audios):
+                mel = np.asarray(au, np.float32)
+                if mel.ndim == 3:
+                    mel = mel[0]
+                t_true = mel.shape[1]
+                if t_true < exp_len:
+                    mel = np.pad(mel, ((0, 0), (0, exp_len - t_true)))
+                else:
+                    mel = mel[:, :exp_len]
+                    t_true = exp_len
+                # HF _get_feat_extract_output_lengths
+                n = ((t_true - 1) // 2 + 1 - 2) // 2 + 1
+                out.extend(token_ids[prev:spot])
+                mm_inputs.append(MMInput(offset=len(out), length=n,
+                                         pixel_values=mel))
+                out.extend([audio_tok] * n)
+                prev = spot + 1
+            out.extend(token_ids[prev:])
+            return out, mm_inputs
         if spec and spec[0] == "encdec_text":
             # text encoder-decoder (BART): the encoder prompt rides
             # multi_modal_data["encoder"] (token ids); prompt_token_ids

@@ -155,6 +155,33 @@ def _load_llava_vision(tower: dict, model, rest: str,
         logger.warning("unmapped LLaVA vision weight %s", rest)
 
 
+def _load_qwen2audio_tower(tower: dict, rest: str,
+                           w: np.ndarray) -> None:
+    """Map HF Qwen2AudioEncoder names into the tower subtree
+    (models/qwen2_audio.py layout); conv kernels become IHO."""
+    if rest.startswith(("conv1.", "conv2.")):
+        sub, leaf = rest.split(".")
+        d = tower.setdefault(sub, {})
+        d[leaf] = w.transpose(1, 2, 0) if leaf == "weight" else w
+    elif rest == "embed_positions.weight":
+        tower["embed_positions"] = {"weight": w}
+    elif rest.startswith("layer_norm."):
+        tower.setdefault("layer_norm", {})[rest.split(".")[-1]] = w
+    elif rest.startswith("layers."):
+        parts = rest.split(".")
+        li = int(parts[1])
+        L = tower["layers"][li]
+        if parts[2] == "self_attn":
+            d = L.setdefault("self_attn", {}).setdefault(parts[3], {})
+            d[parts[4]] = w.T if parts[4] == "weight" else w
+        else:
+            d = L.setdefault(parts[2], {})
+            d[parts[-1]] = w.T if (parts[-1] == "weight"
+                                   and "norm" not in parts[2]) else w
+    else:
+        logger.warning("unmapped Qwen2Audio tower weight %s", rest)
+
+
 def _load_bart_weight(tree, cfg, name: str, w: np.ndarray) -> None:
     """BART checkpoint mapping (models/bart.py layout; reference
     models/bart.py weight names). shared/encoder/decoder embed_tokens
@@ -1056,6 +1083,13 @@ def load_hf(model, mesh: Mesh, model_dir: str,
     is_internvl = model.__class__.__name__ == "InternVLModel"
     is_idefics3 = model.__class__.__name__ == "Idefics3Model"
     is_fuyu = model.__class__.__name__ == "FuyuModel"
+    is_q2audio = model.__class__.__name__ == "Qwen2AudioModel"
+    if is_q2audio:
+        tree["vision"] = {
+            "tower": {"layers": [dict() for _ in range(
+                model.audio_cfg.encoder_layers)]},
+            "projector": {},
+        }
     if is_llava or is_paligemma or is_internvl or is_idefics3:
         tree["vision"] = {
             "tower": {"layers": [dict() for _ in
@@ -1183,6 +1217,26 @@ def load_hf(model, mesh: Mesh, model_dir: str,
             _load_falcon_weight(tree, cfg, shapes, linear_method,
                                 name, tensor)
             continue
+        if is_q2audio:
+            # Qwen2-Audio composition (models/qwen2_audio.py):
+            # audio_tower + one-linear projector + Qwen2 LM under
+            # language_model. ([model.]-prefixed in newer layouts)
+            if name.startswith("model."):
+                name = name[len("model."):]
+            if name.startswith("audio_tower."):
+                _load_qwen2audio_tower(tree["vision"]["tower"],
+                                       name[len("audio_tower."):],
+                                       tensor)
+                continue
+            if name.startswith("multi_modal_projector.linear."):
+                leaf = name.split(".")[-1]
+                d = tree["vision"]["projector"].setdefault("linear", {})
+                d[leaf] = tensor.T if leaf == "weight" else tensor
+                continue
+            if name.startswith("language_model."):
+                name = name[len("language_model."):]
+                if not name.startswith(("model.", "lm_head.")):
+                    name = "model." + name
         if is_fuyu:
             # Fuyu composition (models/fuyu.py): Persimmon decoder
             # under [model.]language_model.[model.], one

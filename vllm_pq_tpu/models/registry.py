@@ -293,6 +293,29 @@ def _build_paligemma(hf_config, config: EngineConfig, linear_method):
                         or 0))
 
 
+@register_model("Qwen2AudioForConditionalGeneration")
+def _build_qwen2_audio(hf_config, config: EngineConfig, linear_method):
+    from types import SimpleNamespace
+
+    from vllm_pq_tpu.models.llama import LlamaConfig
+    from vllm_pq_tpu.models.qwen2_audio import (Qwen2AudioEncoderConfig,
+                                                Qwen2AudioModel)
+
+    def ns(v):
+        return SimpleNamespace(**v) if isinstance(v, dict) else v
+    tc = ns(getattr(hf_config, "text_config", None))
+    ac = ns(getattr(hf_config, "audio_config", None))
+    mc = LlamaConfig.from_hf_config(tc) if tc is not None else LlamaConfig()
+    mc.attention_bias = True  # qwen2 text stack
+    mc.dtype = config.model.jax_dtype
+    acfg = (Qwen2AudioEncoderConfig.from_hf(ac) if ac is not None
+            else Qwen2AudioEncoderConfig())
+    return Qwen2AudioModel(
+        mc, acfg, linear_method,
+        audio_token_index=getattr(hf_config, "audio_token_index",
+                                  151646))
+
+
 @register_model("BartForConditionalGeneration", "BartModel")
 def _build_bart(hf_config, config: EngineConfig, linear_method):
     from vllm_pq_tpu.models.bart import BartConfig, BartModel
