@@ -268,8 +268,11 @@ def child_main(model_name):
     # keeps the pow2 ladder.
     if model_name in ("flagship", "smallbatch", "longctx"):
         os.environ.setdefault("VPQ_PAGES_FIXED", "1")
-        # w8a8-resident weights: measured fastest serving form
-        # (BENCHMARKS.md round 4: 1.60 ms linear stack vs 2.72 dense)
+    if model_name in ("flagship", "longctx"):
+        # w8a8-resident weights: measured fastest batched serving form
+        # (BENCHMARKS.md round 4: 1.60 ms linear stack vs 2.72 dense);
+        # smallbatch keeps auto (bf16-dense) as the resident arm its
+        # fused-PQ comparison is defined against
         os.environ.setdefault("VPQ_PQ_RESIDENT", "int8")
     if os.environ.get("VPQ_FORCE_CPU"):
         # the axon sitecustomize may have registered the tunnel backend
@@ -321,8 +324,7 @@ def child_main(model_name):
               kv_cache_dtype=os.environ.get(
                   "VPQ_BENCH_KV_DTYPE",
                   "int8" if (on_tpu and model_name in
-                             ("llama2_7b", "flagship", "smallbatch",
-                              "longctx"))
+                             ("llama2_7b", "flagship", "longctx"))
                   else "auto"),
               max_model_len=max_len, max_num_seqs=batch,
               max_num_batched_tokens=2048, block_size=block_size,
