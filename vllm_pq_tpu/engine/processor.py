@@ -69,6 +69,15 @@ class Processor:
                                     "temporal_patch_size", 2),
                                 merge_size=vc.get("spatial_merge_size",
                                                   2)))
+                elif arch0 == "Blip2ForConditionalGeneration":
+                    from vllm_pq_tpu.multimodal.image import ImageProcessor
+                    vc = raw.get("vision_config", {})
+                    size = vc.get("image_size", 224)
+                    spec = (raw.get("image_token_index", 50265),
+                            int(raw.get("num_query_tokens", 32)),
+                            ImageProcessor.from_pretrained(
+                                self.config.model.model,
+                                default_size=size))
                 elif arch0 == "Qwen2AudioForConditionalGeneration":
                     ac = raw.get("audio_config", {})
                     spec = ("qwen2audio",

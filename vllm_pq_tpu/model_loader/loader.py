@@ -155,6 +155,88 @@ def _load_llava_vision(tower: dict, model, rest: str,
         logger.warning("unmapped LLaVA vision weight %s", rest)
 
 
+def _load_blip2_weight(tree, name: str, w: np.ndarray) -> None:
+    """BLIP-2 checkpoint mapping (models/blip2.py layout)."""
+    V = tree["vision"]
+    if name == "query_tokens":
+        V["qformer"]["query_tokens"] = {"weight": w[0]}
+        return
+    if name.startswith("language_projection."):
+        leaf = name.split(".")[-1]
+        d = V["projector"].setdefault("linear", {})
+        d[leaf] = w.T if leaf == "weight" else w
+        return
+    if name.startswith("vision_model."):
+        rest = name[len("vision_model."):]
+        T = V["tower"]
+        if rest == "embeddings.class_embedding":
+            T["class_embedding"] = {"weight": w.reshape(-1)}
+        elif rest == "embeddings.patch_embedding.weight":
+            h = w.shape[0]
+            T.setdefault("patch_embedding", {})["weight"] = \
+                w.transpose(2, 3, 1, 0).reshape(-1, h)
+        elif rest == "embeddings.patch_embedding.bias":
+            T.setdefault("patch_embedding", {})["bias"] = w
+        elif rest == "embeddings.position_embedding":
+            T["position_embedding"] = {"weight": w[0]}
+        elif rest.startswith("post_layernorm."):
+            T.setdefault("post_layernorm", {})[rest.split(".")[-1]] = w
+        elif rest.startswith("encoder.layers."):
+            parts = rest.split(".")
+            li = int(parts[2])
+            sub = parts[4] if parts[3] in ("self_attn", "mlp") \
+                else parts[3]
+            leaf = parts[-1]
+            d = T["layers"][li].setdefault(sub, {})
+            d[leaf] = w.T if (leaf == "weight"
+                              and "norm" not in sub) else w
+        else:
+            logger.warning("unmapped BLIP-2 vision weight %s", name)
+        return
+    if name.startswith("qformer."):
+        rest = name[len("qformer."):]
+        Q = V["qformer"]
+        if rest.startswith("layernorm."):
+            Q.setdefault("layernorm", {})[rest.split(".")[-1]] = w
+            return
+        if rest.startswith("encoder.layer."):
+            parts = rest.split(".")
+            li = int(parts[2])
+            L = Q["layers"][li]
+            kind = parts[3]
+            if kind in ("attention", "crossattention"):
+                d = L.setdefault(kind if kind == "crossattention"
+                                 else "attention", {})
+                if parts[4] == "attention":      # q/k/v linears
+                    sub, leaf = parts[5], parts[6]
+                    dd = d.setdefault(sub, {})
+                    dd[leaf] = w.T if leaf == "weight" else w
+                else:                             # output.dense / LN
+                    if parts[5] == "dense":
+                        dd = d.setdefault("out", {})
+                        dd[parts[6]] = w.T if parts[6] == "weight" \
+                            else w
+                    else:
+                        dd = d.setdefault("out_ln", {})
+                        dd[parts[6]] = w
+                return
+            if kind == "intermediate_query":
+                d = L.setdefault("intermediate_query", {})
+                d[parts[-1]] = w.T if parts[-1] == "weight" else w
+                return
+            if kind == "output_query":
+                if parts[4] == "dense":
+                    d = L.setdefault("output_query", {})
+                    d[parts[-1]] = w.T if parts[-1] == "weight" else w
+                else:
+                    d = L.setdefault("output_query_ln", {})
+                    d[parts[-1]] = w
+                return
+        logger.warning("unmapped BLIP-2 qformer weight %s", name)
+        return
+    logger.warning("unmapped BLIP-2 weight %s", name)
+
+
 def _load_qwen2audio_tower(tower: dict, rest: str,
                            w: np.ndarray) -> None:
     """Map HF Qwen2AudioEncoder names into the tower subtree
@@ -1083,6 +1165,15 @@ def load_hf(model, mesh: Mesh, model_dir: str,
     is_internvl = model.__class__.__name__ == "InternVLModel"
     is_idefics3 = model.__class__.__name__ == "Idefics3Model"
     is_fuyu = model.__class__.__name__ == "FuyuModel"
+    is_blip2 = model.__class__.__name__ == "Blip2Model"
+    if is_blip2:
+        tree["vision"] = {
+            "tower": {"layers": [dict() for _ in range(
+                model.vision_cfg.num_hidden_layers)]},
+            "qformer": {"layers": [dict() for _ in range(
+                model.qformer_cfg.num_hidden_layers)]},
+            "projector": {},
+        }
     is_q2audio = model.__class__.__name__ == "Qwen2AudioModel"
     if is_q2audio:
         tree["vision"] = {
@@ -1217,6 +1308,18 @@ def load_hf(model, mesh: Mesh, model_dir: str,
             _load_falcon_weight(tree, cfg, shapes, linear_method,
                                 name, tensor)
             continue
+        if is_blip2:
+            # BLIP-2 composition (models/blip2.py): ViT + Q-Former +
+            # language_projection + OPT LM under language_model.
+            if name.startswith("model."):
+                name = name[len("model."):]
+            if name.startswith(("vision_model.", "qformer.",
+                                "language_projection.")) \
+                    or name == "query_tokens":
+                _load_blip2_weight(tree, name, tensor)
+                continue
+            if name.startswith("language_model."):
+                name = name[len("language_model."):]
         if is_q2audio:
             # Qwen2-Audio composition (models/qwen2_audio.py):
             # audio_tower + one-linear projector + Qwen2 LM under

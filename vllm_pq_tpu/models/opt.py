@@ -139,7 +139,8 @@ class OPTModel:
     def __call__(self, params, input_ids, positions, kv_caches, attn_md,
                  rope_cache, *, tp_axis: Optional[str] = TP_AXIS,
                  lora: Optional[Dict] = None,
-                 decode_mode: bool = False, decode_pages=None):
+                 decode_mode: bool = False, decode_pages=None,
+                 mm=None):
         cfg = self.cfg
         tp = jax.lax.psum(1, tp_axis) if tp_axis else 1
         heads = cfg.num_attention_heads // tp
@@ -149,6 +150,12 @@ class OPTModel:
         x = self._embed(params["embed_tokens"], input_ids, tp_axis)
         x = x + params["embed_positions"]["weight"][
             positions + _POS_OFFSET]
+        if mm is not None:
+            # multimodal splice (BLIP-2 query tokens; same contract as
+            # models/llama.py)
+            mm_mask, mm_embeds = mm
+            x = jnp.where(mm_mask[:, None] > 0,
+                          mm_embeds.astype(x.dtype), x)
         new_caches = []
         for li in range(cfg.num_hidden_layers):
             lp = params["layers"][li]

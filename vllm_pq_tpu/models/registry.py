@@ -293,6 +293,34 @@ def _build_paligemma(hf_config, config: EngineConfig, linear_method):
                         or 0))
 
 
+@register_model("Blip2ForConditionalGeneration")
+def _build_blip2(hf_config, config: EngineConfig, linear_method):
+    from types import SimpleNamespace
+
+    from vllm_pq_tpu.models.blip2 import (Blip2Model, Blip2QFormerCfg,
+                                          Blip2VisionCfg)
+    from vllm_pq_tpu.models.opt import OPTConfig
+
+    def ns(v):
+        return SimpleNamespace(**v) if isinstance(v, dict) else v
+    tc = ns(getattr(hf_config, "text_config", None))
+    vc = ns(getattr(hf_config, "vision_config", None))
+    qc = ns(getattr(hf_config, "qformer_config", None))
+    mc = (OPTConfig.from_hf_config(tc) if tc is not None
+          else OPTConfig())
+    mc.dtype = config.model.jax_dtype
+    return Blip2Model(
+        mc,
+        Blip2VisionCfg.from_hf(vc) if vc is not None
+        else Blip2VisionCfg(),
+        Blip2QFormerCfg.from_hf(qc) if qc is not None
+        else Blip2QFormerCfg(),
+        linear_method,
+        num_query_tokens=getattr(hf_config, "num_query_tokens", 32),
+        image_token_index=getattr(hf_config, "image_token_index",
+                                  50265))
+
+
 @register_model("Qwen2AudioForConditionalGeneration")
 def _build_qwen2_audio(hf_config, config: EngineConfig, linear_method):
     from types import SimpleNamespace
