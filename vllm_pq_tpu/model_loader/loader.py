@@ -853,6 +853,11 @@ def _load_internlm2_weight(tree, cfg, shapes, linear_method, name, w):
         if "lm_head" in shapes:
             tree["lm_head"] = {"weight": w.T}
         return
+    if name == "v_head.weight" and "score" in shapes:
+        # InternLM2ForRewardModel scalar head (reference
+        # models/internlm2_reward.py); [1, hidden] -> score [hidden, 1]
+        tree.setdefault("score", {})["weight"] = w.T
+        return
     if not name.startswith("model.layers."):
         return
     parts = name.split(".")

@@ -47,7 +47,10 @@ def _load_hf_config(model_path: str, config: EngineConfig):
         return None
 
 
-@register_model("Qwen2ForCausalLM")
+@register_model("Qwen2ForCausalLM",
+                # pooling/embedding alias (reference registry.py:141
+                # Qwen2EmbeddingModel -> qwen2 + pooler)
+                "Qwen2EmbeddingModel")
 def _build_qwen2(hf_config, config: EngineConfig, linear_method):
     # Qwen2 = llama math + always-on qkv bias (its HF config carries no
     # attention_bias field; reference models/qwen2.py)
@@ -99,7 +102,8 @@ def _build_gemma(hf_config, config: EngineConfig, linear_method):
     return LlamaModel(mc, linear_method)
 
 
-@register_model("Gemma2ForCausalLM")
+@register_model("Gemma2ForCausalLM",
+                "Gemma2Model")  # pooling row (ref registry.py:139)
 def _build_gemma2(hf_config, config: EngineConfig, linear_method):
     from vllm_pq_tpu.models.llama import LlamaConfig, LlamaModel
     mc = LlamaConfig.from_hf_config(hf_config)
@@ -218,7 +222,11 @@ def _build_mixtral(hf_config, config: EngineConfig, linear_method):
     return MixtralModel(mc, linear_method, expert_parallel=ep)
 
 
-@register_model("LlavaForConditionalGeneration")
+@register_model("LlavaForConditionalGeneration",
+                # Mantis is llava-architecture with a different chat
+                # processor (reference registry.py -> models/llava.py
+                # MantisForConditionalGeneration row)
+                "MantisForConditionalGeneration")
 def _build_llava(hf_config, config: EngineConfig, linear_method):
     from types import SimpleNamespace
 
@@ -448,7 +456,8 @@ def _build_phi(hf_config, config: EngineConfig, linear_method):
 
 
 @register_model("StableLmForCausalLM", "StableLMEpochForCausalLM",
-                "StableLmEpochForCausalLM")
+                "StableLmEpochForCausalLM",
+                "StablelmForCausalLM")  # ref registry.py spelling
 def _build_stablelm(hf_config, config: EngineConfig, linear_method):
     # llama block with layernorm + partial rotary (reference
     # models/stablelm.py; the Epoch alias uses norm_eps / rope_pct
@@ -841,7 +850,12 @@ def _build_baichuan(hf_config, config: EngineConfig, linear_method):
     return LlamaModel(mc, linear_method)
 
 
-@register_model("InternLM2ForCausalLM")
+@register_model("InternLM2ForCausalLM",
+                # visual-expert variant (reference models/internlm2_ve.py)
+                # is text-identical when no visual tokens are routed; the
+                # extra feed_forward_ve branch exists only for InternVL
+                # composites, which splice embeddings instead here
+                "InternLM2VEForCausalLM")
 def _build_internlm2(hf_config, config: EngineConfig, linear_method):
     # InternLM2: llama math, grouped fused wqkv + renamed tree
     # (reference models/internlm2.py)
@@ -1197,7 +1211,8 @@ def _build_phimoe(hf_config, config: EngineConfig, linear_method):
     return model
 
 
-@register_model("BertModel", "BertForMaskedLM")
+@register_model("BertModel", "BertForMaskedLM",
+                "BertEmbeddingModel")  # ref registry.py pooling row
 def _build_bert(hf_config, config: EngineConfig, linear_method):
     # Encoder-only embedding model (reference models/bert.py
     # BertEmbeddingModel — the /v1/embeddings serving family)
@@ -1226,6 +1241,60 @@ def _build_bert_classifier(hf_config, config: EngineConfig,
                               or 1) + 1
     mc.dtype = config.model.jax_dtype
     return BertModel(mc)
+
+
+@register_model("RobertaModel", "RobertaEmbeddingModel",
+                "XLMRobertaModel")
+def _build_roberta_embedding(hf_config, config: EngineConfig,
+                             linear_method):
+    # Encoder-only embedding rows (reference models/roberta.py
+    # RobertaEmbeddingModel; registry.py pooling rows). Roberta = BERT
+    # with position ids offset by padding_idx + 1
+    # (HF create_position_ids_from_input_ids).
+    from vllm_pq_tpu.models.bert import BertConfig, BertModel
+    mc = (BertConfig.from_hf_config(hf_config) if hf_config is not None
+          else BertConfig())
+    mc.position_offset = (getattr(hf_config, "pad_token_id", 1) or 1) + 1
+    mc.dtype = config.model.jax_dtype
+    return BertModel(mc)
+
+
+@register_model("InternLM2ForRewardModel")
+def _build_internlm2_rm(hf_config, config: EngineConfig, linear_method):
+    # InternLM2 + scalar v_head (reference models/internlm2_reward.py:
+    # pooled 1-label linear head over the final hidden state)
+    from vllm_pq_tpu.models.llama import LlamaConfig, LlamaModel
+    mc = LlamaConfig.from_hf_config(hf_config)
+    mc.attention_bias = getattr(hf_config, "bias", False)
+    mc.hf_family = "internlm2"
+    mc.num_labels = 1
+    mc.tie_word_embeddings = True  # no lm_head in RM checkpoints
+    mc.dtype = config.model.jax_dtype
+    return LlamaModel(mc, linear_method)
+
+
+_SPEC_DRAFT_ARCHS = {
+    "MedusaModel": "medusa",
+    "EAGLEModel": "eagle",
+    "MLPSpeculatorPreTrainedModel": "mlp_speculator",
+    "DeepSeekMTPModel": "mtp",
+}
+
+
+@register_model(*_SPEC_DRAFT_ARCHS)
+def _build_spec_draft(hf_config, config: EngineConfig, linear_method):
+    # Speculative draft architectures (reference registry.py
+    # _SPECULATIVE_DECODING_MODELS: medusa.py, eagle.py,
+    # mlp_speculator.py, deepseek_mtp.py). These checkpoints condition
+    # on a TARGET model's hidden states and are loaded by the spec
+    # proposers (spec_decode/{medusa,eagle,mlp_speculator}.py), not as
+    # standalone targets.
+    arch = (getattr(hf_config, "architectures", None) or ["?"])[0]
+    raise ValueError(
+        f"{arch} is a speculative draft architecture; pass it via "
+        "--speculative-config (method="
+        f"'{_SPEC_DRAFT_ARCHS.get(arch, 'draft')}', model=<path>) so it "
+        "runs as a proposer conditioned on the target model")
 
 
 def _num_labels(hf_config, default=2):
