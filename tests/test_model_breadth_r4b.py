@@ -117,6 +117,95 @@ def _internlm2_checkpoint_from_llama(hf, v_head, d):
         "rope_theta": cfg.rope_theta}))
 
 
+def _chatglm_checkpoint_from_glm(hf, d):
+    """Write a tiny transformers GlmForCausalLM as a legacy ChatGLM
+    checkpoint (the inverse of HF's glm conversion script): fused
+    query_key_value / dense_h_to_4h under transformer.encoder.*, THUDM
+    config keys. Golden-tests our chatglm builder + loader against the
+    HF glm math, which IS the chatglm math (interleaved half-rope, MQA,
+    gate-first swiglu)."""
+    from safetensors.torch import save_file
+    cfg = hf.config
+    sd = hf.state_dict()
+    out = {
+        "transformer.embedding.word_embeddings.weight":
+            sd["model.embed_tokens.weight"],
+        "transformer.encoder.final_layernorm.weight":
+            sd["model.norm.weight"],
+        "transformer.output_layer.weight": sd["lm_head.weight"],
+    }
+    for li in range(cfg.num_hidden_layers):
+        src = f"model.layers.{li}."
+        dst = f"transformer.encoder.layers.{li}."
+        out[dst + "self_attention.query_key_value.weight"] = torch.cat(
+            [sd[src + "self_attn.q_proj.weight"],
+             sd[src + "self_attn.k_proj.weight"],
+             sd[src + "self_attn.v_proj.weight"]], dim=0)
+        out[dst + "self_attention.query_key_value.bias"] = torch.cat(
+            [sd[src + "self_attn.q_proj.bias"],
+             sd[src + "self_attn.k_proj.bias"],
+             sd[src + "self_attn.v_proj.bias"]], dim=0)
+        out[dst + "self_attention.dense.weight"] = sd[
+            src + "self_attn.o_proj.weight"]
+        out[dst + "mlp.dense_h_to_4h.weight"] = sd[
+            src + "mlp.gate_up_proj.weight"]
+        out[dst + "mlp.dense_4h_to_h.weight"] = sd[
+            src + "mlp.down_proj.weight"]
+        out[dst + "input_layernorm.weight"] = sd[
+            src + "input_layernorm.weight"]
+        out[dst + "post_attention_layernorm.weight"] = sd[
+            src + "post_attention_layernorm.weight"]
+    d.mkdir(parents=True, exist_ok=True)
+    save_file({k: v.contiguous() for k, v in out.items()},
+              str(d / "model.safetensors"))
+    (d / "config.json").write_text(json.dumps({
+        "architectures": ["ChatGLMModel"], "model_type": "chatglm",
+        "padded_vocab_size": cfg.vocab_size,
+        "hidden_size": cfg.hidden_size,
+        "ffn_hidden_size": cfg.intermediate_size,
+        "num_layers": cfg.num_hidden_layers,
+        "num_attention_heads": cfg.num_attention_heads,
+        "multi_query_attention": True,
+        "multi_query_group_num": cfg.num_key_value_heads,
+        "kv_channels": cfg.head_dim,
+        "layernorm_epsilon": cfg.rms_norm_eps,
+        "rope_ratio": cfg.rope_theta / 10000.0,
+        "seq_length": cfg.max_position_embeddings,
+        "add_qkv_bias": True, "add_bias_linear": False,
+        "rmsnorm": True, "tie_word_embeddings": False}))
+
+
+def test_chatglm_matches_hf_glm(tmp_path):
+    from transformers import GlmConfig, GlmForCausalLM
+    cfg = GlmConfig(vocab_size=256, hidden_size=64,
+                    intermediate_size=128, num_hidden_layers=2,
+                    num_attention_heads=4, num_key_value_heads=2,
+                    head_dim=16, partial_rotary_factor=0.5,
+                    max_position_embeddings=256, attention_bias=True,
+                    tie_word_embeddings=False, pad_token_id=0,
+                    eos_token_id=1, bos_token_id=2)
+    torch.manual_seed(5)
+    hf = GlmForCausalLM(cfg).eval().float()
+    d = tmp_path / "chatglm"
+    _chatglm_checkpoint_from_glm(hf, d)
+    from vllm_pq_tpu import LLM, SamplingParams
+    llm = LLM(model=str(d), dtype="float32", max_model_len=64,
+              max_num_seqs=2, max_num_batched_tokens=64, block_size=16,
+              num_kv_blocks=32, enable_prefix_caching=False)
+    rng = np.random.default_rng(4)
+    for _ in range(2):
+        ids = rng.integers(2, 250, int(rng.integers(4, 16))).tolist()
+        with torch.no_grad():
+            exp = hf.generate(
+                torch.tensor([ids]), max_new_tokens=8, do_sample=False,
+                num_beams=1, pad_token_id=0)[0, len(ids):].tolist()
+        got = llm.generate(
+            [{"prompt_token_ids": ids}],
+            SamplingParams(temperature=0.0, max_tokens=8,
+                           ignore_eos=True))[0].outputs[0].token_ids
+        assert got == exp, (got, exp)
+
+
 def test_internlm2_reward_matches_golden(tmp_path):
     from transformers import LlamaConfig, LlamaForCausalLM
     cfg = LlamaConfig(vocab_size=256, hidden_size=64,

@@ -894,6 +894,67 @@ def _load_internlm2_weight(tree, cfg, shapes, linear_method, name, w):
         logger.warning("unmapped InternLM2 weight %s", name)
 
 
+def _load_chatglm_weight(tree, cfg, shapes, linear_method, name, w):
+    """ChatGLM legacy naming (THUDM chatglm2/3 and pre-HF glm-4;
+    reference models/chatglm.py): transformer.encoder.* tree, fused
+    self_attention.query_key_value rows [q | k | v], fused
+    mlp.dense_h_to_4h rows [gate | up] (the swiglu chunk order)."""
+    put = _mk_put_linear(tree, linear_method)
+    if name == "transformer.embedding.word_embeddings.weight":
+        tree["embed_tokens"]["weight"] = w
+        return
+    if name == "transformer.output_layer.weight":
+        if "lm_head" in shapes:
+            tree["lm_head"] = {"weight": w.T}
+        return
+    if name == "transformer.encoder.final_layernorm.weight":
+        tree["norm"]["weight"] = w
+        return
+    if "rotary_pos_emb" in name:
+        return  # inv_freq buffer; rope is recomputed
+    if not name.startswith("transformer.encoder.layers."):
+        logger.warning("unmapped ChatGLM weight %s", name)
+        return
+    parts = name.split(".")
+    li = int(parts[3])
+    sub = ".".join(parts[4:-1])
+    leaf = parts[-1]
+    L = tree["layers"][li]
+    if sub == "self_attention.query_key_value":
+        q_rows = cfg.num_attention_heads * cfg.head_dim
+        kv_rows = cfg.num_key_value_heads * cfg.head_dim
+        pieces = (("q_proj", w[:q_rows]),
+                  ("k_proj", w[q_rows:q_rows + kv_rows]),
+                  ("v_proj", w[q_rows + kv_rows:]))
+        for ours, piece in pieces:
+            if leaf == "bias":
+                L[ours + "_bias"] = {"bias": piece}
+            else:
+                put(L, ours, piece.T)
+    elif sub == "self_attention.dense":
+        if leaf == "bias":
+            L["o_proj_bias"] = {"bias": w}
+        else:
+            put(L, "o_proj", w.T)
+    elif sub == "mlp.dense_h_to_4h":
+        half = w.shape[0] // 2
+        for ours, piece in (("gate_proj", w[:half]),
+                            ("up_proj", w[half:])):
+            if leaf == "bias":
+                L[ours + "_bias"] = {"bias": piece}
+            else:
+                put(L, ours, piece.T)
+    elif sub == "mlp.dense_4h_to_h":
+        if leaf == "bias":
+            L["down_proj_bias"] = {"bias": w}
+        else:
+            put(L, "down_proj", w.T)
+    elif sub in ("input_layernorm", "post_attention_layernorm"):
+        L.setdefault(sub, {})[leaf] = w
+    else:
+        logger.warning("unmapped ChatGLM weight %s", name)
+
+
 def _load_bert_weight(tree, cfg, shapes, name, w):
     """BERT naming (reference models/bert.py weight mapping); handles
     both bare BertModel and task-head (bert.*) checkpoints."""
@@ -1221,6 +1282,7 @@ def load_hf(model, mesh: Mesh, model_dir: str,
     fam_loaders = {"gptj": _load_gptj_weight, "bloom": _load_bloom_weight,
                    "mpt": _load_mpt_weight,
                    "internlm2": _load_internlm2_weight,
+                   "chatglm": _load_chatglm_weight,
                    "dbrx": _load_dbrx_weight,
                    "exaone": _load_exaone_weight}
     if fam == "qwen2_vl":

@@ -1243,6 +1243,47 @@ def _build_bert_classifier(hf_config, config: EngineConfig,
     return BertModel(mc)
 
 
+@register_model("ChatGLMModel", "ChatGLMForCausalLM",
+                "ChatGLMForConditionalGeneration")
+def _build_chatglm(hf_config, config: EngineConfig, linear_method):
+    # ChatGLM2/3 + legacy GLM-4 (reference models/chatglm.py): the same
+    # math transformers later shipped as GlmForCausalLM — RMSNorm, MQA,
+    # interleaved rope on the first half of each head, swiglu — but
+    # with the THUDM config keys and the fused transformer.encoder.*
+    # checkpoint naming (handled by hf_family="chatglm" in the loader).
+    from vllm_pq_tpu.models.llama import LlamaConfig, LlamaModel
+    h = hf_config
+
+    def g(k, d=None):
+        return getattr(h, k, d)
+
+    heads = g("num_attention_heads", 32)
+    mc = LlamaConfig(
+        vocab_size=g("padded_vocab_size", g("vocab_size", 65024)),
+        hidden_size=g("hidden_size", 4096),
+        intermediate_size=g("ffn_hidden_size", 13696),
+        num_hidden_layers=g("num_layers", 28),
+        num_attention_heads=heads,
+        num_key_value_heads=(g("multi_query_group_num", 2)
+                             if g("multi_query_attention", False)
+                             else heads),
+        head_dim=g("kv_channels", None),
+        rms_norm_eps=g("layernorm_epsilon", 1e-5),
+        rope_theta=10000.0 * g("rope_ratio", 1.0),
+        max_position_embeddings=g("seq_length", 8192),
+        tie_word_embeddings=bool(g("tie_word_embeddings", False)),
+        attention_bias=bool(g("add_qkv_bias", True)
+                            or g("add_bias_linear", False)),
+    )
+    mc.o_proj_bias = bool(g("add_bias_linear", False))
+    mc.mlp_bias = bool(g("add_bias_linear", False))
+    mc.rope_style = "gptj"
+    mc.partial_rotary_factor = 0.5
+    mc.hf_family = "chatglm"
+    mc.dtype = config.model.jax_dtype
+    return LlamaModel(mc, linear_method)
+
+
 @register_model("RobertaModel", "RobertaEmbeddingModel",
                 "XLMRobertaModel")
 def _build_roberta_embedding(hf_config, config: EngineConfig,
