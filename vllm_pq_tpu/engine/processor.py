@@ -130,6 +130,20 @@ class Processor:
                             ImageProcessor.from_pretrained(
                                 self.config.model.model,
                                 default_size=size))
+                elif arch0 == "LlavaNextForConditionalGeneration":
+                    from vllm_pq_tpu.multimodal.image import ImageProcessor
+                    vc = raw.get("vision_config", {})
+                    vsize = vc.get("image_size", 336)
+                    spec = ("llava_next",
+                            raw.get("image_token_index", 32000),
+                            raw.get("image_grid_pinpoints") or
+                            [[vsize, 2 * vsize]],
+                            vsize, vc.get("patch_size", 14),
+                            raw.get("vision_feature_select_strategy",
+                                    "default"),
+                            ImageProcessor.from_pretrained(
+                                self.config.model.model,
+                                default_size=vsize))
                 elif arch0 == "LlavaForConditionalGeneration":
                     from vllm_pq_tpu.multimodal.image import ImageProcessor
                     vc = raw.get("vision_config", {})
@@ -252,6 +266,8 @@ class Processor:
                                              pixel_values=pix)]
         if spec and spec[0] == "qwen2vl":
             return self._expand_mm_qwen2vl(token_ids, mm_data, spec)
+        if spec and spec[0] == "llava_next":
+            return self._expand_mm_llava_next(token_ids, mm_data, spec)
         if spec is None:
             raise ValueError(
                 "multi_modal_data passed but the model is not multimodal")
@@ -277,6 +293,85 @@ class Processor:
             prev = spot + 1
         out.extend(token_ids[prev:])
         return out, mm_inputs
+
+    def _expand_mm_llava_next(self, token_ids, mm_data, spec):
+        """LLaVA-NeXT anyres: the placeholder span depends on each
+        image's original size (base crop + unpadded grid + one newline
+        per row; reference models/llava_next.py get_num_image_tokens).
+        Accepts HF-preprocessed dicts {"pixel_values": [P+1,3,h,w],
+        "image_size": (H0, W0)} for exact parity, or raw images which
+        are anyres-preprocessed host-side."""
+        import numpy as np
+
+        from vllm_pq_tpu.multimodal import MMInput
+        from vllm_pq_tpu.multimodal.llava_next import feature_span
+        _, image_tok, pinpoints, vsize, psize, strategy, improc = spec
+        images = mm_data.get("image")
+        if images is None:
+            raise ValueError("multi_modal_data must contain 'image'")
+        if not isinstance(images, (list, tuple)):
+            images = [images]
+        spots = [i for i, t in enumerate(token_ids) if t == image_tok]
+        if len(spots) != len(images):
+            raise ValueError(
+                f"prompt has {len(spots)} image placeholders but "
+                f"{len(images)} images were provided")
+        out: list = []
+        mm_inputs = []
+        prev = 0
+        for spot, img in zip(spots, images):
+            out.extend(token_ids[prev:spot])
+            if isinstance(img, dict):
+                px = np.asarray(img["pixel_values"], np.float32)
+                h0, w0 = (int(v) for v in img["image_size"])
+            else:
+                px, (h0, w0) = self._anyres_pixels(img, pinpoints,
+                                                   vsize, improc)
+            n_tok = feature_span((h0, w0), pinpoints, vsize, psize,
+                                 strategy)
+            mm_inputs.append(MMInput(offset=len(out), length=n_tok,
+                                     pixel_values=px,
+                                     grid_thw=(h0, w0)))
+            out.extend([image_tok] * n_tok)
+            prev = spot + 1
+        out.extend(token_ids[prev:])
+        return out, mm_inputs
+
+    @staticmethod
+    def _anyres_pixels(img, pinpoints, vsize, improc):
+        """Raw image -> [P+1, 3, vsize, vsize] anyres crops (base first)
+        following the HF llava-next image processor: resize-to-fit the
+        best pinpoint resolution, center-pad, tile row-major."""
+        import numpy as np
+
+        from vllm_pq_tpu.multimodal.llava_next import \
+            select_best_resolution
+        arr = np.asarray(img)
+        if arr.ndim == 3 and arr.shape[0] == 3:
+            arr = arr.transpose(1, 2, 0)
+        h0, w0 = arr.shape[:2]
+        bh, bw = select_best_resolution((h0, w0), pinpoints)
+        base = improc(arr)  # [3, vsize, vsize]
+        scale = min(bw / w0, bh / h0)
+        nh, nw = int(h0 * scale), int(w0 * scale)
+        try:
+            from PIL import Image
+            rim = Image.fromarray(arr.astype(np.uint8)).resize(
+                (nw, nh), Image.BICUBIC)
+            resized = np.asarray(rim, np.float32)
+        except Exception:
+            yi = (np.arange(nh) * h0 // nh).clip(0, h0 - 1)
+            xi = (np.arange(nw) * w0 // nw).clip(0, w0 - 1)
+            resized = arr[yi][:, xi].astype(np.float32)
+        canvas = np.zeros((bh, bw, 3), np.float32)
+        top, left = (bh - nh) // 2, (bw - nw) // 2
+        canvas[top:top + nh, left:left + nw] = resized
+        canvas = (canvas / 255.0 - improc.mean) / improc.std
+        tiles = [canvas[r:r + vsize, c:c + vsize].transpose(2, 0, 1)
+                 for r in range(0, bh, vsize)
+                 for c in range(0, bw, vsize)]
+        return (np.stack([base] + tiles).astype(np.float32),
+                (h0, w0))
 
     def _expand_mm_qwen2vl(self, token_ids, mm_data, spec):
         """Qwen2-VL: the placeholder count depends on each image's

@@ -1226,7 +1226,8 @@ def load_hf(model, mesh: Mesh, model_dir: str,
     is_deepseek = model.__class__.__name__ == "DeepseekV2Model"
     is_moe = model.__class__.__name__ in ("MixtralModel", "Qwen2MoeModel",
                                           "DeepseekV2Model")
-    is_llava = model.__class__.__name__ == "LlavaModel"
+    is_llava = model.__class__.__name__ in ("LlavaModel",
+                                            "LlavaNextModel")
     is_paligemma = model.__class__.__name__ == "PaliGemmaModel"
     is_internvl = model.__class__.__name__ == "InternVLModel"
     is_idefics3 = model.__class__.__name__ == "Idefics3Model"
@@ -1504,6 +1505,11 @@ def load_hf(model, mesh: Mesh, model_dir: str,
                 lin, leaf = parts[1], parts[2]
                 d = tree["vision"]["projector"].setdefault(lin, {})
                 d[leaf] = tensor.T if leaf == "weight" else tensor
+                continue
+            elif name == "image_newline":
+                # LLaVA-NeXT learned row terminator (reference
+                # models/llava_next.py image_newline)
+                tree["vision"]["image_newline"] = {"weight": tensor}
                 continue
         if name.startswith("transformer.") or name.startswith("h."):
             # GPT-2 family (models/gpt2.py); Conv1D weights are already

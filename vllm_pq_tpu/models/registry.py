@@ -1243,6 +1243,37 @@ def _build_bert_classifier(hf_config, config: EngineConfig,
     return BertModel(mc)
 
 
+@register_model("LlavaNextForConditionalGeneration")
+def _build_llava_next(hf_config, config: EngineConfig, linear_method):
+    # LLaVA-NeXT anyres (reference models/llava_next.py): LLaVA + base
+    # crop, anyres crop grid, unpad + image_newline reassembly
+    from types import SimpleNamespace
+
+    from vllm_pq_tpu.models.llama import LlamaConfig
+    from vllm_pq_tpu.models.llava_next import LlavaNextModel
+    from vllm_pq_tpu.multimodal.clip import CLIPVisionConfig
+
+    def ns(v):
+        return SimpleNamespace(**v) if isinstance(v, dict) else v
+    tc = ns(getattr(hf_config, "text_config", None))
+    vc = ns(getattr(hf_config, "vision_config", None))
+    mc = (LlamaConfig.from_hf_config(tc) if tc is not None
+          else LlamaConfig())
+    mc.dtype = config.model.jax_dtype
+    vcfg = (CLIPVisionConfig.from_hf(vc) if vc is not None
+            else CLIPVisionConfig())
+    return LlavaNextModel(
+        mc, vcfg, linear_method,
+        image_token_index=getattr(hf_config, "image_token_index", 32000),
+        vision_feature_layer=getattr(hf_config, "vision_feature_layer",
+                                     -2),
+        vision_feature_select_strategy=getattr(
+            hf_config, "vision_feature_select_strategy", "default"),
+        projector_act=getattr(hf_config, "projector_hidden_act", "gelu"),
+        image_grid_pinpoints=getattr(hf_config, "image_grid_pinpoints",
+                                     None))
+
+
 @register_model("ChatGLMModel", "ChatGLMForCausalLM",
                 "ChatGLMForConditionalGeneration")
 def _build_chatglm(hf_config, config: EngineConfig, linear_method):
