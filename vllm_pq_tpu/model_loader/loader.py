@@ -1090,7 +1090,11 @@ def _load_qwen2vl_vision(vtree, vcfg, rest: str, w):
         leaf = parts[-1]
         L = vtree["blocks"][li]
         m = {"norm1": "norm1", "norm2": "norm2", "attn.qkv": "qkv",
-             "attn.proj": "proj", "mlp.fc1": "fc1", "mlp.fc2": "fc2"}
+             "attn.proj": "proj", "mlp.fc1": "fc1", "mlp.fc2": "fc2",
+             # Qwen2.5-VL biased-SwiGLU vision MLP
+             # (reference models/qwen2_5_vl.py)
+             "mlp.gate_proj": "gate_proj", "mlp.up_proj": "up_proj",
+             "mlp.down_proj": "down_proj"}
         ours = m.get(sub)
         if ours is None:
             logger.warning("unmapped Qwen2-VL vision weight %s", rest)

@@ -904,6 +904,50 @@ def _build_qwen2_vl(hf_config, config: EngineConfig, linear_method):
     return Qwen2VLModel(mc, linear_method)
 
 
+@register_model("Qwen2_5_VLForConditionalGeneration")
+def _build_qwen2_5_vl(hf_config, config: EngineConfig, linear_method):
+    # Qwen2.5-VL (reference models/qwen2_5_vl.py): Qwen2-VL with a
+    # windowed RMSNorm/SwiGLU ViT
+    from types import SimpleNamespace
+
+    from vllm_pq_tpu.models.llama import LlamaConfig
+    from vllm_pq_tpu.models.qwen2_5_vl import (Qwen25VLModel,
+                                               Qwen25VLVisionCfg)
+    from vllm_pq_tpu.models.qwen2_vl import Qwen2VLConfig
+
+    def ns(v):
+        return SimpleNamespace(**v) if isinstance(v, dict) else v
+    tc = ns(getattr(hf_config, "text_config", None)) or hf_config
+    base = LlamaConfig.from_hf_config(tc)
+    mc = Qwen2VLConfig(**base.__dict__)
+    mc.attention_bias = True
+    rs = getattr(tc, "rope_scaling", None) or {}
+    mc.rope_scaling = None
+    mc.mrope_section = tuple(rs.get("mrope_section", (16, 24, 24)))
+    mc.image_token_id = getattr(hf_config, "image_token_id", 151655)
+    vc = ns(getattr(hf_config, "vision_config", None))
+    if vc is not None:
+        e = getattr(vc, "hidden_size", getattr(vc, "embed_dim", 1280))
+        mc.vision = Qwen25VLVisionCfg(
+            depth=getattr(vc, "depth", 32),
+            embed_dim=e,
+            num_heads=getattr(vc, "num_heads", 16),
+            in_channels=getattr(vc, "in_channels",
+                                getattr(vc, "in_chans", 3)),
+            patch_size=getattr(vc, "patch_size", 14),
+            temporal_patch_size=getattr(vc, "temporal_patch_size", 2),
+            spatial_merge_size=getattr(vc, "spatial_merge_size", 2),
+            intermediate_size=getattr(vc, "intermediate_size", 3420),
+            window_size=getattr(vc, "window_size", 112),
+            fullatt_block_indexes=tuple(
+                getattr(vc, "fullatt_block_indexes", None)
+                or (7, 15, 23, 31)),
+            hidden_act=getattr(vc, "hidden_act", "silu"))
+    mc.hf_family = "qwen2_vl"
+    mc.dtype = config.model.jax_dtype
+    return Qwen25VLModel(mc, linear_method)
+
+
 @register_model("MllamaForConditionalGeneration")
 def _build_mllama(hf_config, config: EngineConfig, linear_method):
     # Llama-3.2-Vision (reference models/mllama.py): llama decoder with
