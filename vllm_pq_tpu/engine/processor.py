@@ -34,10 +34,15 @@ class Processor:
             if os.path.isfile(cfg_file):
                 with open(cfg_file) as f:
                     raw = json.load(f)
-                arch0 = (raw.get("architectures") or [""])[0]
+                arch0 = (raw.get("architectures")
+                         or (raw.get("text_config") or {}).get(
+                             "architectures")
+                         or [""])[0]
                 if not arch0:
                     arch0 = {
                         "qwen2_vl": "Qwen2VLForConditionalGeneration",
+                        "qwen2_5_vl":
+                            "Qwen2_5_VLForConditionalGeneration",
                         "llava": "LlavaForConditionalGeneration",
                     }.get(raw.get("model_type", ""), "")
                 if arch0 == "WhisperForConditionalGeneration":

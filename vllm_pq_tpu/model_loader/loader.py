@@ -54,16 +54,26 @@ _HF_LAYER_MAP = {
 }
 
 
-def _tree_device_put(tree: Any, specs: Any, mesh: Mesh) -> Any:
+def _tree_device_put(tree: Any, specs: Any, mesh: Mesh,
+                     path: str = "") -> Any:
     """device_put a (nested) numpy tree with matching PartitionSpecs."""
     if isinstance(tree, dict):
-        return {k: _tree_device_put(tree[k],
-                                    specs[k] if isinstance(specs, dict)
-                                    else specs, mesh)
-                for k in tree}
+        out = {}
+        for k in tree:
+            if isinstance(specs, dict) and k not in specs:
+                raise KeyError(
+                    f"loaded param {path + k!r} has no sharding spec in "
+                    f"model.param_specs() — the checkpoint carries a "
+                    f"tensor the built model does not declare (wrong "
+                    f"architecture resolved, or a missing bias/norm "
+                    f"template). Spec keys here: {sorted(specs)}")
+            out[k] = _tree_device_put(
+                tree[k], specs[k] if isinstance(specs, dict) else specs,
+                mesh, f"{path}{k}.")
+        return out
     if isinstance(tree, list):
-        return [_tree_device_put(t, s, mesh)
-                for t, s in zip(tree, specs)]
+        return [_tree_device_put(t, s, mesh, f"{path}{i}.")
+                for i, (t, s) in enumerate(zip(tree, specs))]
     spec = specs if isinstance(specs, P) else P()
     return jax.device_put(tree, NamedSharding(mesh, spec))
 

@@ -1565,21 +1565,52 @@ def _build_deepseek(hf_config, config: EngineConfig, linear_method):
     return DeepseekV2Model(dc)
 
 
+def resolve_architecture(hf) -> str:
+    """HF ``architectures[0]``, robust to newer transformers layouts.
+
+    Recent transformers versions (>=4.52) save composite-model configs
+    with ``architectures`` nested under ``text_config`` and ``null`` at
+    the top level — falling through to the llama default silently built
+    the WRONG model (round-4 Qwen2.5-VL breakage). Resolution order:
+    top-level ``architectures`` -> ``text_config.architectures`` ->
+    ``model_type`` mapping -> llama default.
+    """
+    _MODEL_TYPE_ARCH = {
+        "qwen2_vl": "Qwen2VLForConditionalGeneration",
+        "qwen2_5_vl": "Qwen2_5_VLForConditionalGeneration",
+        "llava": "LlavaForConditionalGeneration",
+        "llava_next": "LlavaNextForConditionalGeneration",
+        "bert": "BertModel",
+        "mllama": "MllamaForConditionalGeneration",
+        "paligemma": "PaliGemmaForConditionalGeneration",
+        "whisper": "WhisperForConditionalGeneration",
+        "idefics3": "Idefics3ForConditionalGeneration",
+        "fuyu": "FuyuForCausalLM",
+        "blip-2": "Blip2ForConditionalGeneration",
+        "qwen2_audio": "Qwen2AudioForConditionalGeneration",
+        "chatglm": "ChatGLMModel",
+        "internvl_chat": "InternVLChatModel",
+    }
+    archs = getattr(hf, "architectures", None)
+    if not archs:
+        tc = getattr(hf, "text_config", None)
+        if isinstance(tc, dict):
+            archs = tc.get("architectures")
+        elif tc is not None:
+            archs = getattr(tc, "architectures", None)
+    if not archs:
+        archs = [_MODEL_TYPE_ARCH.get(getattr(hf, "model_type", ""),
+                                      "LlamaForCausalLM")]
+    return archs[0]
+
+
 def build_model(config: EngineConfig, linear_method) -> Tuple:
     """Returns (model, linear_method). Quantization overrides declared in
     the checkpoint's quantization_config take precedence."""
     hf = _load_hf_config(config.model.model, config)
     arch = "LlamaForCausalLM"
-    _MODEL_TYPE_ARCH = {
-        "qwen2_vl": "Qwen2VLForConditionalGeneration",
-        "llava": "LlavaForConditionalGeneration",
-        "bert": "BertModel",
-    }
     if hf is not None:
-        archs = (getattr(hf, "architectures", None)
-                 or [_MODEL_TYPE_ARCH.get(
-                     getattr(hf, "model_type", ""), arch)])
-        arch = archs[0]
+        arch = resolve_architecture(hf)
         qcfg = getattr(hf, "quantization_config", None)
         if qcfg and qcfg.get("quant_method") == "aqlm":
             from vllm_pq_tpu.quantization import get_linear_method
