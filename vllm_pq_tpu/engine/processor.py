@@ -110,7 +110,9 @@ class Processor:
                             ImageProcessor.from_pretrained(
                                 self.config.model.model,
                                 default_size=size))
-                elif arch0 == "InternVLForConditionalGeneration":
+                elif arch0 in ("InternVLForConditionalGeneration",
+                               "InternVLChatModel", "NVLM_D",
+                               "H2OVLChatModel"):
                     from vllm_pq_tpu.multimodal.image import ImageProcessor
                     vc = raw.get("vision_config", {})
 

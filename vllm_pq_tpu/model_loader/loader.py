@@ -384,6 +384,55 @@ def _load_internvit_vision(tower: dict, rest: str,
         logger.warning("unmapped InternViT vision weight %s", rest)
 
 
+def _load_internvit_legacy(tower: dict, rest: str,
+                           tensor: np.ndarray) -> None:
+    """Legacy OpenGVLab InternViT names (reference intern_vit.py, the
+    ``vision_model.*`` tree real InternVL2/2.5 checkpoints carry):
+    fused attn.qkv, ls1/ls2 bare layer scales, norm1/norm2."""
+    if rest == "embeddings.class_embedding":
+        tower["cls_token"] = {"weight": tensor.reshape(-1)}
+    elif rest == "embeddings.position_embedding":
+        tower["position_embeddings"] = {"weight": tensor[0]}
+    elif rest == "embeddings.patch_embedding.weight":
+        h = tensor.shape[0]
+        tower["patch_embedding"] = dict(
+            tower.get("patch_embedding", {}),
+            weight=tensor.transpose(2, 3, 1, 0).reshape(-1, h))
+    elif rest == "embeddings.patch_embedding.bias":
+        tower.setdefault("patch_embedding", {})["bias"] = tensor
+    elif rest.startswith("encoder.layers."):
+        parts = rest.split(".")
+        li = int(parts[2])
+        d = tower["layers"][li]
+        sub = ".".join(parts[3:-1]) if len(parts) > 4 else parts[3]
+        leaf = parts[-1]
+        if parts[3] in ("ls1", "ls2"):
+            # bare Parameter [h]: the per-channel layer scale
+            d["lambda_1" if parts[3] == "ls1" else "lambda_2"] = \
+                {"weight": tensor}
+            return
+        if sub == "attn.qkv":
+            h = tensor.shape[0] // 3
+            for i, n in enumerate(("q_proj", "k_proj", "v_proj")):
+                w = tensor[i * h:(i + 1) * h]
+                d.setdefault(n, {})[leaf] = (w.T if leaf == "weight"
+                                             else w)
+            return
+        m = {"attn.proj": "projection_layer",
+             "attn.q_norm": "q_norm", "attn.k_norm": "k_norm",
+             "norm1": "layernorm_before", "norm2": "layernorm_after",
+             "mlp.fc1": "fc1", "mlp.fc2": "fc2"}
+        ours = m.get(sub)
+        if ours is None:
+            logger.warning("unmapped legacy InternViT weight %s", rest)
+            return
+        d.setdefault(ours, {})[leaf] = (
+            tensor.T if (leaf == "weight" and "norm" not in ours)
+            else tensor)
+    else:
+        logger.warning("unmapped legacy InternViT weight %s", rest)
+
+
 def _load_mllama_weight(tree, cfg, shapes, linear_method, name,
                         w) -> None:
     """Mllama (Llama-3.2-Vision) checkpoint mapping: llama text tree
@@ -1363,7 +1412,10 @@ def load_hf(model, mesh: Mesh, model_dir: str,
                 continue
             if name.startswith("model.language_model."):
                 name = "model." + name[len("model.language_model."):]
-        if fam in fam_loaders:
+        if fam in fam_loaders and not is_internvl:
+            # (internvl routes only its language_model.* names through
+            # the family loader — the tower/projector names must reach
+            # the is_internvl branch below)
             fam_loaders[fam](tree, cfg, shapes, linear_method, name,
                              tensor)
             continue
@@ -1460,12 +1512,29 @@ def load_hf(model, mesh: Mesh, model_dir: str,
             # InternVL composition (models/internvl.py): "model."
             # prefix; InternViT tower directly under vision_tower.,
             # LN+MLP projector, Qwen2/Llama LM under language_model.
+            # Legacy OpenGVLab layout (InternVLChatModel, reference
+            # models/internvl.py): tower under vision_model., projector
+            # as mlp1.{0,1,3}, InternLM2/Qwen2 LM under language_model.
             if name.startswith("model."):
                 name = name[len("model."):]
             if name.startswith("vision_tower."):
                 _load_internvit_vision(
                     tree["vision"]["tower"],
                     name[len("vision_tower."):], tensor)
+                continue
+            if name.startswith("vision_model."):
+                _load_internvit_legacy(
+                    tree["vision"]["tower"],
+                    name[len("vision_model."):], tensor)
+                continue
+            if name.startswith("mlp1."):
+                parts = name.split(".")
+                sub = {"0": "layer_norm", "1": "linear_1",
+                       "3": "linear_2"}[parts[1]]
+                d = tree["vision"]["projector"].setdefault(sub, {})
+                d[parts[2]] = tensor.T if (parts[2] == "weight"
+                                           and sub != "layer_norm") \
+                    else tensor
                 continue
             if name.startswith("multi_modal_projector."):
                 parts = name.split(".")
@@ -1477,6 +1546,11 @@ def load_hf(model, mesh: Mesh, model_dir: str,
                 continue
             if name.startswith("language_model."):
                 name = name[len("language_model."):]
+                if fam in fam_loaders:
+                    # legacy text stack (InternLM2 wqkv naming)
+                    fam_loaders[fam](tree, cfg, shapes, linear_method,
+                                     name, tensor)
+                    continue
         if is_paligemma:
             # PaliGemma composition (models/paligemma.py): HF nests
             # everything under a leading "model."; vision tower is

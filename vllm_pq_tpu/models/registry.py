@@ -361,7 +361,15 @@ def _build_bart(hf_config, config: EngineConfig, linear_method):
     return BartModel(mc, linear_method)
 
 
-@register_model("InternVLForConditionalGeneration")
+@register_model("InternVLForConditionalGeneration",
+                # the arch string REAL InternVL2/2.5 checkpoints carry
+                # (reference registry.py:166 InternVLChatModel); their
+                # config nests the decoder under ``llm_config``
+                "InternVLChatModel",
+                # same chat format, NVIDIA/H2O forks (reference
+                # models/nvlm_d.py, h2ovl.py — both subclass the
+                # InternVL processor/tower with minor prompt deltas)
+                "NVLM_D", "H2OVLChatModel")
 def _build_internvl(hf_config, config: EngineConfig, linear_method):
     from types import SimpleNamespace
 
@@ -371,14 +379,27 @@ def _build_internvl(hf_config, config: EngineConfig, linear_method):
 
     def ns(v):
         return SimpleNamespace(**v) if isinstance(v, dict) else v
-    tc = ns(getattr(hf_config, "text_config", None))
+    tc = ns(getattr(hf_config, "text_config", None)
+            or getattr(hf_config, "llm_config", None))
     vc = ns(getattr(hf_config, "vision_config", None))
     mc = LlamaConfig.from_hf_config(tc) if tc is not None else LlamaConfig()
-    if getattr(tc, "model_type", "") == "qwen2":
+    llm_arch = (getattr(tc, "architectures", None) or [""])[0]
+    if getattr(tc, "model_type", "") == "qwen2" \
+            or "Qwen2" in llm_arch:
         mc.attention_bias = True  # qwen2 text stack (registry _build_qwen2)
+    if "InternLM2" in llm_arch:
+        # legacy InternVL2/2.5 text stack: InternLM2 wqkv naming
+        # (reference models/internlm2.py role)
+        mc.attention_bias = getattr(tc, "bias", False)
+        mc.hf_family = "internlm2"
     mc.dtype = config.model.jax_dtype
     vcfg = (InternVisionConfig.from_hf(vc) if vc is not None
             else InternVisionConfig())
+    sel = getattr(hf_config, "select_layer", -1)
+    if sel < -1:
+        # feature tap below the top: drop the unused trailing blocks
+        # (reference internvl.py vision_feature_layer slicing)
+        vcfg.num_hidden_layers = vcfg.num_hidden_layers + sel + 1
     return InternVLModel(
         mc, vcfg, linear_method,
         image_token_id=getattr(hf_config, "image_token_id", 151667),

@@ -47,8 +47,12 @@ class InternVisionConfig:
             layer_norm_eps=getattr(hf, "layer_norm_eps", 1e-6),
             hidden_act=getattr(hf, "hidden_act", "gelu"),
             norm_type=getattr(hf, "norm_type", "layer_norm"),
-            use_qk_norm=getattr(hf, "use_qk_norm", False),
-            attention_bias=getattr(hf, "attention_bias", False),
+            # legacy OpenGVLab configs (InternVLChatModel) spell these
+            # qk_normalization / qkv_bias (reference intern_vit.py)
+            use_qk_norm=getattr(hf, "use_qk_norm",
+                                getattr(hf, "qk_normalization", False)),
+            attention_bias=getattr(hf, "attention_bias",
+                                   getattr(hf, "qkv_bias", False)),
             use_mean_pooling=getattr(hf, "use_mean_pooling", True),
         )
 
