@@ -31,9 +31,18 @@ class Processor:
             import os
             spec = False
             cfg_file = os.path.join(self.config.model.model, "config.json")
+            mistral_file = os.path.join(self.config.model.model,
+                                        "params.json")
+            raw = None
             if os.path.isfile(cfg_file):
                 with open(cfg_file) as f:
                     raw = json.load(f)
+            elif os.path.isfile(mistral_file):
+                from vllm_pq_tpu.models.registry import \
+                    _normalize_params_json
+                with open(mistral_file) as f:
+                    raw = _normalize_params_json(json.load(f))
+            if raw is not None:
                 arch0 = (raw.get("architectures")
                          or (raw.get("text_config") or {}).get(
                              "architectures")
@@ -151,6 +160,18 @@ class Processor:
                             ImageProcessor.from_pretrained(
                                 self.config.model.model,
                                 default_size=vsize))
+                elif arch0 == "PixtralForConditionalGeneration":
+                    # Mistral-format standalone Pixtral: the [IMG]
+                    # placeholder expands to the ViT patch count;
+                    # break/end tokens stay literal prompt tokens
+                    from vllm_pq_tpu.multimodal.image import ImageProcessor
+                    vc = raw.get("vision_config", {})
+                    size = vc.get("image_size", 1024)
+                    patches = (size // vc.get("patch_size", 16)) ** 2
+                    spec = (vc.get("image_token_id", 10), patches,
+                            ImageProcessor.from_pretrained(
+                                self.config.model.model,
+                                default_size=size))
                 elif arch0 == "LlavaForConditionalGeneration":
                     from vllm_pq_tpu.multimodal.image import ImageProcessor
                     vc = raw.get("vision_config", {})

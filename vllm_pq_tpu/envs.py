@@ -43,6 +43,12 @@ environment_variables: Dict[str, Callable[[], Any]] = {
     # gather per codebook/position, bf16 entry pairs) or "split" (two
     # f32 gathers + select, the round-2 kernel, kept for A/B).
     "VPQ_PQ_GATHER": lambda: os.environ.get("VPQ_PQ_GATHER", "packed"),
+    # Unknown-architecture fallback (reference models/transformers.py
+    # TransformersModel role): run unregistered decoder-only archs
+    # through the generic llama-architecture builder driven by config
+    # fields. "1" on (default), "0" strict — unknown archs raise.
+    "VPQ_TRANSFORMERS_FALLBACK": lambda: os.environ.get(
+        "VPQ_TRANSFORMERS_FALLBACK", "1") == "1",
     # Resident PQ form picked once after load (quantization/resident.py):
     # "auto" (dense when it fits the budget, else int8, else stay PQ),
     # "dense"/"bf16" force, "int8" force, "0" off. Resident dense makes

@@ -124,12 +124,35 @@ def _iter_safetensors(model_dir: str):
     files = sorted(f for f in os.listdir(model_dir)
                    if f.endswith(".safetensors"))
     if not files:
-        raise FileNotFoundError(
-            f"no .safetensors files under {model_dir}")
+        yield from _iter_torch_checkpoint(model_dir)
+        return
     for f in files:
         with safe_open(os.path.join(model_dir, f), framework="np") as sf:
             for name in sf.keys():
                 yield name, sf.get_tensor(name)
+
+
+def _iter_torch_checkpoint(model_dir: str):
+    """Legacy torch-pickle checkpoints (pytorch_model*.bin / *.pt, and
+    fairseq2's wrapped model.pt — reference fairseq2_llama.py:52
+    unwraps {model_key: name, name: state_dict})."""
+    files = sorted(f for f in os.listdir(model_dir)
+                   if f.endswith((".bin", ".pt"))
+                   and not f.endswith("training_args.bin"))
+    if not files:
+        raise FileNotFoundError(
+            f"no .safetensors/.bin/.pt files under {model_dir}")
+    import torch
+    for f in files:
+        sd = torch.load(os.path.join(model_dir, f), map_location="cpu",
+                        weights_only=True)
+        if "model_key" in sd:  # fairseq2 wrapper
+            sd = sd[sd["model_key"]]
+        for name, t in sd.items():
+            if not hasattr(t, "numpy"):
+                continue
+            yield name, t.float().numpy() if t.dtype.is_floating_point \
+                else t.numpy()
 
 
 def _load_llava_vision(tower: dict, model, rest: str,
@@ -433,6 +456,227 @@ def _load_internvit_legacy(tower: dict, rest: str,
         logger.warning("unmapped legacy InternViT weight %s", rest)
 
 
+def _load_telechat2_weight(tree, cfg, shapes, linear_method, name,
+                           w) -> None:
+    """TeleChat2 naming (reference models/telechat2.py): GPT-style
+    transformer.h tree; ``key_value`` interleaves K|V per head
+    (head_dim rows of K then head_dim of V, per q head)."""
+    put = _mk_put_linear(tree, linear_method)
+    if name == "transformer.word_embeddings.weight":
+        tree["embed_tokens"]["weight"] = w
+        return
+    if name == "transformer.ln_f.weight":
+        tree["norm"]["weight"] = w
+        return
+    if name == "lm_head.weight":
+        if "lm_head" in shapes:
+            tree["lm_head"] = {"weight": w.T}
+        return
+    if not name.startswith("transformer.h."):
+        logger.warning("unmapped telechat2 weight %s", name)
+        return
+    parts = name.split(".")
+    li = int(parts[2])
+    L = tree["layers"][li]
+    sub = ".".join(parts[3:-1])
+    leaf = parts[-1]
+    d = cfg.head_dim
+    if sub == "self_attention.key_value":
+        kv = w.reshape(cfg.num_attention_heads, 2, d, -1)
+        k = kv[:, 0].reshape(-1, kv.shape[-1])
+        v = kv[:, 1].reshape(-1, kv.shape[-1])
+        put(L, "k_proj", k.T)
+        put(L, "v_proj", v.T)
+    elif sub == "self_attention.query":
+        put(L, "q_proj", w.T)
+    elif sub == "self_attention.dense":
+        if leaf == "weight":
+            put(L, "o_proj", w.T)
+        else:
+            L["o_proj_bias"] = {"bias": w}
+    elif sub in ("mlp.gate_proj", "mlp.up_proj"):
+        put(L, sub.split(".")[1], w.T)
+    elif sub == "mlp.down_proj":
+        if leaf == "weight":
+            put(L, "down_proj", w.T)
+        else:
+            L["down_proj_bias"] = {"bias": w}
+    elif sub in ("input_layernorm", "post_attention_layernorm"):
+        L[sub] = {"weight": w}
+    else:
+        logger.warning("unmapped telechat2 weight %s", name)
+
+
+def _load_fairseq2_weight(tree, cfg, shapes, linear_method, name,
+                          w) -> None:
+    """fairseq2-exported llama (reference models/fairseq2_llama.py):
+    decoder_frontend/decoder tree; q/k projections stored in
+    INTERLEAVED rotary order — de-interleave to the half-split
+    convention (reshape_fairseq2_weights role)."""
+    put = _mk_put_linear(tree, linear_method)
+    d = cfg.head_dim
+
+    def permute(wt, n_heads):
+        # [n*d, in] interleaved (re, im, re, im...) -> half-split
+        return wt.reshape(n_heads, d // 2, 2, -1).transpose(
+            0, 2, 1, 3).reshape(n_heads * d, -1)
+
+    if name == "decoder_frontend.embed.weight":
+        tree["embed_tokens"]["weight"] = w
+        return
+    if name == "decoder.layer_norm.weight":
+        tree["norm"]["weight"] = w
+        return
+    if name == "final_proj.weight":
+        if "lm_head" in shapes:
+            tree["lm_head"] = {"weight": w.T}
+        return
+    if not name.startswith("decoder.layers."):
+        logger.warning("unmapped fairseq2 weight %s", name)
+        return
+    parts = name.split(".")
+    li = int(parts[2])
+    L = tree["layers"][li]
+    sub = ".".join(parts[3:-1])
+    m = {"self_attn.q_proj": "q_proj", "self_attn.k_proj": "k_proj",
+         "self_attn.v_proj": "v_proj", "self_attn.output_proj": "o_proj",
+         "ffn.gate_proj": "gate_proj", "ffn.inner_proj": "up_proj",
+         "ffn.output_proj": "down_proj"}
+    if sub == "self_attn.q_proj":
+        put(L, "q_proj", permute(w, cfg.num_attention_heads).T)
+    elif sub == "self_attn.k_proj":
+        put(L, "k_proj", permute(w, cfg.num_key_value_heads).T)
+    elif sub in m:
+        put(L, m[sub], w.T)
+    elif sub == "self_attn_layer_norm":
+        L["input_layernorm"] = {"weight": w}
+    elif sub == "ffn_layer_norm":
+        L["post_attention_layernorm"] = {"weight": w}
+    else:
+        logger.warning("unmapped fairseq2 weight %s", name)
+
+
+def _load_qwen_v1_weight(tree, cfg, shapes, linear_method, name,
+                         w) -> None:
+    """Qwen v1 naming (reference models/qwen.py): transformer.h tree,
+    fused biased c_attn, SwiGLU as w2(gate)/w1(up)/c_proj."""
+    put = _mk_put_linear(tree, linear_method)
+    if name == "transformer.wte.weight":
+        tree["embed_tokens"]["weight"] = w
+        return
+    if name == "transformer.ln_f.weight":
+        tree["norm"]["weight"] = w
+        return
+    if name == "lm_head.weight":
+        if "lm_head" in shapes:
+            tree["lm_head"] = {"weight": w.T}
+        return
+    if not name.startswith("transformer.h."):
+        logger.warning("unmapped qwen-v1 weight %s", name)
+        return
+    parts = name.split(".")
+    li = int(parts[2])
+    L = tree["layers"][li]
+    sub = ".".join(parts[3:-1])
+    leaf = parts[-1]
+    e = cfg.hidden_size
+    if sub == "attn.c_attn":
+        if leaf == "weight":
+            for i, n in enumerate(("q_proj", "k_proj", "v_proj")):
+                put(L, n, w[i * e:(i + 1) * e].T)
+        else:
+            for i, n in enumerate(("q_proj", "k_proj", "v_proj")):
+                L[n + "_bias"] = {"bias": w[i * e:(i + 1) * e]}
+    elif sub == "attn.c_proj":
+        put(L, "o_proj", w.T)
+    elif sub == "mlp.w2":
+        put(L, "gate_proj", w.T)
+    elif sub == "mlp.w1":
+        put(L, "up_proj", w.T)
+    elif sub == "mlp.c_proj":
+        put(L, "down_proj", w.T)
+    elif sub == "ln_1":
+        L["input_layernorm"] = {"weight": w}
+    elif sub == "ln_2":
+        L["post_attention_layernorm"] = {"weight": w}
+    else:
+        logger.warning("unmapped qwen-v1 weight %s", name)
+
+
+def _load_mistral_native_weight(tree, cfg, shapes, linear_method, name,
+                                w) -> None:
+    """Mistral consolidated-checkpoint naming (params.json format,
+    reference models/pixtral.py load_weights + mistral WeightsMapper
+    role): tok_embeddings/output, layers.N.attention.wq|wk|wv|wo,
+    feed_forward.w1|w2|w3, attention_norm/ffn_norm."""
+    put = _mk_put_linear(tree, linear_method)
+    if name == "tok_embeddings.weight":
+        tree["embed_tokens"]["weight"] = w
+        return
+    if name == "norm.weight":
+        tree["norm"]["weight"] = w
+        return
+    if name == "output.weight":
+        if "lm_head" in shapes:
+            tree["lm_head"] = {"weight": w.T}
+        return
+    if not name.startswith("layers."):
+        logger.warning("unmapped mistral-native weight %s", name)
+        return
+    parts = name.split(".")
+    li = int(parts[1])
+    L = tree["layers"][li]
+    sub = ".".join(parts[2:-1])
+    m = {"attention.wq": "q_proj", "attention.wk": "k_proj",
+         "attention.wv": "v_proj", "attention.wo": "o_proj",
+         "feed_forward.w1": "gate_proj", "feed_forward.w2": "down_proj",
+         "feed_forward.w3": "up_proj"}
+    if sub in m:
+        put(L, m[sub], w.T)
+    elif sub == "attention_norm":
+        L["input_layernorm"] = {"weight": w}
+    elif sub == "ffn_norm":
+        L["post_attention_layernorm"] = {"weight": w}
+    else:
+        logger.warning("unmapped mistral-native weight %s", name)
+
+
+def _load_pixtral_native_vision(vtree: dict, rest: str,
+                                tensor: np.ndarray) -> None:
+    """Mistral-native Pixtral ViT names (``vision_encoder.*``) onto the
+    PixtralVisionTower layout (multimodal/pixtral.py)."""
+    if rest == "patch_conv.weight":
+        h = tensor.shape[0]
+        vtree["tower"]["patch_embedding"] = {
+            "weight": tensor.transpose(2, 3, 1, 0).reshape(-1, h)}
+    elif rest == "ln_pre.weight":
+        vtree["tower"]["ln_pre"] = {"weight": tensor}
+    elif rest.startswith("transformer.layers."):
+        parts = rest.split(".")
+        li = int(parts[2])
+        sub = ".".join(parts[3:-1])
+        L = vtree["tower"]["layers"][li]
+        m = {"attention.wq": "q_proj", "attention.wk": "k_proj",
+             "attention.wv": "v_proj", "attention.wo": "o_proj",
+             "feed_forward.w1": "gate_proj",
+             "feed_forward.w2": "down_proj",
+             "feed_forward.w3": "up_proj",
+             # HF-spelling variants inside mistral-format repos
+             "attention.q_proj": "q_proj", "attention.k_proj": "k_proj",
+             "attention.v_proj": "v_proj", "attention.o_proj": "o_proj",
+             "feed_forward.gate_proj": "gate_proj",
+             "feed_forward.down_proj": "down_proj",
+             "feed_forward.up_proj": "up_proj"}
+        if sub in m:
+            L[m[sub]] = {"weight": tensor.T}
+        elif sub in ("attention_norm", "ffn_norm"):
+            L[sub] = {"weight": tensor}
+        else:
+            logger.warning("unmapped pixtral vision weight %s", rest)
+    else:
+        logger.warning("unmapped pixtral vision weight %s", rest)
+
+
 def _load_mllama_weight(tree, cfg, shapes, linear_method, name,
                         w) -> None:
     """Mllama (Llama-3.2-Vision) checkpoint mapping: llama text tree
@@ -668,6 +912,11 @@ def _load_jamba_weight(tree, cfg, shapes, linear_method, name, w,
     if name == "lm_head.weight":
         if "lm_head" in shapes:
             tree["lm_head"] = {"weight": w.T}
+        return
+    if name == "score.weight":
+        # JambaForSequenceClassification head [num_labels, h]
+        if "score" in shapes:
+            tree["score"] = {"weight": w.T}
         return
     if not name.startswith("model.layers."):
         return
@@ -1348,7 +1597,10 @@ def load_hf(model, mesh: Mesh, model_dir: str,
                    "internlm2": _load_internlm2_weight,
                    "chatglm": _load_chatglm_weight,
                    "dbrx": _load_dbrx_weight,
-                   "exaone": _load_exaone_weight}
+                   "exaone": _load_exaone_weight,
+                   "telechat2": _load_telechat2_weight,
+                   "fairseq2": _load_fairseq2_weight,
+                   "qwen_v1": _load_qwen_v1_weight}
     if fam == "qwen2_vl":
         nv = model.cfg.vision.depth
         tree["vision"] = {"patch_embed": {},
@@ -1412,6 +1664,30 @@ def load_hf(model, mesh: Mesh, model_dir: str,
                 continue
             if name.startswith("model.language_model."):
                 name = "model." + name[len("model.language_model."):]
+        if fam == "mistral_native" or name.startswith(
+                ("tok_embeddings.", "vision_encoder.",
+                 "vision_language_adapter.")) \
+                or (name.startswith("layers.")
+                    and (".attention." in name or ".feed_forward." in name
+                         or name.endswith(("attention_norm.weight",
+                                           "ffn_norm.weight")))):
+            # Mistral consolidated format (params.json checkpoints):
+            # bare top-level names, unique among supported layouts
+            if name.startswith("vision_encoder."):
+                _load_pixtral_native_vision(
+                    tree["vision"], name[len("vision_encoder."):],
+                    tensor)
+                continue
+            if name.startswith("vision_language_adapter."):
+                parts = name.split(".")
+                sub = {"w_in": "linear_1", "w_out": "linear_2"}[parts[1]]
+                d = tree["vision"]["projector"].setdefault(sub, {})
+                d[parts[2]] = (tensor.T if parts[2] == "weight"
+                               else tensor)
+                continue
+            _load_mistral_native_weight(tree, cfg, shapes, linear_method,
+                                        name, tensor)
+            continue
         if fam in fam_loaders and not is_internvl:
             # (internvl routes only its language_model.* names through
             # the family loader — the tower/projector names must reach

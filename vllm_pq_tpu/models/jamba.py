@@ -48,6 +48,8 @@ class JambaConfig:
     mamba_conv_bias: bool = True
     mamba_proj_bias: bool = False
     tie_word_embeddings: bool = False
+    num_labels: int = 0     # >0: pooled classification head (reference
+    #                         JambaForSequenceClassification row)
     dtype: Any = jnp.float32
 
     @property
@@ -180,6 +182,8 @@ class JambaModel:
         }
         if not cfg.tie_word_embeddings:
             shapes["lm_head"] = {"weight": ((h, cfg.vocab_size), dt)}
+        if cfg.num_labels:
+            shapes["score"] = {"weight": ((h, cfg.num_labels), dt)}
         return shapes
 
     def param_specs(self) -> Dict:
@@ -217,6 +221,8 @@ class JambaModel:
         }
         if not cfg.tie_word_embeddings:
             specs["lm_head"] = {"weight": P()}
+        if cfg.num_labels:
+            specs["score"] = {"weight": P()}
         return specs
 
     # -- cache templates -----------------------------------------------------
@@ -403,3 +409,9 @@ class JambaModel:
                            preferred_element_type=jnp.float32)
         return jnp.dot(hidden, params["lm_head"]["weight"],
                        preferred_element_type=jnp.float32)
+
+    def classify_pooled(self, params, pooled: jax.Array) -> jax.Array:
+        """Pooled hidden [H] -> classification logits [num_labels]
+        (reference JambaForSequenceClassification score head)."""
+        return jnp.dot(pooled.astype(jnp.float32),
+                       params["score"]["weight"].astype(jnp.float32))

@@ -97,6 +97,14 @@ class LlamaConfig:
     # reference as_seqcls_model + models/qwen2_rm.py:63 score stack)
     num_labels: int = 0               # >0: pooled classification head
     score_style: str = "linear"       # "mlp": Linear->ReLU->Linear (RM)
+    # Solar depth-up-scaled skip connections (reference models/solar.py
+    # bskcn_1/2 stash the pre-layer state, bskcn_3/4 blend it back with
+    # the inference tv weight)
+    bskcn_1: Optional[tuple] = None
+    bskcn_2: Optional[tuple] = None
+    bskcn_3: Optional[tuple] = None
+    bskcn_4: Optional[tuple] = None
+    bskcn_tv: float = 0.0             # inference blend (bskcn_tv[1])
 
     def __post_init__(self):
         if self.head_dim is None:
@@ -201,7 +209,10 @@ class LlamaModel:
             names += ["q_proj", "k_proj", "v_proj"]
         if cfg.o_proj_bias:
             names.append("o_proj")
-        if cfg.mlp_bias:
+        if cfg.mlp_bias == "down":
+            # TeleChat2: only the row-parallel down_proj carries a bias
+            names.append("down_proj")
+        elif cfg.mlp_bias:
             names += (["gate_proj"] if cfg.mlp_style == "swiglu" else [])
             names += ["up_proj", "down_proj"]
         return names
@@ -415,7 +426,23 @@ class LlamaModel:
             x = jnp.where(mm_mask[:, None] != 0,
                           mm_embeds.astype(x.dtype), x)
         new_caches = []
+        bskcn_h1 = bskcn_h2 = None
+        tv = cfg.bskcn_tv
         for li in range(cfg.num_hidden_layers):
+            # Solar depth-up-scaling skip connections (reference
+            # models/solar.py:333-346): stash at bskcn_1/2, blend back
+            # with the inference tv at bskcn_3/4. Static per-layer
+            # branches — each jits into a fixed graph.
+            if cfg.bskcn_1 is not None and li in cfg.bskcn_1:
+                bskcn_h1 = x
+            if cfg.bskcn_2 is not None and li in cfg.bskcn_2:
+                bskcn_h2 = x
+            if cfg.bskcn_3 is not None and li in cfg.bskcn_3 \
+                    and bskcn_h1 is not None:
+                x = bskcn_h1 * tv + x * (1.0 - tv)
+            if cfg.bskcn_4 is not None and li in cfg.bskcn_4 \
+                    and bskcn_h2 is not None:
+                x = bskcn_h2 * tv + x * (1.0 - tv)
             lp = params["layers"][li]
             lora_layer = lora["layers"][li] if lora is not None else None
             lora_md = ({"sorted_tok": lora["sorted_tok"],
@@ -636,17 +663,18 @@ class LlamaModel:
         from vllm_pq_tpu.layers.activation import ACT2FN
         cfg = self.cfg
         act_fn = ACT2FN[cfg.hidden_act]
+        gate_up_bias = cfg.mlp_bias and cfg.mlp_bias != "down"
         if cfg.mlp_style == "mlp":
             # two-linear MLP (GPT-NeoX dense_h_to_4h/4h_to_h, Phi
             # fc1/fc2, Starcoder2 c_fc/c_proj)
             up = self._lin(lp, "up_proj", h, lora_layer, lora_md)
-            if cfg.mlp_bias:
+            if gate_up_bias:
                 up = up + lp["up_proj_bias"]["bias"]
             act = act_fn(up)
         else:
             gate = self._lin(lp, "gate_proj", h, lora_layer, lora_md)
             up = self._lin(lp, "up_proj", h, lora_layer, lora_md)
-            if cfg.mlp_bias:
+            if gate_up_bias:
                 gate = gate + lp["gate_proj_bias"]["bias"]
                 up = up + lp["up_proj_bias"]["bias"]
             act = act_fn(gate) * up

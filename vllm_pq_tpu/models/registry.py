@@ -24,11 +24,57 @@ def register_model(*names):
     return deco
 
 
+def _normalize_params_json(raw: dict) -> dict:
+    """Mistral-format ``params.json`` -> HF-style config dict (role of
+    reference transformers_utils/config.py::load_params_config:615).
+    Multimodal checkpoints nest the decoder under text_config and the
+    ViT under vision_config with arch PixtralForConditionalGeneration."""
+    key_map = {"dim": "hidden_size", "norm_eps": "rms_norm_eps",
+               "n_kv_heads": "num_key_value_heads",
+               "n_layers": "num_hidden_layers",
+               "n_heads": "num_attention_heads",
+               "hidden_dim": "intermediate_size"}
+
+    def remap(d):
+        return {key_map.get(k, k): (remap(v) if isinstance(v, dict)
+                                    else v) for k, v in d.items()}
+
+    raw = remap(raw)
+    raw.setdefault("hidden_act", raw.pop("activation", "silu"))
+    raw.setdefault("tie_word_embeddings",
+                   raw.pop("tie_embeddings", False))
+    raw.setdefault("max_position_embeddings",
+                   raw.get("max_seq_len", 128_000))
+    vision = raw.pop("vision_encoder", None)
+    if raw.get("moe") is not None:
+        raw["architectures"] = ["MixtralForCausalLM"]
+        moe = raw["moe"]
+        raw.setdefault("num_local_experts",
+                       moe.get("num_experts", 8))
+        raw.setdefault("num_experts_per_tok",
+                       moe.get("num_experts_per_tok", 2))
+    else:
+        raw["architectures"] = ["MistralForCausalLM"]
+    raw.setdefault("model_type", "transformer")
+    if vision is not None:
+        raw = {"text_config": raw, "vision_config": vision,
+               "architectures": ["PixtralForConditionalGeneration"],
+               "model_type": "pixtral"}
+    return raw
+
+
 def _load_hf_config(model_path: str, config: EngineConfig):
     cfg_file = os.path.join(model_path, "config.json")
+    mistral_file = os.path.join(model_path, "params.json")
+    raw = None
     if os.path.isfile(cfg_file):
         with open(cfg_file) as f:
             raw = json.load(f)
+    elif os.path.isfile(mistral_file):
+        with open(mistral_file) as f:
+            raw = _normalize_params_json(json.load(f))
+        raw["_mistral_format"] = True
+    if raw is not None:
         raw.update(config.model.hf_overrides)
 
         class _NS:
@@ -267,6 +313,156 @@ def _build_llava(hf_config, config: EngineConfig, linear_method):
         vision_feature_select_strategy=getattr(
             hf_config, "vision_feature_select_strategy", "default"),
         projector_act=getattr(hf_config, "projector_hidden_act", "gelu"))
+
+
+@register_model("SolarForCausalLM")
+def _build_solar(hf_config, config: EngineConfig, linear_method):
+    # Upstage SOLAR: llama math + depth-up-scaled skip connections
+    # (reference models/solar.py bskcn_1..4 / bskcn_tv)
+    from vllm_pq_tpu.models.llama import LlamaConfig, LlamaModel
+    mc = LlamaConfig.from_hf_config(hf_config)
+
+    def tup(name):
+        v = getattr(hf_config, name, None)
+        return tuple(v) if v else None
+    mc.bskcn_1 = tup("bskcn_1")
+    mc.bskcn_2 = tup("bskcn_2")
+    mc.bskcn_3 = tup("bskcn_3")
+    mc.bskcn_4 = tup("bskcn_4")
+    tv = getattr(hf_config, "bskcn_tv", None)
+    mc.bskcn_tv = float(tv[1]) if tv else 0.0  # inference weight
+    mc.dtype = config.model.jax_dtype
+    return LlamaModel(mc, linear_method)
+
+
+@register_model("TeleChat2ForCausalLM")
+def _build_telechat2(hf_config, config: EngineConfig, linear_method):
+    # TeleChat2: llama math, biased o_proj ("dense") + down_proj only
+    # (reference models/telechat2.py:36-49 sets bias then strips it
+    # from qkv/gate_up); GPT-style tree with per-head-interleaved
+    # key_value handled by the telechat2 loader family
+    from vllm_pq_tpu.models.llama import LlamaConfig, LlamaModel
+    hf = hf_config
+    mc = LlamaConfig(
+        vocab_size=hf.vocab_size,
+        hidden_size=hf.hidden_size,
+        intermediate_size=getattr(hf, "ffn_hidden_size",
+                                  getattr(hf, "intermediate_size", None)
+                                  or 4 * hf.hidden_size),
+        num_hidden_layers=getattr(hf, "n_layer",
+                                  getattr(hf, "num_hidden_layers", 32)),
+        num_attention_heads=getattr(hf, "n_head",
+                                    getattr(hf, "num_attention_heads",
+                                            32)),
+        num_key_value_heads=getattr(hf, "n_head",
+                                    getattr(hf, "num_attention_heads",
+                                            32)),
+        rms_norm_eps=getattr(hf, "layer_norm_epsilon", 1e-5),
+        max_position_embeddings=getattr(hf, "seq_length", 8192),
+        tie_word_embeddings=False,
+    )
+    mc.o_proj_bias = True
+    mc.mlp_bias = "down"
+    mc.hf_family = "telechat2"
+    mc.dtype = config.model.jax_dtype
+    return LlamaModel(mc, linear_method)
+
+
+@register_model("GritLM")
+def _build_gritlm(hf_config, config: EngineConfig, linear_method):
+    # GritLM: generative + embedding hybrid on a Mistral decoder
+    # (reference models/gritlm.py subclasses LlamaForCausalLM; its
+    # instruction-masked mean pooling is served via LLM.encode)
+    from vllm_pq_tpu.models.llama import LlamaConfig, LlamaModel
+    mc = LlamaConfig.from_hf_config(hf_config)
+    mc.dtype = config.model.jax_dtype
+    return LlamaModel(mc, linear_method)
+
+
+@register_model("Fairseq2LlamaForCausalLM")
+def _build_fairseq2_llama(hf_config, config: EngineConfig, linear_method):
+    # Llama weights exported by fairseq2 (reference
+    # models/fairseq2_llama.py): decoder_frontend/decoder.layers tree,
+    # q/k stored in interleaved rotary order — the loader family
+    # remaps names and de-interleaves (reshape_fairseq2_weights role)
+    from vllm_pq_tpu.models.llama import LlamaConfig, LlamaModel
+    mc = LlamaConfig.from_hf_config(hf_config)
+    mc.hf_family = "fairseq2"
+    mc.dtype = config.model.jax_dtype
+    return LlamaModel(mc, linear_method)
+
+
+@register_model("QWenLMHeadModel")
+def _build_qwen_v1(hf_config, config: EngineConfig, linear_method):
+    # Qwen v1 (reference models/qwen.py text path): llama math with a
+    # fused biased c_attn, SwiGLU w2(gate)/w1(up)/c_proj where the HF
+    # intermediate_size counts BOTH halves, RMSNorm ln_1/ln_2
+    from vllm_pq_tpu.models.llama import LlamaConfig, LlamaModel
+    hf = hf_config
+    mc = LlamaConfig(
+        vocab_size=hf.vocab_size,
+        hidden_size=hf.hidden_size,
+        intermediate_size=hf.intermediate_size // 2,
+        num_hidden_layers=hf.num_hidden_layers,
+        num_attention_heads=hf.num_attention_heads,
+        num_key_value_heads=hf.num_attention_heads,
+        rms_norm_eps=getattr(hf, "layer_norm_epsilon", 1e-6),
+        rope_theta=getattr(hf, "rotary_emb_base", 10000.0),
+        max_position_embeddings=getattr(hf, "max_position_embeddings",
+                                        8192),
+        tie_word_embeddings=False,
+    )
+    mc.attention_bias = True
+    mc.hf_family = "qwen_v1"
+    mc.dtype = config.model.jax_dtype
+    return LlamaModel(mc, linear_method)
+
+
+@register_model("TransformersModel")
+def _build_transformers_fallback(hf_config, config: EngineConfig,
+                                 linear_method):
+    # Catch-all row (reference models/transformers.py): any decoder
+    # whose config carries the standard HF fields runs on the generic
+    # llama-architecture builder. Also the target of build_model's
+    # unknown-arch fallback.
+    from vllm_pq_tpu.models.llama import LlamaConfig, LlamaModel
+    mc = (LlamaConfig.from_hf_config(hf_config)
+          if hf_config is not None else LlamaConfig())
+    mc.dtype = config.model.jax_dtype
+    return LlamaModel(mc, linear_method)
+
+
+@register_model("PixtralForConditionalGeneration")
+def _build_pixtral_standalone(hf_config, config: EngineConfig,
+                              linear_method):
+    # Mistral-format standalone Pixtral (reference models/pixtral.py):
+    # the params.json layout normalized by _normalize_params_json —
+    # Mistral decoder + RoPE-2D ViT + w_in/GELU/w_out adapter. Weight
+    # names are Mistral-native (vision_encoder./vision_language_adapter.
+    # /layers.N.attention.wq...), handled by the loader's mistral branch.
+    from types import SimpleNamespace
+
+    from vllm_pq_tpu.models.llama import LlamaConfig
+    from vllm_pq_tpu.models.llava import LlavaModel
+    from vllm_pq_tpu.multimodal.pixtral import (PixtralVisionConfig,
+                                                PixtralVisionTower)
+
+    def ns(v):
+        return SimpleNamespace(**v) if isinstance(v, dict) else v
+    tc = ns(getattr(hf_config, "text_config", None)) or hf_config
+    vc = ns(getattr(hf_config, "vision_config", None))
+    mc = LlamaConfig.from_hf_config(tc)
+    mc.hf_family = "mistral_native"
+    mc.dtype = config.model.jax_dtype
+    vcfg = (PixtralVisionConfig.from_hf(vc) if vc is not None
+            else PixtralVisionConfig())
+    tower = PixtralVisionTower(vcfg, -1)
+    return LlavaModel(
+        mc, vcfg, linear_method,
+        image_token_index=getattr(vc, "image_token_id", 10),
+        vision_feature_select_strategy="full",
+        projector_act="gelu",  # adapter: w_in -> GELU -> w_out
+        tower=tower)
 
 
 @register_model("PaliGemmaForConditionalGeneration")
@@ -1177,6 +1373,26 @@ def _build_jamba(hf_config, config: EngineConfig, linear_method):
     return JambaModel(mc, linear_method, expert_parallel=ep)
 
 
+@register_model("JambaForSequenceClassification")
+def _build_jamba_classifier(hf_config, config: EngineConfig,
+                            linear_method):
+    # Jamba + pooled classification head (reference registry.py row ->
+    # models/jamba.py as_seqcls; served via LLM.classify)
+    from vllm_pq_tpu.models.jamba import JambaConfig, JambaModel
+    mc = (JambaConfig.from_hf_config(hf_config)
+          if hf_config is not None else JambaConfig())
+    mc.num_labels = getattr(hf_config, "num_labels", None) or len(
+        getattr(hf_config, "id2label", None) or {0: 0})
+    mc.dtype = config.model.jax_dtype
+    if config.cache.enable_prefix_caching:
+        config.cache.enable_prefix_caching = False
+    if config.scheduler.num_scheduler_steps > 1:
+        config.scheduler.num_scheduler_steps = 1
+    ep = (config.parallel.enable_expert_parallel
+          if hasattr(config.parallel, "enable_expert_parallel") else False)
+    return JambaModel(mc, linear_method, expert_parallel=ep)
+
+
 @register_model("BambaForCausalLM")
 def _build_bamba(hf_config, config: EngineConfig, linear_method):
     # IBM Bamba: hybrid Mamba-2 / attention (reference models/bamba.py
@@ -1381,7 +1597,12 @@ def _build_chatglm(hf_config, config: EngineConfig, linear_method):
 
 
 @register_model("RobertaModel", "RobertaEmbeddingModel",
-                "XLMRobertaModel")
+                "XLMRobertaModel",
+                # MLM-headed checkpoints served as embedding models:
+                # the reference registry maps RobertaForMaskedLM to the
+                # same roberta encoder (models/roberta.py) — the MLM
+                # head is unused at serving time
+                "RobertaForMaskedLM", "XLMRobertaForMaskedLM")
 def _build_roberta_embedding(hf_config, config: EngineConfig,
                              linear_method):
     # Encoder-only embedding rows (reference models/roberta.py
@@ -1642,10 +1863,30 @@ def build_model(config: EngineConfig, linear_method) -> Tuple:
             })
     builder = _REGISTRY.get(arch)
     if builder is None:
-        raise ValueError(
-            f"Unsupported architecture {arch!r}; supported: "
-            f"{sorted(_REGISTRY)}")
+        import vllm_pq_tpu.envs as envs
+        if envs.VPQ_TRANSFORMERS_FALLBACK and hf is not None \
+                and hasattr(hf, "num_hidden_layers"):
+            # reference models/transformers.py TransformersModel role:
+            # a catch-all that runs any unknown decoder via standard
+            # transformer semantics. Here: the generic llama-
+            # architecture builder, driven entirely by config fields
+            # (covers near-llama archs; weight names must follow the
+            # standard HF decoder layout).
+            logger.warning(
+                "architecture %r is not registered; falling back to "
+                "the generic llama-architecture builder "
+                "(TransformersModel role). Set "
+                "VPQ_TRANSFORMERS_FALLBACK=0 to make this an error.",
+                arch)
+            builder = _REGISTRY["TransformersModel"]
+        else:
+            raise ValueError(
+                f"Unsupported architecture {arch!r}; supported: "
+                f"{sorted(_REGISTRY)}")
     model = builder(hf, config, linear_method)
+    if hf is not None and getattr(hf, "_mistral_format", False):
+        # consolidated.safetensors carries Mistral-native weight names
+        model.cfg.hf_family = "mistral_native"
     return model, linear_method
 
 
