@@ -481,7 +481,7 @@ def bench_onehot():
     return res
 
 
-def bench_tstep(batch: int, ctx: int = 256, iters_in_graph: int = 8):
+def bench_tstep(batch: int, ctx: int = 256, iters_in_graph: int = 4):
     """Row-major vs batch-minor (transposed) decode-iteration body.
 
     The optimized multistep HLO carries ~6.8k layout copies per window

@@ -146,6 +146,37 @@ class Processor:
                             ImageProcessor.from_pretrained(
                                 self.config.model.model,
                                 default_size=size))
+                elif arch0 == "LlavaNextVideoForConditionalGeneration":
+                    from vllm_pq_tpu.multimodal.image import ImageProcessor
+                    vc = raw.get("vision_config", {})
+                    vsize = vc.get("image_size", 336)
+                    spec = ("llava_next_video",
+                            raw.get("image_token_index", 32001),
+                            raw.get("video_token_index", 32000),
+                            raw.get("image_grid_pinpoints") or
+                            [[vsize, 2 * vsize]],
+                            vsize, vc.get("patch_size", 14),
+                            raw.get("vision_feature_select_strategy",
+                                    "default"),
+                            raw.get("spatial_pool_stride", 2),
+                            ImageProcessor.from_pretrained(
+                                self.config.model.model,
+                                default_size=vsize))
+                elif arch0 == "LlavaOnevisionForConditionalGeneration":
+                    from vllm_pq_tpu.multimodal.image import ImageProcessor
+                    vc = raw.get("vision_config", {})
+                    vsize = vc.get("image_size", 384)
+                    var = raw.get("vision_aspect_ratio", "anyres_max_9")
+                    spec = ("llava_onevision",
+                            raw.get("image_token_index", 151646),
+                            raw.get("video_token_index", 151647),
+                            raw.get("image_grid_pinpoints") or
+                            [[vsize, 2 * vsize]],
+                            vsize, vc.get("patch_size", 14),
+                            int(var.split("_")[-1] or 9),
+                            ImageProcessor.from_pretrained(
+                                self.config.model.model,
+                                default_size=vsize))
                 elif arch0 == "LlavaNextForConditionalGeneration":
                     from vllm_pq_tpu.multimodal.image import ImageProcessor
                     vc = raw.get("vision_config", {})
@@ -296,6 +327,10 @@ class Processor:
             return self._expand_mm_qwen2vl(token_ids, mm_data, spec)
         if spec and spec[0] == "llava_next":
             return self._expand_mm_llava_next(token_ids, mm_data, spec)
+        if spec and spec[0] == "llava_onevision":
+            return self._expand_mm_onevision(token_ids, mm_data, spec)
+        if spec and spec[0] == "llava_next_video":
+            return self._expand_mm_next_video(token_ids, mm_data, spec)
         if spec is None:
             raise ValueError(
                 "multi_modal_data passed but the model is not multimodal")
@@ -318,6 +353,128 @@ class Processor:
             mm_inputs.append(MMInput(offset=len(out), length=n_tok,
                                      pixel_values=improc(img)))
             out.extend([image_tok] * n_tok)
+            prev = spot + 1
+        out.extend(token_ids[prev:])
+        return out, mm_inputs
+
+    def _expand_mm_next_video(self, token_ids, mm_data, spec):
+        """LLaVA-NeXT-Video: anyres image spans + avg-pooled video spans
+        (reference models/llava_next_video.py get_num_video_tokens)."""
+        import numpy as np
+
+        from vllm_pq_tpu.models.llava_next_video import next_video_span
+        from vllm_pq_tpu.multimodal import MMInput
+        from vllm_pq_tpu.multimodal.llava_next import feature_span
+        (_, image_tok, video_tok, pinpoints, vsize, psize, strategy,
+         stride, improc) = spec
+        images = mm_data.get("image") or []
+        videos = mm_data.get("video") or []
+        if not isinstance(images, (list, tuple)):
+            images = [images]
+        if not isinstance(videos, (list, tuple)):
+            videos = [videos]
+        spots = [(i, t) for i, t in enumerate(token_ids)
+                 if t in (image_tok, video_tok)]
+        n_img = sum(1 for _, t in spots if t == image_tok)
+        if n_img != len(images) or len(spots) - n_img != len(videos):
+            raise ValueError("placeholder / multimodal input count "
+                             "mismatch")
+        out: list = []
+        mm_inputs = []
+        prev = 0
+        img_it, vid_it = iter(images), iter(videos)
+        for spot, tok in spots:
+            out.extend(token_ids[prev:spot])
+            if tok == image_tok:
+                img = next(img_it)
+                if isinstance(img, dict):
+                    px = np.asarray(img["pixel_values"], np.float32)
+                    h0, w0 = (int(v) for v in img["image_size"])
+                else:
+                    px, (h0, w0) = self._anyres_pixels(
+                        img, pinpoints, vsize, improc)
+                n_tok = feature_span((h0, w0), pinpoints, vsize, psize,
+                                     strategy)
+                mm_inputs.append(MMInput(offset=len(out), length=n_tok,
+                                         pixel_values=px,
+                                         grid_thw=(h0, w0)))
+                out.extend([image_tok] * n_tok)
+            else:
+                vid = next(vid_it)
+                if isinstance(vid, dict):
+                    px = np.asarray(vid["pixel_values"], np.float32)
+                else:
+                    px = np.stack([improc(f) for f in np.asarray(vid)]) \
+                        .astype(np.float32)
+                n_tok = next_video_span(px.shape[0], vsize, psize,
+                                        stride)
+                mm_inputs.append(MMInput(
+                    offset=len(out), length=n_tok, pixel_values=px,
+                    grid_thw=("video", px.shape[0])))
+                out.extend([video_tok] * n_tok)
+            prev = spot + 1
+        out.extend(token_ids[prev:])
+        return out, mm_inputs
+
+    def _expand_mm_onevision(self, token_ids, mm_data, spec):
+        """LLaVA-OneVision: anyres_max image spans + pooled video spans
+        (reference models/llava_onevision.py get_num_image_tokens /
+        get_num_video_tokens)."""
+        import numpy as np
+
+        from vllm_pq_tpu.models.llava_onevision import (
+            onevision_feature_span, onevision_video_span)
+        from vllm_pq_tpu.multimodal import MMInput
+        (_, image_tok, video_tok, pinpoints, vsize, psize, max_patches,
+         improc) = spec
+        images = mm_data.get("image") or []
+        videos = mm_data.get("video") or []
+        if not isinstance(images, (list, tuple)):
+            images = [images]
+        if not isinstance(videos, (list, tuple)):
+            videos = [videos]
+        spots = [(i, t) for i, t in enumerate(token_ids)
+                 if t in (image_tok, video_tok)]
+        n_img = sum(1 for _, t in spots if t == image_tok)
+        n_vid = len(spots) - n_img
+        if n_img != len(images) or n_vid != len(videos):
+            raise ValueError(
+                f"prompt has {n_img} image / {n_vid} video placeholders "
+                f"but {len(images)} images / {len(videos)} videos were "
+                f"provided")
+        out: list = []
+        mm_inputs = []
+        prev = 0
+        img_it, vid_it = iter(images), iter(videos)
+        for spot, tok in spots:
+            out.extend(token_ids[prev:spot])
+            if tok == image_tok:
+                img = next(img_it)
+                if isinstance(img, dict):
+                    px = np.asarray(img["pixel_values"], np.float32)
+                    h0, w0 = (int(v) for v in img["image_size"])
+                else:
+                    px, (h0, w0) = self._anyres_pixels(
+                        img, pinpoints, vsize, improc)
+                n_tok = onevision_feature_span((h0, w0), pinpoints,
+                                               vsize, psize, max_patches)
+                mm_inputs.append(MMInput(offset=len(out), length=n_tok,
+                                         pixel_values=px,
+                                         grid_thw=(h0, w0)))
+                out.extend([image_tok] * n_tok)
+            else:
+                vid = next(vid_it)
+                if isinstance(vid, dict):
+                    px = np.asarray(vid["pixel_values"], np.float32)
+                else:
+                    frames = np.asarray(vid)
+                    px = np.stack([improc(f) for f in frames]) \
+                        .astype(np.float32)
+                n_tok = onevision_video_span(px.shape[0], vsize, psize)
+                mm_inputs.append(MMInput(
+                    offset=len(out), length=n_tok, pixel_values=px,
+                    grid_thw=("video", px.shape[0])))
+                out.extend([video_tok] * n_tok)
             prev = spot + 1
         out.extend(token_ids[prev:])
         return out, mm_inputs

@@ -1539,7 +1539,9 @@ def load_hf(model, mesh: Mesh, model_dir: str,
     is_moe = model.__class__.__name__ in ("MixtralModel", "Qwen2MoeModel",
                                           "DeepseekV2Model")
     is_llava = model.__class__.__name__ in ("LlavaModel",
-                                            "LlavaNextModel")
+                                            "LlavaNextModel",
+                                            "LlavaOnevisionModel",
+                                            "LlavaNextVideoModel")
     is_paligemma = model.__class__.__name__ == "PaliGemmaModel"
     is_internvl = model.__class__.__name__ == "InternVLModel"
     is_idefics3 = model.__class__.__name__ == "Idefics3Model"
@@ -1854,9 +1856,16 @@ def load_hf(model, mesh: Mesh, model_dir: str,
             if name.startswith("language_model."):
                 name = name[len("language_model."):]
             elif name.startswith("vision_tower.vision_model."):
-                _load_llava_vision(tree["vision"]["tower"], model,
-                                   name.split("vision_model.", 1)[1],
-                                   tensor)
+                rest = name.split("vision_model.", 1)[1]
+                if type(model.vision_tower).__name__ \
+                        == "SiglipVisionTower":
+                    # LLaVA-OneVision SigLIP tower (reference
+                    # models/llava_onevision.py init_vision_tower)
+                    _load_siglip_vision(tree["vision"]["tower"], rest,
+                                        tensor)
+                else:
+                    _load_llava_vision(tree["vision"]["tower"], model,
+                                       rest, tensor)
                 continue
             elif name.startswith("vision_tower."):
                 # pixtral tower: names sit directly under vision_tower.

@@ -465,6 +465,80 @@ def _build_pixtral_standalone(hf_config, config: EngineConfig,
         tower=tower)
 
 
+@register_model("LlavaNextVideoForConditionalGeneration")
+def _build_llava_next_video(hf_config, config: EngineConfig,
+                            linear_method):
+    # LLaVA-NeXT-Video (reference models/llava_next_video.py): anyres
+    # images + average-pooled video frames on the CLIP tower
+    from types import SimpleNamespace
+
+    from vllm_pq_tpu.models.llama import LlamaConfig
+    from vllm_pq_tpu.models.llava_next_video import LlavaNextVideoModel
+    from vllm_pq_tpu.multimodal.clip import CLIPVisionConfig
+
+    def ns(v):
+        return SimpleNamespace(**v) if isinstance(v, dict) else v
+    tc = ns(getattr(hf_config, "text_config", None))
+    vc = ns(getattr(hf_config, "vision_config", None))
+    mc = LlamaConfig.from_hf_config(tc) if tc is not None else LlamaConfig()
+    mc.dtype = config.model.jax_dtype
+    vcfg = (CLIPVisionConfig.from_hf(vc) if vc is not None
+            else CLIPVisionConfig())
+    return LlavaNextVideoModel(
+        mc, vcfg, linear_method,
+        image_token_index=getattr(hf_config, "image_token_index", 32001),
+        vision_feature_layer=getattr(hf_config, "vision_feature_layer",
+                                     -2),
+        vision_feature_select_strategy=getattr(
+            hf_config, "vision_feature_select_strategy", "default"),
+        projector_act=getattr(hf_config, "projector_hidden_act", "gelu"),
+        image_grid_pinpoints=getattr(hf_config, "image_grid_pinpoints",
+                                     None),
+        spatial_pool_stride=getattr(hf_config, "spatial_pool_stride", 2),
+        spatial_pool_mode=getattr(hf_config, "spatial_pool_mode",
+                                  "average"),
+        video_token_index=getattr(hf_config, "video_token_index", 32000))
+
+
+@register_model("LlavaOnevisionForConditionalGeneration")
+def _build_llava_onevision(hf_config, config: EngineConfig,
+                           linear_method):
+    # LLaVA-OneVision (reference models/llava_onevision.py): SigLIP
+    # anyres_max grid + bilinear-pooled video frames on a Qwen2 LM
+    from types import SimpleNamespace
+
+    from vllm_pq_tpu.models.llama import LlamaConfig
+    from vllm_pq_tpu.models.llava_onevision import LlavaOnevisionModel
+    from vllm_pq_tpu.multimodal.siglip import (SiglipVisionConfig,
+                                               SiglipVisionTower)
+
+    def ns(v):
+        return SimpleNamespace(**v) if isinstance(v, dict) else v
+    tc = ns(getattr(hf_config, "text_config", None))
+    vc = ns(getattr(hf_config, "vision_config", None))
+    mc = LlamaConfig.from_hf_config(tc) if tc is not None else LlamaConfig()
+    if getattr(tc, "model_type", "qwen2") == "qwen2":
+        mc.attention_bias = True
+    mc.dtype = config.model.jax_dtype
+    vcfg = (SiglipVisionConfig.from_hf(vc) if vc is not None
+            else SiglipVisionConfig())
+    # vision_feature_layer=-1 = hidden_states[-1], BEFORE post_layernorm
+    tower = SiglipVisionTower(vcfg, apply_post_layernorm=False)
+    return LlavaOnevisionModel(
+        mc, vcfg, linear_method,
+        image_token_index=getattr(hf_config, "image_token_index",
+                                  151646),
+        vision_feature_select_strategy="full",
+        projector_act=getattr(hf_config, "projector_hidden_act", "gelu"),
+        tower=tower,
+        image_grid_pinpoints=getattr(hf_config, "image_grid_pinpoints",
+                                     None),
+        vision_aspect_ratio=getattr(hf_config, "vision_aspect_ratio",
+                                    "anyres_max_9"),
+        video_token_index=getattr(hf_config, "video_token_index",
+                                  151647))
+
+
 @register_model("PaliGemmaForConditionalGeneration")
 def _build_paligemma(hf_config, config: EngineConfig, linear_method):
     from types import SimpleNamespace

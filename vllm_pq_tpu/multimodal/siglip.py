@@ -66,10 +66,16 @@ class SiglipVisionTower:
     table per patch — Idefics3's bucketized NaViT coords ride the same
     tower (models/idefics3.py)."""
 
-    def __init__(self, cfg: SiglipVisionConfig, position_ids=None):
+    def __init__(self, cfg: SiglipVisionConfig, position_ids=None,
+                 apply_post_layernorm: bool = True):
         self.cfg = cfg
         self.n_blocks = cfg.num_hidden_layers
         self.position_ids = position_ids
+        # LLaVA-OneVision taps hidden_states[-1], i.e. the last block
+        # output BEFORE the final post_layernorm (HF
+        # vision_feature_layer=-1 semantics); PaliGemma/Idefics3 consume
+        # the post-LN output
+        self.apply_post_layernorm = apply_post_layernorm
 
     def param_shapes(self, dtype) -> Dict:
         cfg = self.cfg
@@ -147,4 +153,6 @@ class SiglipVisionTower:
 
             h_in = _ln(x, lp["layer_norm2"], eps)
             x = x + proj("fc2", act(proj("fc1", h_in)))
+        if not self.apply_post_layernorm:
+            return x
         return _ln(x, params["post_layernorm"], eps)
