@@ -546,9 +546,9 @@ def bench_tstep(batch: int, ctx: int = 256, iters_in_graph: int = 4):
         return jnp.concatenate([-hi, lo], axis=axis)
 
     # ---------------- row-major body (the current model's shape) -----
-    def step_row(tok, pos, ringK, ringV, j):
-        x = embed[tok]                                    # [s, h]
-        cs = rope[pos]                                    # [s, d]
+    def step_row(e, tok, pos, ringK, ringV, j):
+        x = e["embed"][tok]                               # [s, h]
+        cs = e["rope"][pos]                               # [s, d]
         cos = jnp.concatenate([cs[:, :d // 2], cs[:, :d // 2]], 1)
         sin = jnp.concatenate([cs[:, d // 2:], cs[:, d // 2:]], 1)
 
@@ -567,7 +567,7 @@ def bench_tstep(batch: int, ctx: int = 256, iters_in_graph: int = 4):
                 jnp.mean(x32 * x32, -1, keepdims=True) + 1e-5)
             return (nx * wn).astype(jnp.bfloat16)
 
-        for li, L in enumerate(layers):
+        for li, L in enumerate(e["layers"]):
             hn = rms(x, L["ln1"])
             q = lin(L, "q", hn).reshape(s, HQ, d)
             k = lin(L, "k", hn).reshape(s, g, d)
@@ -583,13 +583,13 @@ def bench_tstep(batch: int, ctx: int = 256, iters_in_graph: int = 4):
                 ringV[li], v[None], (j, 0, 0, 0))
             qh = (q * sm).astype(jnp.bfloat16).reshape(s, g, r, d)
             sc_a = jnp.einsum("sgrd,sgld->sgrl", qh.astype(jnp.float32),
-                              aK.astype(jnp.float32),
+                              e["aK"].astype(jnp.float32),
                               preferred_element_type=jnp.float32)
-            sc_a = sc_a * aKs[:, :, None, :]
+            sc_a = sc_a * e["aKs"][:, :, None, :]
             sc_r = jnp.einsum("sgrd,nsgd->sgrn", qh, rK,
                               preferred_element_type=jnp.float32)
             apos = jnp.arange(ctx, dtype=jnp.int32)[None, :]
-            valid_a = apos < base_lens[:, None]
+            valid_a = apos < e["base_lens"][:, None]
             valid_r = (jnp.arange(n_ring, dtype=jnp.int32)[None, :]
                        <= j)
             sc_a = jnp.where(valid_a[:, None, None, :], sc_a, -1e30)
@@ -598,10 +598,10 @@ def bench_tstep(batch: int, ctx: int = 256, iters_in_graph: int = 4):
             ea = jnp.exp(sc_a - gmax)
             er = jnp.exp(sc_r - gmax)
             den = (ea.sum(-1) + er.sum(-1))[..., None]
-            pa = (ea / den) * aVs[:, :, None, :]
+            pa = (ea / den) * e["aVs"][:, :, None, :]
             pr = er / den
             out = jnp.einsum("sgrl,sgld->sgrd", pa.astype(jnp.bfloat16),
-                             aV.astype(jnp.bfloat16),
+                             e["aV"].astype(jnp.bfloat16),
                              preferred_element_type=jnp.float32)
             out = out + jnp.einsum("sgrn,nsgd->sgrd",
                                    pr.astype(jnp.bfloat16), rV,
@@ -615,8 +615,8 @@ def bench_tstep(batch: int, ctx: int = 256, iters_in_graph: int = 4):
             x = x + lin(L, "down", act)
             ringK = [rK if i == li else ringK[i] for i in range(LAYERS)]
             ringV = [rV if i == li else ringV[i] for i in range(LAYERS)]
-        xn = rms(x, fnorm)
-        logits = jnp.dot(xn, lm, preferred_element_type=jnp.float32)
+        xn = rms(x, e["fnorm"])
+        logits = jnp.dot(xn, e["lm"], preferred_element_type=jnp.float32)
         tok = jnp.argmax(logits, axis=1).astype(jnp.int32)
         return tok, pos + 1, ringK, ringV
 
@@ -628,9 +628,9 @@ def bench_tstep(batch: int, ctx: int = 256, iters_in_graph: int = 4):
     aKsT = jnp.transpose(aKs, (1, 2, 0))                  # [g, l, s]
     aVsT = jnp.transpose(aVs, (1, 2, 0))
 
-    def step_t(tok, pos, ringK, ringV, j):
-        x = jnp.take(embedT, tok, axis=1)                 # [h, s]
-        cs = jnp.take(ropeT, pos, axis=1)                 # [d, s]
+    def step_t(e, tok, pos, ringK, ringV, j):
+        x = jnp.take(e["embedT"], tok, axis=1)            # [h, s]
+        cs = jnp.take(e["ropeT"], pos, axis=1)            # [d, s]
         cos = jnp.concatenate([cs[:d // 2], cs[:d // 2]], 0)
         sin = jnp.concatenate([cs[d // 2:], cs[d // 2:]], 0)
 
@@ -649,7 +649,7 @@ def bench_tstep(batch: int, ctx: int = 256, iters_in_graph: int = 4):
                 jnp.mean(x32 * x32, 0, keepdims=True) + 1e-5)
             return (nx * wn[:, None]).astype(jnp.bfloat16)
 
-        for li, L in enumerate(layers):
+        for li, L in enumerate(e["layers"]):
             hn = rms(x, L["ln1"])
             q = lin(L, "q", hn).reshape(g, r, d, s)
             k = lin(L, "k", hn).reshape(g, d, s)
@@ -666,13 +666,13 @@ def bench_tstep(batch: int, ctx: int = 256, iters_in_graph: int = 4):
             qh = (q * sm).astype(jnp.bfloat16)            # [g, r, d, s]
             sc_a = jnp.einsum("grds,glds->grls",
                               qh.astype(jnp.float32),
-                              aKT.astype(jnp.float32),
+                              e["aKT"].astype(jnp.float32),
                               preferred_element_type=jnp.float32)
-            sc_a = sc_a * aKsT[:, None]
+            sc_a = sc_a * e["aKsT"][:, None]
             sc_r = jnp.einsum("grds,ngds->grns", qh, rK,
                               preferred_element_type=jnp.float32)
             apos = jnp.arange(ctx, dtype=jnp.int32)[:, None]
-            valid_a = apos < base_lens[None, :]           # [l, s]
+            valid_a = apos < e["base_lens"][None, :]      # [l, s]
             valid_r = (jnp.arange(n_ring, dtype=jnp.int32)[:, None]
                        <= j)
             sc_a = jnp.where(valid_a[None, None], sc_a, -1e30)
@@ -682,10 +682,10 @@ def bench_tstep(batch: int, ctx: int = 256, iters_in_graph: int = 4):
             ea = jnp.exp(sc_a - gmax)
             er = jnp.exp(sc_r - gmax)
             den = (ea.sum(2) + er.sum(2))[:, :, None]
-            pa = (ea / den) * aVsT[:, None]
+            pa = (ea / den) * e["aVsT"][:, None]
             pr = er / den
             out = jnp.einsum("grls,glds->grds", pa.astype(jnp.bfloat16),
-                             aVT.astype(jnp.bfloat16),
+                             e["aVT"].astype(jnp.bfloat16),
                              preferred_element_type=jnp.float32)
             out = out + jnp.einsum("grns,ngds->grds",
                                    pr.astype(jnp.bfloat16), rV,
@@ -699,22 +699,32 @@ def bench_tstep(batch: int, ctx: int = 256, iters_in_graph: int = 4):
             x = x + lin(L, "down", act)
             ringK = [rK if i == li else ringK[i] for i in range(LAYERS)]
             ringV = [rV if i == li else ringV[i] for i in range(LAYERS)]
-        xn = rms(x, fnorm)
+        xn = rms(x, e["fnorm"])
         logits = jax.lax.dot_general(
-            lm, xn, (((0,), (0,)), ((), ())),
+            e["lm"], xn, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)           # [v, s]
         tok = jnp.argmax(logits, axis=0).astype(jnp.int32)
         return tok, pos + 1, ringK, ringV
 
+    # Weights/arenas must be jit ARGUMENTS: as closure constants they
+    # serialize into the HLO shipped to the remote compile service
+    # (hundreds of MB -> broken pipe on the tunnel).
+    env = {"layers": layers, "embed": embed, "lm": lm, "fnorm": fnorm,
+           "aK": aK, "aV": aV, "aKs": aKs, "aVs": aVs,
+           "aKT": aKT, "aVT": aVT, "aKsT": aKsT, "aVsT": aVsT,
+           "rope": rope, "ropeT": ropeT, "embedT": embedT,
+           "base_lens": base_lens}
+
     def mk_chain(step, ring_shape):
         @jax.jit
-        def run(tok, pos):
+        def run(e, tok, pos):
             ringK = [jnp.zeros(ring_shape, jnp.bfloat16)
                      for _ in range(LAYERS)]
             ringV = [jnp.zeros(ring_shape, jnp.bfloat16)
                      for _ in range(LAYERS)]
             for j in range(iters_in_graph):
-                tok, pos, ringK, ringV = step(tok, pos, ringK, ringV, j)
+                tok, pos, ringK, ringV = step(e, tok, pos, ringK,
+                                              ringV, j)
             return tok
         return run
 
@@ -725,9 +735,9 @@ def bench_tstep(batch: int, ctx: int = 256, iters_in_graph: int = 4):
     # ids after a couple iterations would need exact argmax ties; check
     # throughput only, correctness is covered by the integration tests.
     res = {}
-    t_row = _timeit(run_row, tok0, pos0, iters=8)
+    t_row = _timeit(run_row, env, tok0, pos0, iters=8)
     res["row_ms_per_iter"] = round(t_row * 1e3 / iters_in_graph, 3)
-    t_t = _timeit(run_t, tok0, pos0, iters=8)
+    t_t = _timeit(run_t, env, tok0, pos0, iters=8)
     res["transposed_ms_per_iter"] = round(t_t * 1e3 / iters_in_graph, 3)
     res.update(batch=batch, ctx=ctx, n=iters_in_graph)
     print("tstep", json.dumps(res))

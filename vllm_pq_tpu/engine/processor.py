@@ -98,6 +98,12 @@ class Processor:
                             raw.get("audio_token_index", 151646),
                             int(ac.get("max_source_positions", 1500)),
                             int(ac.get("num_mel_bins", 128)))
+                elif arch0 == "UltravoxModel":
+                    ac = raw.get("audio_config", {})
+                    spec = ("ultravox",
+                            raw.get("audio_token_index", 32000),
+                            int(raw.get("stack_factor", 8)),
+                            int(ac.get("num_mel_bins", 128)))
                 elif arch0 == "FuyuForCausalLM":
                     from vllm_pq_tpu.multimodal.image import ImageProcessor
                     size = raw.get("image_size") or 300
@@ -261,6 +267,41 @@ class Processor:
                     t_true = exp_len
                 # HF _get_feat_extract_output_lengths
                 n = ((t_true - 1) // 2 + 1 - 2) // 2 + 1
+                out.extend(token_ids[prev:spot])
+                mm_inputs.append(MMInput(offset=len(out), length=n,
+                                         pixel_values=mel))
+                out.extend([audio_tok] * n)
+                prev = spot + 1
+            out.extend(token_ids[prev:])
+            return out, mm_inputs
+        if spec and spec[0] == "ultravox":
+            # Ultravox audio splice: mel runs at its TRUE length
+            # (ModifiedWhisperEncoder slices positions); placeholder
+            # span = ceil(conv_out_frames / stack_factor)
+            import numpy as np
+            from vllm_pq_tpu.multimodal import MMInput
+            _, audio_tok, sf, nmel = spec
+            audios = mm_data.get("audio")
+            if audios is None:
+                raise ValueError("multi_modal_data must contain 'audio'")
+            if not isinstance(audios, (list, tuple)):
+                audios = [audios]
+            spots = [i for i, t in enumerate(token_ids)
+                     if t == audio_tok]
+            if len(spots) != len(audios):
+                raise ValueError(
+                    f"prompt has {len(spots)} audio placeholders but "
+                    f"{len(audios)} audios were provided")
+            out: list = []
+            mm_inputs = []
+            prev = 0
+            for spot, au in zip(spots, audios):
+                mel = np.asarray(au, np.float32)
+                if mel.ndim == 3:
+                    mel = mel[0]
+                t_mel = mel.shape[1]
+                t_half = (t_mel - 1) // 2 + 1  # conv2 stride 2, pad 1
+                n = -(-t_half // sf)
                 out.extend(token_ids[prev:spot])
                 mm_inputs.append(MMInput(offset=len(out), length=n,
                                          pixel_values=mel))

@@ -1555,7 +1555,9 @@ def load_hf(model, mesh: Mesh, model_dir: str,
                 model.qformer_cfg.num_hidden_layers)]},
             "projector": {},
         }
-    is_q2audio = model.__class__.__name__ == "Qwen2AudioModel"
+    is_ultravox = model.__class__.__name__ == "UltravoxModel"
+    is_q2audio = model.__class__.__name__ == "Qwen2AudioModel" \
+        or is_ultravox
     if is_q2audio:
         tree["vision"] = {
             "tower": {"layers": [dict() for _ in range(
@@ -1742,6 +1744,15 @@ def load_hf(model, mesh: Mesh, model_dir: str,
                 _load_qwen2audio_tower(tree["vision"]["tower"],
                                        name[len("audio_tower."):],
                                        tensor)
+                continue
+            if is_ultravox and name.startswith("multi_modal_projector."):
+                # Ultravox projector: ln_pre/linear_1/ln_mid|ln_post/
+                # linear_2 (reference models/ultravox.py:248)
+                parts = name.split(".")
+                sub, leaf = parts[1], parts[-1]
+                d = tree["vision"]["projector"].setdefault(sub, {})
+                d[leaf] = (tensor.T if leaf == "weight"
+                           and sub.startswith("linear") else tensor)
                 continue
             if name.startswith("multi_modal_projector.linear."):
                 leaf = name.split(".")[-1]

@@ -622,6 +622,35 @@ def _build_qwen2_audio(hf_config, config: EngineConfig, linear_method):
                                   151646))
 
 
+@register_model("UltravoxModel")
+def _build_ultravox(hf_config, config: EngineConfig, linear_method):
+    # Ultravox speech-language (reference models/ultravox.py): Whisper
+    # encoder + frame-stacking SwiGLU projector + llama-family LM
+    from types import SimpleNamespace
+
+    from vllm_pq_tpu.models.llama import LlamaConfig
+    from vllm_pq_tpu.models.qwen2_audio import Qwen2AudioEncoderConfig
+    from vllm_pq_tpu.models.ultravox import UltravoxModel
+
+    def ns(v):
+        return SimpleNamespace(**v) if isinstance(v, dict) else v
+    tc = ns(getattr(hf_config, "text_config", None))
+    ac = ns(getattr(hf_config, "audio_config", None))
+    mc = LlamaConfig.from_hf_config(tc) if tc is not None else LlamaConfig()
+    if getattr(tc, "model_type", "") == "qwen2":
+        mc.attention_bias = True
+    mc.dtype = config.model.jax_dtype
+    acfg = (Qwen2AudioEncoderConfig.from_hf(ac) if ac is not None
+            else Qwen2AudioEncoderConfig())
+    return UltravoxModel(
+        mc, acfg, linear_method,
+        audio_token_index=getattr(hf_config, "audio_token_index", 32000),
+        stack_factor=getattr(hf_config, "stack_factor", 8),
+        projector_hidden=getattr(hf_config, "hidden_size", 4096),
+        projector_act=getattr(hf_config, "projector_act", "swiglu"),
+        projector_ln_mid=getattr(hf_config, "projector_ln_mid", False))
+
+
 @register_model("BartForConditionalGeneration", "BartModel")
 def _build_bart(hf_config, config: EngineConfig, linear_method):
     from vllm_pq_tpu.models.bart import BartConfig, BartModel
