@@ -98,6 +98,17 @@ class Processor:
                             raw.get("audio_token_index", 151646),
                             int(ac.get("max_source_positions", 1500)),
                             int(ac.get("num_mel_bins", 128)))
+                elif arch0 == "Phi3VForCausalLM":
+                    from vllm_pq_tpu.multimodal.image import ImageProcessor
+                    vc = raw.get("vision_config") or {}
+                    vsize = vc.get("image_size", 336)
+                    psize = vc.get("patch_size", 14)
+                    spec = ("phi3v",
+                            raw.get("image_token_id", 32044),
+                            vsize, (vsize // psize) // 2,
+                            ImageProcessor.from_pretrained(
+                                self.config.model.model,
+                                default_size=vsize))
                 elif arch0 == "UltravoxModel":
                     ac = raw.get("audio_config", {})
                     spec = ("ultravox",
@@ -271,6 +282,47 @@ class Processor:
                 mm_inputs.append(MMInput(offset=len(out), length=n,
                                          pixel_values=mel))
                 out.extend([audio_tok] * n)
+                prev = spot + 1
+            out.extend(token_ids[prev:])
+            return out, mm_inputs
+        if spec and spec[0] == "phi3v":
+            # Phi-3-Vision HD transform spans (reference phi3v.py
+            # get_num_image_tokens); pixels arrive [crops+1, 3, S, S]
+            # with the GLOBAL crop first
+            import numpy as np
+
+            from vllm_pq_tpu.models.phi3v import phi3v_feature_span
+            from vllm_pq_tpu.multimodal import MMInput
+            _, image_tok, vsize, side2, improc = spec
+            images = mm_data.get("image")
+            if images is None:
+                raise ValueError("multi_modal_data must contain 'image'")
+            if not isinstance(images, (list, tuple)):
+                images = [images]
+            spots = [i for i, t in enumerate(token_ids)
+                     if t == image_tok]
+            if len(spots) != len(images):
+                raise ValueError("image placeholder count mismatch")
+            out: list = []
+            mm_inputs = []
+            prev = 0
+            for spot, img in zip(spots, images):
+                out.extend(token_ids[prev:spot])
+                if isinstance(img, dict):
+                    px = np.asarray(img["pixel_values"], np.float32)
+                    h0, w0 = (int(v) for v in img["image_size"])
+                    h_crop, w_crop = max(h0 // vsize, 1), \
+                        max(w0 // vsize, 1)
+                else:
+                    # raw image: single-crop fallback (global + 1 sub)
+                    base = improc(np.asarray(img))
+                    px = np.stack([base, base]).astype(np.float32)
+                    h_crop = w_crop = 1
+                n_tok = phi3v_feature_span(h_crop, w_crop, side2)
+                mm_inputs.append(MMInput(offset=len(out), length=n_tok,
+                                         pixel_values=px,
+                                         grid_thw=(h_crop, w_crop)))
+                out.extend([image_tok] * n_tok)
                 prev = spot + 1
             out.extend(token_ids[prev:])
             return out, mm_inputs

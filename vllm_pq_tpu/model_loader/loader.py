@@ -1555,6 +1555,13 @@ def load_hf(model, mesh: Mesh, model_dir: str,
                 model.qformer_cfg.num_hidden_layers)]},
             "projector": {},
         }
+    is_phi3v = model.__class__.__name__ == "Phi3VModel"
+    if is_phi3v:
+        tree["vision"] = {
+            "tower": {"layers": [dict() for _ in range(
+                model.vision_tower.n_blocks)]},
+            "projector": {},
+        }
     is_ultravox = model.__class__.__name__ == "UltravoxModel"
     is_q2audio = model.__class__.__name__ == "Qwen2AudioModel" \
         or is_ultravox
@@ -1797,6 +1804,26 @@ def load_hf(model, mesh: Mesh, model_dir: str,
                 # the llama tree sits directly under text_model. (no
                 # nested model.); re-prefix for the generic branch
                 name = "model." + name[len("text_model."):]
+        if is_phi3v and ".vision_embed_tokens." in name:
+            # Phi-3-Vision (reference models/phi3v.py weight names):
+            # model.vision_embed_tokens.{img_processor.vision_model.*,
+            # glb_GN, sub_GN, img_projection.{0,2}.*}
+            rest = name.split(".vision_embed_tokens.", 1)[1]
+            if rest.startswith("img_processor.vision_model."):
+                _load_llava_vision(
+                    tree["vision"]["tower"], model,
+                    rest.split("vision_model.", 1)[1], tensor)
+            elif rest in ("glb_GN", "sub_GN"):
+                tree["vision"][rest] = {"weight": tensor.reshape(-1)}
+            elif rest.startswith("img_projection."):
+                parts = rest.split(".")
+                sub = {"0": "linear_1", "2": "linear_2"}[parts[1]]
+                d = tree["vision"]["projector"].setdefault(sub, {})
+                d[parts[2]] = (tensor.T if parts[2] == "weight"
+                               else tensor)
+            else:
+                logger.warning("unmapped phi3v vision weight %s", name)
+            continue
         if is_internvl:
             # InternVL composition (models/internvl.py): "model."
             # prefix; InternViT tower directly under vision_tower.,

@@ -622,6 +622,33 @@ def _build_qwen2_audio(hf_config, config: EngineConfig, linear_method):
                                   151646))
 
 
+@register_model("Phi3VForCausalLM")
+def _build_phi3v(hf_config, config: EngineConfig, linear_method):
+    # Phi-3-Vision (reference models/phi3v.py): hardwired CLIP
+    # ViT-L/14-336 tower (layer -2) + HD transform + Phi-3 decoder
+    from vllm_pq_tpu.models.llama import LlamaConfig
+    from vllm_pq_tpu.models.phi3v import Phi3VModel
+    from vllm_pq_tpu.multimodal.clip import CLIPVisionConfig
+    mc = LlamaConfig.from_hf_config(hf_config)
+    mc.dtype = config.model.jax_dtype
+    # reference CLIP_VIT_LARGE_PATCH14_336_CONFIG (phi3v.py:61);
+    # a nested vision_config (used by the tiny tests) overrides
+    vc = getattr(hf_config, "vision_config", None)
+    if isinstance(vc, dict):
+        from types import SimpleNamespace
+        vc = SimpleNamespace(**vc)
+    if vc is not None:
+        vcfg = CLIPVisionConfig.from_hf(vc)
+    else:
+        vcfg = CLIPVisionConfig(
+            hidden_size=1024, intermediate_size=4096,
+            num_hidden_layers=24, num_attention_heads=16,
+            image_size=336, patch_size=14)
+    return Phi3VModel(
+        mc, vcfg, linear_method,
+        image_token_index=getattr(hf_config, "image_token_id", 32044))
+
+
 @register_model("UltravoxModel")
 def _build_ultravox(hf_config, config: EngineConfig, linear_method):
     # Ultravox speech-language (reference models/ultravox.py): Whisper
