@@ -47,7 +47,9 @@ class FusedMoE:
                  n_group: int = 1, topk_group: int = 1,
                  routed_scaling_factor: float = 1.0,
                  scoring_func: str = "softmax",
-                 router_jitter: float = 0.01):
+                 router_jitter: float = 0.01,
+                 act: str = "silu",
+                 router_logit_cap: Optional[float] = None):
         self.hidden_size = hidden_size
         self.intermediate_size = intermediate_size
         self.num_experts = num_experts
@@ -63,6 +65,9 @@ class FusedMoE:
         self.routed_scaling_factor = routed_scaling_factor
         self.scoring_func = scoring_func  # softmax | sigmoid | sparsemixer
         self.router_jitter = router_jitter  # sparsemixer mask width
+        self.act = act  # silu | gelu (Grok1, reference grok1.py:99)
+        # Grok1 router logit tanh cap (reference grok1.py:108)
+        self.router_logit_cap = router_logit_cap
 
     def param_shapes(self, dtype) -> Dict:
         h, i, e = self.hidden_size, self.intermediate_size, self.num_experts
@@ -105,6 +110,9 @@ class FusedMoE:
         router_logits = jnp.dot(
             x, params["router"]["weight"],
             preferred_element_type=jnp.float32)         # [T, E]
+        if self.router_logit_cap:
+            cap = self.router_logit_cap
+            router_logits = cap * jnp.tanh(router_logits / cap)
         if self.scoring_func == "sparsemixer":
             # Phi-3.5-MoE routing (reference models/phimoe.py
             # sparsemixer eval path): per pick, experts whose relative
@@ -195,7 +203,8 @@ class FusedMoE:
         h3 = jax.lax.ragged_dot(
             xs, w3.astype(x.dtype), group_sizes,
             preferred_element_type=jnp.float32)
-        act = jax.nn.silu(h1) * h3
+        act_fn = (jax.nn.gelu if self.act == "gelu" else jax.nn.silu)
+        act = act_fn(h1) * h3
         out = jax.lax.ragged_dot(
             act.astype(x.dtype), w2.astype(x.dtype), group_sizes,
             preferred_element_type=jnp.float32)           # [T*K, H]

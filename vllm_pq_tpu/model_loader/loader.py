@@ -603,6 +603,63 @@ def _load_qwen_v1_weight(tree, cfg, shapes, linear_method, name,
         logger.warning("unmapped qwen-v1 weight %s", name)
 
 
+def _load_jais_weight(tree, cfg, shapes, linear_method, name,
+                      w) -> None:
+    """JAIS naming (reference models/jais.py): GPT-2 Conv1D tree
+    ([in, out] weights, no transpose), fused biased c_attn, SwiGLU as
+    c_fc(gate)/c_fc2(up)/c_proj(down)."""
+    put = _mk_put_linear(tree, linear_method)
+    if name in ("transformer.wte.weight", "wte.weight"):
+        tree["embed_tokens"]["weight"] = w
+        return
+    if name in ("transformer.ln_f.weight", "ln_f.weight"):
+        tree["norm"]["weight"] = w
+        return
+    if name in ("transformer.ln_f.bias", "ln_f.bias"):
+        tree["norm"]["bias"] = w
+        return
+    if name in ("lm_head.weight", "transformer.relative_pe.slopes"):
+        return  # tied embeddings / recomputed alibi slopes
+    rest = name.split("transformer.h.", 1)[-1] \
+        if "transformer.h." in name else name.split("h.", 1)[-1]
+    if rest == name:
+        logger.warning("unmapped jais weight %s", name)
+        return
+    parts = rest.split(".")
+    li = int(parts[0])
+    L = tree["layers"][li]
+    sub = ".".join(parts[1:-1])
+    leaf = parts[-1]
+    h = cfg.hidden_size
+    if sub == "attn.c_attn":
+        if leaf == "weight":  # Conv1D [in, 3h]: split columns
+            for i, n in enumerate(("q_proj", "k_proj", "v_proj")):
+                put(L, n, w[:, i * h:(i + 1) * h])
+        else:
+            for i, n in enumerate(("q_proj", "k_proj", "v_proj")):
+                L[n + "_bias"] = {"bias": w[i * h:(i + 1) * h]}
+    elif sub == "attn.c_proj":
+        if leaf == "weight":
+            put(L, "o_proj", w)
+        else:
+            L["o_proj_bias"] = {"bias": w}
+    elif sub in ("mlp.c_fc", "mlp.c_fc2", "mlp.c_proj"):
+        ours = {"mlp.c_fc": "gate_proj", "mlp.c_fc2": "up_proj",
+                "mlp.c_proj": "down_proj"}[sub]
+        if cfg.mlp_style == "mlp" and sub == "mlp.c_fc":
+            ours = "up_proj"
+        if leaf == "weight":
+            put(L, ours, w)
+        else:
+            L[ours + "_bias"] = {"bias": w}
+    elif sub == "ln_1":
+        L.setdefault("input_layernorm", {})[leaf] = w
+    elif sub == "ln_2":
+        L.setdefault("post_attention_layernorm", {})[leaf] = w
+    else:
+        logger.warning("unmapped jais weight %s", name)
+
+
 def _load_mistral_native_weight(tree, cfg, shapes, linear_method, name,
                                 w) -> None:
     """Mistral consolidated-checkpoint naming (params.json format,
@@ -1611,7 +1668,8 @@ def load_hf(model, mesh: Mesh, model_dir: str,
                    "exaone": _load_exaone_weight,
                    "telechat2": _load_telechat2_weight,
                    "fairseq2": _load_fairseq2_weight,
-                   "qwen_v1": _load_qwen_v1_weight}
+                   "qwen_v1": _load_qwen_v1_weight,
+                   "jais": _load_jais_weight}
     if fam == "qwen2_vl":
         nv = model.cfg.vision.depth
         tree["vision"] = {"patch_embed": {},
@@ -2136,6 +2194,25 @@ def load_hf(model, mesh: Mesh, model_dir: str,
                         "self_attn.q_layernorm": "self_attn.q_norm",
                         "self_attn.k_layernorm": "self_attn.k_norm",
                         }.get(rest, rest)
+            if fam == "grok1":
+                # Grok-1 naming (reference models/grok1.py:474): attn.*
+                # projections, moe_block with linear/linear_1/linear_v
+                # experts, pre/post branch norms
+                parts_g = rest.split(".")
+                if parts_g[0] == "attn":
+                    rest = "self_attn." + ".".join(parts_g[1:])
+                elif rest == "moe_block.gate":
+                    rest = "mlp.gate"
+                elif parts_g[0] == "moe_block" and parts_g[1] == "experts":
+                    w_name = {"linear": "w1", "linear_1": "w2",
+                              "linear_v": "w3"}[parts_g[3]]
+                    rest = f"mlp.experts.{parts_g[2]}.{w_name}"
+                else:
+                    rest = {"pre_attn_norm": "input_layernorm",
+                            "post_attn_norm": "post_attention_layernorm",
+                            "pre_moe_norm": "pre_feedforward_layernorm",
+                            "post_moe_norm": "post_feedforward_layernorm",
+                            }.get(rest, rest)
             # Generic MoE names (Mixtral block_sparse_moe.*, Qwen2-MoE
             # mlp.gate/experts/shared_expert.*): intercept ONLY the
             # MoE-specific tensors; attention (and dense-layer MLP)
@@ -2182,7 +2259,9 @@ def load_hf(model, mesh: Mesh, model_dir: str,
                     pending_experts.setdefault(li, {}).setdefault(
                         proj, {})[int(p2[2])] = tensor.T
                     continue
-                if rest.startswith("mlp.shared_expert."):
+                if rest.startswith(("mlp.shared_expert.",
+                                    "mlp.shared_experts.")):
+                    # DeepSeek v1 spells it plural (models/deepseek.py)
                     L[f"shared_{rest.split('.')[-1]}"] = {
                         "weight": tensor.T}
                     continue

@@ -93,6 +93,7 @@ class LlamaConfig:
     residual_multiplier: float = 1.0  # Granite
     attention_multiplier: Optional[float] = None  # Granite sm_scale
     logit_scale: Optional[float] = None  # Cohere x, Granite 1/scaling
+    attn_output_multiplier: Optional[float] = None  # Grok1: scale o_proj out
     # sequence-classification / reward heads on a decoder LM (role of
     # reference as_seqcls_model + models/qwen2_rm.py:63 score stack)
     num_labels: int = 0               # >0: pooled classification head
@@ -268,6 +269,16 @@ class LlamaModel:
                                "bias": ((d,), cfg.dtype)}
             layer["k_norm"] = {"weight": ((d,), cfg.dtype),
                                "bias": ((d,), cfg.dtype)}
+        elif cfg.qk_norm == "head_ln_chameleon":
+            # Chameleon: non-affine LayerNorm(head_dim) then a PER-HEAD
+            # weight+bias [heads, d] (reference chameleon.py:173)
+            d = cfg.head_dim
+            layer["q_norm"] = {
+                "weight": ((cfg.num_attention_heads, d), cfg.dtype),
+                "bias": ((cfg.num_attention_heads, d), cfg.dtype)}
+            layer["k_norm"] = {
+                "weight": ((cfg.num_key_value_heads, d), cfg.dtype),
+                "bias": ((cfg.num_key_value_heads, d), cfg.dtype)}
         elif cfg.qk_norm == "full":
             d = cfg.head_dim
             layer["q_norm"] = {"weight": ((cfg.num_attention_heads * d,),
@@ -324,6 +335,11 @@ class LlamaModel:
         elif cfg.qk_norm == "head_ln_bias":
             layer["q_norm"] = {"weight": P(None), "bias": P(None)}
             layer["k_norm"] = {"weight": P(None), "bias": P(None)}
+        elif cfg.qk_norm == "head_ln_chameleon":
+            layer["q_norm"] = {"weight": P(TP_AXIS, None),
+                               "bias": P(TP_AXIS, None)}
+            layer["k_norm"] = {"weight": P(TP_AXIS, None),
+                               "bias": P(TP_AXIS, None)}
         elif cfg.qk_norm == "full":
             # full-width qk norm: weight shards with the heads
             layer["q_norm"] = {"weight": P(TP_AXIS)}
@@ -537,6 +553,17 @@ class LlamaModel:
                 return (y * w[None].astype(jnp.float32)).astype(u.dtype)
             q = _hln(q, lp["q_norm"]["weight"])
             k = _hln(k, lp["k_norm"]["weight"])
+        elif cfg.qk_norm == "head_ln_chameleon":
+            # Chameleon: non-affine per-head LN, then per-head w*x + b
+            def _hlnc(u, w, b):
+                u32 = u.astype(jnp.float32)
+                mu = jnp.mean(u32, axis=-1, keepdims=True)
+                var = jnp.var(u32, axis=-1, keepdims=True)
+                y = (u32 - mu) * jax.lax.rsqrt(var + 1e-5)
+                return (y * w[None].astype(jnp.float32)
+                        + b[None].astype(jnp.float32)).astype(u.dtype)
+            q = _hlnc(q, lp["q_norm"]["weight"], lp["q_norm"]["bias"])
+            k = _hlnc(k, lp["k_norm"]["weight"], lp["k_norm"]["bias"])
         elif cfg.qk_norm == "head_ln_bias":
             # Persimmon: shared per-head layernorm with weight+bias
             def _hlnb(u, w, b):
@@ -582,6 +609,10 @@ class LlamaModel:
             o = jax.lax.psum(o, tp_axis)
         if cfg.o_proj_bias:  # replicated bias, added once after psum
             o = o + lp["o_proj_bias"]["bias"]
+        if cfg.attn_output_multiplier is not None:
+            # Grok1 (reference grok1.py:200): scale the attention
+            # branch output after o_proj
+            o = o * jnp.asarray(cfg.attn_output_multiplier, o.dtype)
         if cfg.use_post_norms:  # Gemma2: norm the branch pre-residual
             o = norm(o, lp["post_attention_layernorm"])
 

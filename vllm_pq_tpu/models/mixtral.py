@@ -20,6 +20,8 @@ from vllm_pq_tpu.quantization.methods import LinearMethod
 class MixtralConfig(LlamaConfig):
     num_local_experts: int = 8
     num_experts_per_tok: int = 2
+    moe_act: str = "silu"                  # Grok1: gelu experts
+    router_logit_cap: Optional[float] = None  # Grok1: 30*tanh(x/30)
 
     @classmethod
     def from_hf_config(cls, hf) -> "MixtralConfig":
@@ -37,7 +39,10 @@ class MixtralModel(LlamaModel):
         super().__init__(cfg, linear_method, lm_head_method)
         self.moe = FusedMoE(cfg.hidden_size, cfg.intermediate_size,
                             cfg.num_local_experts, cfg.num_experts_per_tok,
-                            expert_parallel=expert_parallel)
+                            expert_parallel=expert_parallel,
+                            act=getattr(cfg, "moe_act", "silu"),
+                            router_logit_cap=getattr(
+                                cfg, "router_logit_cap", None))
 
     # attention projections stay (possibly quantized) linears; the MoE
     # block is bf16 for now (quantized MoE is follow-up work, reference
@@ -58,9 +63,10 @@ class MixtralModel(LlamaModel):
                                              cfg.dtype)}
         layer["moe"] = self.moe.param_shapes(cfg.dtype)
         # norm shapes honor the base-config knobs (DBRX: bias-free
-        # layernorm; Phi-MoE: biased layernorm)
-        layer["input_layernorm"] = self._norm_shape()
-        layer["post_attention_layernorm"] = self._norm_shape()
+        # layernorm; Phi-MoE: biased layernorm; Grok1: 4-norm
+        # use_post_norms layout)
+        for n in self._norm_names():
+            layer[n] = self._norm_shape()
         shapes = {
             "embed_tokens": {"weight": ((cfg.vocab_size, cfg.hidden_size),
                                         cfg.dtype)},
@@ -87,8 +93,8 @@ class MixtralModel(LlamaModel):
             layer["o_proj_bias"] = {"bias": P(None)}
         layer["moe"] = self.moe.partition_specs()
         norm_spec = {k: P(None) for k in self._norm_shape()}
-        layer["input_layernorm"] = dict(norm_spec)
-        layer["post_attention_layernorm"] = dict(norm_spec)
+        for n in self._norm_names():
+            layer[n] = dict(norm_spec)
         from vllm_pq_tpu.quantization.methods import TP_AXIS
         specs = {
             "embed_tokens": {"weight": P(TP_AXIS, None)},

@@ -622,6 +622,68 @@ def _build_qwen2_audio(hf_config, config: EngineConfig, linear_method):
                                   151646))
 
 
+@register_model("JAISLMHeadModel")
+def _build_jais(hf_config, config: EngineConfig, linear_method):
+    # Core42 JAIS (reference models/jais.py): GPT-2-style tree with
+    # ALiBi positions, biased fused c_attn, SwiGLU c_fc/c_fc2, and muP
+    # scalings (embeddings_scale, width-scaled logits, 1/d attention
+    # when scale_qk_dot_by_d)
+    from vllm_pq_tpu.models.llama import LlamaConfig, LlamaModel
+    hf = hf_config
+    h = getattr(hf, "n_embd", getattr(hf, "hidden_size", 768))
+    heads = getattr(hf, "n_head", getattr(hf, "num_attention_heads", 12))
+    inner = getattr(hf, "n_inner", None) or 4 * h
+    swiglu = getattr(hf, "activation_function", "gelu") == "swiglu"
+    mc = LlamaConfig(
+        vocab_size=hf.vocab_size, hidden_size=h,
+        # JAIS n_inner counts ONE branch (c_fc and c_fc2 each [h, inner])
+        intermediate_size=inner,
+        num_hidden_layers=getattr(hf, "n_layer",
+                                  getattr(hf, "num_hidden_layers", 12)),
+        num_attention_heads=heads, num_key_value_heads=heads,
+        rms_norm_eps=getattr(hf, "layer_norm_epsilon", 1e-5),
+        max_position_embeddings=getattr(hf, "n_positions", 2048),
+        tie_word_embeddings=True,
+    )
+    mc.norm_type = "layernorm"
+    mc.alibi = getattr(hf, "position_embedding_type", "alibi") == "alibi"
+    mc.attention_bias = True
+    mc.o_proj_bias = True
+    mc.mlp_bias = True
+    mc.mlp_style = "swiglu" if swiglu else "mlp"
+    mc.hidden_act = "silu" if swiglu else "gelu_new"
+    emb_scale = getattr(hf, "embeddings_scale",
+                        getattr(hf, "mup_embeddings_scale", None))
+    if emb_scale and emb_scale != 1.0:
+        mc.embed_scale = float(emb_scale)
+    alpha = getattr(hf, "mup_output_alpha", None)
+    wscale = getattr(hf, "mup_width_scale", None)
+    if alpha is not None and wscale is not None:
+        mc.logit_scale = float(alpha) * float(wscale)
+    elif getattr(hf, "width_scale", None):
+        mc.logit_scale = float(hf.width_scale)
+    if getattr(hf, "mup_scale_qk_dot_by_d",
+               getattr(hf, "scale_qk_dot_by_d", False)):
+        mc.attention_multiplier = 1.0 / mc.head_dim
+    mc.hf_family = "jais"
+    mc.dtype = config.model.jax_dtype
+    return LlamaModel(mc, linear_method)
+
+
+@register_model("ChameleonForConditionalGeneration")
+def _build_chameleon(hf_config, config: EngineConfig, linear_method):
+    # Chameleon (reference models/chameleon.py): llama math + per-head
+    # non-affine LayerNorm qk-norm with learned per-head scale/bias;
+    # images enter as discrete VQ tokens already present in the vocab
+    # (the host-side VQ-VAE tokenizer is out of scope — prompts carry
+    # image token ids directly)
+    from vllm_pq_tpu.models.llama import LlamaConfig, LlamaModel
+    mc = LlamaConfig.from_hf_config(hf_config)
+    mc.qk_norm = "head_ln_chameleon"
+    mc.dtype = config.model.jax_dtype
+    return LlamaModel(mc, linear_method)
+
+
 @register_model("Phi3VForCausalLM")
 def _build_phi3v(hf_config, config: EngineConfig, linear_method):
     # Phi-3-Vision (reference models/phi3v.py): hardwired CLIP
@@ -1846,6 +1908,66 @@ def _build_qwen2_moe(hf_config, config: EngineConfig, linear_method):
     mc = (Qwen2MoeConfig.from_hf_config(hf_config)
           if hf_config is not None else Qwen2MoeConfig())
     mc.attention_bias = True  # qkv bias, like dense Qwen2
+    mc.dtype = config.model.jax_dtype
+    ep = config.parallel.enable_expert_parallel
+    return Qwen2MoeModel(mc, linear_method, expert_parallel=ep)
+
+
+@register_model("Grok1ModelForCausalLM")
+def _build_grok1(hf_config, config: EngineConfig, linear_method):
+    # xAI Grok-1 (reference models/grok1.py): Mixtral-style MoE with
+    # gelu experts, 30*tanh(x/30) router and attention logit caps,
+    # Gemma2-style pre/post norms on both branches, and muP-style
+    # embedding/attention-output/logit multipliers
+    from vllm_pq_tpu.models.mixtral import MixtralConfig, MixtralModel
+    hf = hf_config
+    mc = MixtralConfig.from_hf_config(hf)
+    mc.num_local_experts = getattr(hf, "num_experts",
+                                   getattr(hf, "num_local_experts", 8))
+    mc.num_experts_per_tok = getattr(hf, "num_experts_per_tok", 2)
+    mc.moe_act = "gelu"
+    mc.router_logit_cap = 30.0
+    mc.attn_logit_softcap = max(
+        getattr(hf, "attn_logit_softcapping", None) or 30.0, 0.0)
+    mc.use_post_norms = True
+    mc.embed_scale = getattr(hf, "embedding_multiplier_scale", 78.38)
+    mc.attn_output_multiplier = getattr(hf, "attn_output_multiplier",
+                                        0.08838834764831845)
+    mc.logit_scale = getattr(hf, "output_multiplier_scale",
+                             0.5773502691896257)
+    mc.tie_word_embeddings = getattr(hf, "tie_word_embeddings", True)
+    mc.hf_family = "grok1"
+    mc.dtype = config.model.jax_dtype
+    ep = config.parallel.enable_expert_parallel
+    return MixtralModel(mc, linear_method, expert_parallel=ep)
+
+
+@register_model("DeepseekForCausalLM")
+def _build_deepseek_v1(hf_config, config: EngineConfig, linear_method):
+    # DeepSeek v1 MoE (reference models/deepseek.py, pre-MLA): standard
+    # GQA attention + softmax top-k routing, first_k_dense_replace
+    # dense layers, n_shared_experts added UNGATED — the qwen2-moe grid
+    # with deepseek field names (mlp.shared_experts.* plural handled by
+    # the loader)
+    from vllm_pq_tpu.models.qwen2_moe import Qwen2MoeConfig, Qwen2MoeModel
+    hf = hf_config
+    mc = Qwen2MoeConfig.from_hf_config(hf)
+    mc.num_experts = getattr(hf, "n_routed_experts", 64)
+    mc.num_experts_per_tok = getattr(hf, "num_experts_per_tok", 6)
+    mc.moe_intermediate_size = getattr(hf, "moe_intermediate_size", 1408)
+    n_shared = getattr(hf, "n_shared_experts", None) or 0
+    mc.shared_expert_intermediate_size = \
+        n_shared * mc.moe_intermediate_size
+    mc.shared_expert_gate = False  # added ungated (deepseek.py:132)
+    first_dense = getattr(hf, "first_k_dense_replace", 0)
+    freq = getattr(hf, "moe_layer_freq", 1)
+    # deepseek rule: MoE when li >= first_k_dense_replace and
+    # li % moe_layer_freq == 0 — encode it via mlp_only_layers
+    mc.decoder_sparse_step = 1
+    mc.mlp_only_layers = [li for li in range(mc.num_hidden_layers)
+                          if li < first_dense or li % freq != 0]
+    mc.norm_topk_prob = getattr(hf, "norm_topk_prob", False)
+    mc.attention_bias = getattr(hf, "attention_bias", False)
     mc.dtype = config.model.jax_dtype
     ep = config.parallel.enable_expert_parallel
     return Qwen2MoeModel(mc, linear_method, expert_parallel=ep)
