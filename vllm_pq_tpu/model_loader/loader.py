@@ -1594,7 +1594,8 @@ def load_hf(model, mesh: Mesh, model_dir: str,
     pending_aqlm: Dict[tuple, Dict[str, np.ndarray]] = {}
     is_deepseek = model.__class__.__name__ == "DeepseekV2Model"
     is_moe = model.__class__.__name__ in ("MixtralModel", "Qwen2MoeModel",
-                                          "DeepseekV2Model")
+                                          "DeepseekV2Model",
+                                          "ArcticModel")
     is_llava = model.__class__.__name__ in ("LlavaModel",
                                             "LlavaNextModel",
                                             "LlavaOnevisionModel",
@@ -2194,6 +2195,29 @@ def load_hf(model, mesh: Mesh, model_dir: str,
                         "self_attn.q_layernorm": "self_attn.q_norm",
                         "self_attn.k_layernorm": "self_attn.k_norm",
                         }.get(rest, rest)
+            if fam == "arctic":
+                # Arctic naming (reference models/arctic.py): merged
+                # w13 tensors split into gate|up rows; dense layers
+                # live under block_sparse_moe.mlp
+                L = tree["layers"][li]
+                put = _mk_put_linear(tree, linear_method)
+                if rest in ("block_sparse_moe.mlp.w13",
+                            "residual_mlp.w13"):
+                    half = tensor.shape[0] // 2
+                    pre = ("" if rest.startswith("block_sparse_moe")
+                           else "residual_")
+                    put(L, pre + "gate_proj", tensor[:half].T)
+                    put(L, pre + "up_proj", tensor[half:].T)
+                    continue
+                if rest == "block_sparse_moe.mlp.w2":
+                    put(L, "down_proj", tensor.T)
+                    continue
+                if rest == "residual_mlp.w2":
+                    put(L, "residual_down_proj", tensor.T)
+                    continue
+                if rest == "residual_layernorm":
+                    L["residual_layernorm"] = {"weight": tensor}
+                    continue
             if fam == "grok1":
                 # Grok-1 naming (reference models/grok1.py:474): attn.*
                 # projections, moe_block with linear/linear_1/linear_v

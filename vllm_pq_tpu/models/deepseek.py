@@ -76,6 +76,12 @@ class DeepseekConfig:
     # MLA backends, triton_mla.py/flashmla.py); False = decompressed
     # per-head K/V caching (the VLLM_MLA_DISABLE path)
     mla_latent: bool = True
+    # MiniCPM3 muP scalings (reference models/minicpm3.py + minicpm.py):
+    # embeddings * scale_emb, each residual branch * scale_depth/sqrt(L),
+    # logits * dim_model_base/hidden
+    embed_scale: Optional[float] = None
+    residual_multiplier: float = 1.0
+    logit_scale: Optional[float] = None
 
     @property
     def qk_head_dim(self) -> int:
@@ -302,7 +308,11 @@ class DeepseekV2Model:
             x, lp[n]["weight"],
             preferred_element_type=jnp.float32).astype(x.dtype)
 
+        rm = jnp.asarray(cfg.residual_multiplier, jnp.float32).astype(
+            cfg.dtype)
         x = self._embed(params["embed_tokens"], input_ids, tp_axis)
+        if cfg.embed_scale is not None:
+            x = x * jnp.asarray(cfg.embed_scale, x.dtype)
         t = x.shape[0]
         new_caches = []
         for li in range(cfg.num_hidden_layers):
@@ -353,9 +363,9 @@ class DeepseekV2Model:
                 o = lin(lp, "o_proj", attn)
                 if tp_axis:
                     o = jax.lax.psum(o, tp_axis)
-                x = x + o
+                x = x + rm * o
                 h_in = norm(x, lp["post_attention_layernorm"]["weight"])
-                x = x + self._mlp(lp, h_in, li, lin, tp_axis)
+                x = x + rm * self._mlp(lp, h_in, li, lin, tp_axis)
                 continue
 
             kv = lin(lp, "kv_b_proj", c_kv)
@@ -381,11 +391,11 @@ class DeepseekV2Model:
             o = lin(lp, "o_proj", attn)
             if tp_axis:
                 o = jax.lax.psum(o, tp_axis)
-            x = x + o
+            x = x + rm * o
 
             # -- MLP / MoE -------------------------------------------------
             h_in = norm(x, lp["post_attention_layernorm"]["weight"])
-            x = x + self._mlp(lp, h_in, li, lin, tp_axis)
+            x = x + rm * self._mlp(lp, h_in, li, lin, tp_axis)
 
         x = norm(x, params["norm"]["weight"])
         return x, new_caches
@@ -432,10 +442,14 @@ class DeepseekV2Model:
             if tp_axis:
                 logits = jax.lax.all_gather(logits, tp_axis, axis=1,
                                             tiled=True)
+            if cfg.logit_scale is not None:
+                logits = logits * cfg.logit_scale
             return logits
         logits = jnp.dot(hidden, params["lm_head"]["weight"],
                          preferred_element_type=jnp.float32)
         if tp_axis:
             logits = jax.lax.all_gather(logits, tp_axis, axis=1,
                                         tiled=True)
+        if cfg.logit_scale is not None:
+            logits = logits * cfg.logit_scale
         return logits

@@ -1913,6 +1913,68 @@ def _build_qwen2_moe(hf_config, config: EngineConfig, linear_method):
     return Qwen2MoeModel(mc, linear_method, expert_parallel=ep)
 
 
+@register_model("ArcticForCausalLM")
+def _build_arctic(hf_config, config: EngineConfig, linear_method):
+    # Snowflake Arctic (reference models/arctic.py): dense-MoE hybrid —
+    # MoE layers add a parallel dense residual_mlp branch over the
+    # post-attention state while the MoE routes the pre-attention input
+    from vllm_pq_tpu.models.arctic import ArcticConfig, ArcticModel
+    hf = hf_config
+    mc = ArcticConfig.from_hf_config(hf)
+    mc.num_local_experts = getattr(hf, "num_local_experts", 128)
+    mc.num_experts_per_tok = getattr(hf, "num_experts_per_tok", 2)
+    mc.hf_family = "arctic"
+    mc.dtype = config.model.jax_dtype
+    ep = config.parallel.enable_expert_parallel
+    return ArcticModel(
+        mc, linear_method,
+        moe_layer_frequency=getattr(hf, "moe_layer_frequency", 2),
+        use_residual=getattr(hf, "use_residual", True),
+        expert_parallel=ep)
+
+
+@register_model("MiniCPM3ForCausalLM")
+def _build_minicpm3(hf_config, config: EngineConfig, linear_method):
+    # MiniCPM3 (reference models/minicpm3.py): DeepSeek-V2-style MLA
+    # attention (q/kv LoRA projections, nope|rope head split) with
+    # all-dense MLPs and the MiniCPM muP scalings
+    import math
+
+    from vllm_pq_tpu.models.deepseek import DeepseekConfig, DeepseekV2Model
+    hf = hf_config
+    dc = DeepseekConfig(
+        vocab_size=hf.vocab_size,
+        hidden_size=hf.hidden_size,
+        intermediate_size=hf.intermediate_size,
+        num_hidden_layers=hf.num_hidden_layers,
+        num_attention_heads=hf.num_attention_heads,
+        q_lora_rank=getattr(hf, "q_lora_rank", None),
+        kv_lora_rank=getattr(hf, "kv_lora_rank", 256),
+        qk_nope_head_dim=getattr(hf, "qk_nope_head_dim", 64),
+        qk_rope_head_dim=getattr(hf, "qk_rope_head_dim", 32),
+        v_head_dim=getattr(hf, "v_head_dim", None)
+        or hf.hidden_size // hf.num_attention_heads,
+        n_routed_experts=0, n_shared_experts=0,
+        first_k_dense_replace=hf.num_hidden_layers,  # all layers dense
+        rms_norm_eps=getattr(hf, "rms_norm_eps", 1e-5),
+        rope_theta=getattr(hf, "rope_theta", 10000.0),
+        rope_scaling=getattr(hf, "rope_scaling", None),
+        max_position_embeddings=getattr(hf, "max_position_embeddings",
+                                        32768),
+        tie_word_embeddings=getattr(hf, "tie_word_embeddings", False),
+    )
+    dc.embed_scale = getattr(hf, "scale_emb", 1.0) or None
+    sd = getattr(hf, "scale_depth", 1.0)
+    dc.residual_multiplier = sd / math.sqrt(dc.num_hidden_layers)
+    dmb = getattr(hf, "dim_model_base", None)
+    if dmb:
+        dc.logit_scale = dmb / dc.hidden_size
+    dc.dtype = config.model.jax_dtype
+    import vllm_pq_tpu.envs as envs
+    dc.mla_latent = not envs.VPQ_MLA_DISABLE
+    return DeepseekV2Model(dc)
+
+
 @register_model("Grok1ModelForCausalLM")
 def _build_grok1(hf_config, config: EngineConfig, linear_method):
     # xAI Grok-1 (reference models/grok1.py): Mixtral-style MoE with
