@@ -98,6 +98,20 @@ class Processor:
                             raw.get("audio_token_index", 151646),
                             int(ac.get("max_source_positions", 1500)),
                             int(ac.get("num_mel_bins", 128)))
+                elif arch0 == "AriaForConditionalGeneration":
+                    from vllm_pq_tpu.multimodal.image import ImageProcessor
+                    vc = raw.get("vision_config", {})
+                    vsize = vc.get("image_size", 980)
+                    psize = vc.get("patch_size", 14)
+                    p2q = {int(k): int(v) for k, v in (
+                        raw.get("projector_patch_to_query_dict")
+                        or {1225: 128, 4900: 256}).items()}
+                    patches = (vsize // psize) ** 2
+                    spec = (raw.get("image_token_index", 9),
+                            p2q.get(patches, max(p2q.values())),
+                            ImageProcessor.from_pretrained(
+                                self.config.model.model,
+                                default_size=vsize))
                 elif arch0 == "Phi3VForCausalLM":
                     from vllm_pq_tpu.multimodal.image import ImageProcessor
                     vc = raw.get("vision_config") or {}
@@ -441,10 +455,13 @@ class Processor:
         out: list = []
         mm_inputs = []
         prev = 0
+        import numpy as np
         for spot, img in zip(spots, images):
             out.extend(token_ids[prev:spot])
+            px = (np.asarray(img["pixel_values"], np.float32)
+                  if isinstance(img, dict) else improc(img))
             mm_inputs.append(MMInput(offset=len(out), length=n_tok,
-                                     pixel_values=improc(img)))
+                                     pixel_values=px))
             out.extend([image_tok] * n_tok)
             prev = spot + 1
         out.extend(token_ids[prev:])

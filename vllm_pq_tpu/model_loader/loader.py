@@ -1595,7 +1595,14 @@ def load_hf(model, mesh: Mesh, model_dir: str,
     is_deepseek = model.__class__.__name__ == "DeepseekV2Model"
     is_moe = model.__class__.__name__ in ("MixtralModel", "Qwen2MoeModel",
                                           "DeepseekV2Model",
-                                          "ArcticModel")
+                                          "ArcticModel", "AriaModel")
+    is_aria = model.__class__.__name__ == "AriaModel"
+    if is_aria:
+        tree["vision"] = {
+            "tower": {"layers": [dict() for _ in range(
+                model.vision_tower.n_blocks)]},
+            "projector": {},
+        }
     is_llava = model.__class__.__name__ in ("LlavaModel",
                                             "LlavaNextModel",
                                             "LlavaOnevisionModel",
@@ -1863,6 +1870,59 @@ def load_hf(model, mesh: Mesh, model_dir: str,
                 # the llama tree sits directly under text_model. (no
                 # nested model.); re-prefix for the generic branch
                 name = "model." + name[len("text_model."):]
+        if is_aria:
+            # Aria composition (models/aria.py): idefics3 tower under
+            # [model.]vision_tower., learned-query cross-attn projector
+            # under multi_modal_projector., Aria MoE text under
+            # language_model. (fused grouped-expert stacks handled in
+            # the MoE branch below)
+            if name.startswith("model."):
+                name = name[len("model."):]
+            if name.startswith("vision_tower."):
+                _load_siglip_vision(tree["vision"]["tower"],
+                                    name[len("vision_tower."):], tensor)
+                continue
+            if name.startswith("multi_modal_projector."):
+                rest_p = name[len("multi_modal_projector."):]
+                Pj = tree["vision"]["projector"]
+                if rest_p == "query":
+                    Pj["query"] = {"weight": tensor}
+                elif rest_p.startswith("cross_attn.multihead_attn."
+                                       "in_proj_"):
+                    leaf = rest_p.rsplit("_", 1)[-1]
+                    Pj.setdefault("in_proj", {})[leaf] = tensor
+                elif rest_p.startswith(
+                        "cross_attn.multihead_attn.out_proj."):
+                    leaf = rest_p.split(".")[-1]
+                    Pj.setdefault("out_proj", {})[leaf] = (
+                        tensor.T if leaf == "weight" else tensor)
+                elif rest_p.startswith("cross_attn."):
+                    parts_p = rest_p.split(".")
+                    sub, leaf = parts_p[1], parts_p[-1]
+                    ours = {"q_proj": "q_proj", "k_proj": "k_proj",
+                            "v_proj": "v_proj", "linear": "linear",
+                            "layer_norm": "layer_norm_q",
+                            "layer_norm_kv": "layer_norm_kv"}[sub]
+                    Pj.setdefault(ours, {})[leaf] = (
+                        tensor.T if leaf == "weight"
+                        and "norm" not in ours else tensor)
+                elif rest_p.startswith("layer_norm."):
+                    Pj.setdefault("layer_norm", {})[
+                        rest_p.split(".")[-1]] = tensor
+                elif rest_p.startswith("feed_forward."):
+                    parts_p = rest_p.split(".")
+                    ours = {"linear_in": "ffn_in",
+                            "linear_out": "ffn_out"}[parts_p[1]]
+                    Pj.setdefault(ours, {})[parts_p[-1]] = (
+                        tensor.T if parts_p[-1] == "weight" else tensor)
+                else:
+                    logger.warning("unmapped aria projector weight %s",
+                                   name)
+                continue
+            if name.startswith("language_model."):
+                name = name[len("language_model."):]
+                if not name.startswith(("model.", "lm_head.")):
+                    name = "model." + name
         if is_phi3v and ".vision_embed_tokens." in name:
             # Phi-3-Vision (reference models/phi3v.py weight names):
             # model.vision_embed_tokens.{img_processor.vision_model.*,
@@ -2195,6 +2255,30 @@ def load_hf(model, mesh: Mesh, model_dir: str,
                         "self_attn.q_layernorm": "self_attn.q_norm",
                         "self_attn.k_layernorm": "self_attn.k_norm",
                         }.get(rest, rest)
+            if fam == "aria":
+                # Aria MoE names (reference models/aria.py): router +
+                # fused grouped-expert stacks fc1 [E,h,2I] (projection|
+                # gate halves -> w1|w3) and fc2 [E,I,h] -> w2
+                L = tree["layers"][li]
+                if rest == "mlp.router":
+                    L.setdefault("moe", {}).setdefault(
+                        "router", {})["weight"] = tensor.T
+                    continue
+                if rest == "mlp.experts.fc1":
+                    half = tensor.shape[2] // 2
+                    exp = L.setdefault("moe", {}).setdefault(
+                        "experts", {})
+                    exp["w1"] = tensor[:, :, :half]
+                    exp["w3"] = tensor[:, :, half:]
+                    continue
+                if rest == "mlp.experts.fc2":
+                    L.setdefault("moe", {}).setdefault(
+                        "experts", {})["w2"] = tensor
+                    continue
+                if rest.startswith("mlp.shared_experts."):
+                    L[f"shared_{rest.split('.')[-1]}"] = {
+                        "weight": tensor.T}
+                    continue
             if fam == "arctic":
                 # Arctic naming (reference models/arctic.py): merged
                 # w13 tensors split into gate|up rows; dense layers

@@ -1913,6 +1913,46 @@ def _build_qwen2_moe(hf_config, config: EngineConfig, linear_method):
     return Qwen2MoeModel(mc, linear_method, expert_parallel=ep)
 
 
+@register_model("AriaForConditionalGeneration")
+def _build_aria(hf_config, config: EngineConfig, linear_method):
+    # Aria (reference models/aria.py): idefics3 tower + learned-query
+    # cross-attn projector + grouped-expert MoE llama decoder
+    from types import SimpleNamespace
+
+    from vllm_pq_tpu.models.aria import AriaModel
+    from vllm_pq_tpu.models.qwen2_moe import Qwen2MoeConfig
+    from vllm_pq_tpu.multimodal.siglip import SiglipVisionConfig
+
+    def ns(v):
+        return SimpleNamespace(**v) if isinstance(v, dict) else v
+    tc = ns(getattr(hf_config, "text_config", None))
+    vc = ns(getattr(hf_config, "vision_config", None))
+    mc = Qwen2MoeConfig.from_hf_config(tc)
+    mc.num_experts = getattr(tc, "moe_num_experts", 8)
+    mc.num_experts_per_tok = getattr(tc, "moe_topk", 2)
+    mc.moe_intermediate_size = tc.intermediate_size
+    mc.shared_expert_intermediate_size = tc.intermediate_size * getattr(
+        tc, "moe_num_shared_experts", 2)
+    mc.shared_expert_gate = False
+    mc.norm_topk_prob = True  # topk-then-softmax == renormalized
+    mc.decoder_sparse_step = 1
+    mc.mlp_only_layers = []
+    mc.hf_family = "aria"
+    mc.dtype = config.model.jax_dtype
+    vcfg = (SiglipVisionConfig.from_hf(vc) if vc is not None
+            else SiglipVisionConfig())
+    p2q = {int(k): int(v) for k, v in (getattr(
+        hf_config, "projector_patch_to_query_dict", None)
+        or {1225: 128, 4900: 256}).items()}
+    return AriaModel(
+        mc, vcfg, linear_method,
+        image_token_index=getattr(hf_config, "image_token_index", 9),
+        patch_to_query=p2q,
+        max_query=getattr(hf_config,
+                          "max_value_projector_patch_to_query_dict",
+                          None) or max(p2q.values()))
+
+
 @register_model("ArcticForCausalLM")
 def _build_arctic(hf_config, config: EngineConfig, linear_method):
     # Snowflake Arctic (reference models/arctic.py): dense-MoE hybrid —
