@@ -98,6 +98,16 @@ class Processor:
                             raw.get("audio_token_index", 151646),
                             int(ac.get("max_source_positions", 1500)),
                             int(ac.get("num_mel_bins", 128)))
+                elif arch0 in ("MiniCPMV", "MiniCPMO"):
+                    from vllm_pq_tpu.multimodal.image import ImageProcessor
+                    vc = raw.get("vision_config", {})
+                    vsize = vc.get("image_size", 448)
+                    spec = (raw.get("image_token_id")
+                            or raw.get("unk_token_id", 128244),
+                            raw.get("query_num", 64),
+                            ImageProcessor.from_pretrained(
+                                self.config.model.model,
+                                default_size=vsize))
                 elif arch0 == "AriaForConditionalGeneration":
                     from vllm_pq_tpu.multimodal.image import ImageProcessor
                     vc = raw.get("vision_config", {})

@@ -1620,6 +1620,13 @@ def load_hf(model, mesh: Mesh, model_dir: str,
                 model.qformer_cfg.num_hidden_layers)]},
             "projector": {},
         }
+    is_minicpmv = model.__class__.__name__ == "MiniCPMVModel"
+    if is_minicpmv:
+        tree["vision"] = {
+            "tower": {"layers": [dict() for _ in range(
+                model.vision_tower.n_blocks)]},
+            "resampler": {},
+        }
     is_phi3v = model.__class__.__name__ == "Phi3VModel"
     if is_phi3v:
         tree["vision"] = {
@@ -1923,6 +1930,42 @@ def load_hf(model, mesh: Mesh, model_dir: str,
                 name = name[len("language_model."):]
                 if not name.startswith(("model.", "lm_head.")):
                     name = "model." + name
+        if is_minicpmv:
+            # MiniCPM-V composition (models/minicpmv.py): SigLIP tower
+            # under vpm., Resampler2_5 under resampler., LM under llm.
+            if name.startswith("vpm."):
+                _load_siglip_vision(tree["vision"]["tower"],
+                                    name[len("vpm."):], tensor)
+                continue
+            if name.startswith("resampler."):
+                rest_r = name[len("resampler."):]
+                R = tree["vision"]["resampler"]
+                if rest_r == "query":
+                    R["query"] = {"weight": tensor}
+                elif rest_r == "proj":
+                    R["proj"] = {"weight": tensor}
+                elif rest_r == "kv_proj.weight":
+                    R["kv_proj"] = {"weight": tensor.T}
+                elif rest_r.startswith("attn.in_proj_"):
+                    R.setdefault("in_proj", {})[
+                        rest_r.rsplit("_", 1)[-1]] = tensor
+                elif rest_r.startswith("attn.out_proj."):
+                    # stored torch-style [out, in] (model applies x@w.T)
+                    R.setdefault("out_proj", {})[
+                        rest_r.split(".")[-1]] = tensor
+                elif rest_r.startswith(("ln_q.", "ln_kv.", "ln_post.")):
+                    sub, leaf = rest_r.split(".")
+                    R.setdefault(sub, {})[leaf] = tensor
+                else:
+                    logger.warning("unmapped minicpmv resampler "
+                                   "weight %s", name)
+                continue
+            if name.startswith("llm."):
+                name = name[len("llm."):]
+                if not name.startswith(("model.", "lm_head.")):
+                    name = "model." + name
+            elif name.startswith(("apm.", "tts.", "audio_projection")):
+                continue  # MiniCPM-O audio/TTS heads: unused at serving
         if is_phi3v and ".vision_embed_tokens." in name:
             # Phi-3-Vision (reference models/phi3v.py weight names):
             # model.vision_embed_tokens.{img_processor.vision_model.*,

@@ -1913,6 +1913,48 @@ def _build_qwen2_moe(hf_config, config: EngineConfig, linear_method):
     return Qwen2MoeModel(mc, linear_method, expert_parallel=ep)
 
 
+@register_model("MiniCPMV", "MiniCPMO")
+def _build_minicpmv(hf_config, config: EngineConfig, linear_method):
+    # MiniCPM-V (reference models/minicpmv.py): SigLIP tower +
+    # Resampler2_5 perceiver + version-dependent LM (2.0 MiniCPM
+    # scalings / 2.5 Llama-3 / >=2.6 Qwen2). MiniCPM-O shares the image
+    # path (reference minicpmo.py).
+    import math
+    from types import SimpleNamespace
+
+    from vllm_pq_tpu.models.llama import LlamaConfig
+    from vllm_pq_tpu.models.minicpmv import MiniCPMVModel
+    from vllm_pq_tpu.multimodal.siglip import SiglipVisionConfig
+
+    def ns(v):
+        return SimpleNamespace(**v) if isinstance(v, dict) else v
+    hf = hf_config
+    mc = LlamaConfig.from_hf_config(hf)
+    ver = getattr(hf, "version", 2.6)
+    if isinstance(ver, (list, tuple)):
+        ver = float(f"{ver[0]}.{ver[1]}")
+    ver = float(ver)
+    if ver >= 2.6:
+        mc.attention_bias = True  # qwen2 text stack
+    elif ver < 2.5:
+        # MiniCPM muP scalings (registry _build_minicpm)
+        mc.embed_scale = getattr(hf, "scale_emb", 1.0) or None
+        sd = getattr(hf, "scale_depth", 1.0)
+        mc.residual_multiplier = sd / math.sqrt(mc.num_hidden_layers)
+        dmb = getattr(hf, "dim_model_base", None)
+        if dmb:
+            mc.logit_scale = dmb / mc.hidden_size
+    mc.dtype = config.model.jax_dtype
+    vc = ns(getattr(hf, "vision_config", None))
+    vcfg = (SiglipVisionConfig.from_hf(vc) if vc is not None
+            else SiglipVisionConfig())
+    return MiniCPMVModel(
+        mc, vcfg, linear_method,
+        image_token_index=getattr(hf, "image_token_id", None)
+        or getattr(hf, "unk_token_id", 128244),
+        query_num=getattr(hf, "query_num", 64))
+
+
 @register_model("AriaForConditionalGeneration")
 def _build_aria(hf_config, config: EngineConfig, linear_method):
     # Aria (reference models/aria.py): idefics3 tower + learned-query
