@@ -191,6 +191,50 @@ def test_qwen_v1_matches_qwen2(tmp_path):
     assert got == want, (got, want)
 
 
+def test_decilm_variable_gqa(tmp_path):
+    """DeciLM per-layer kv heads == uniform GQA with repeated k/v head
+    blocks (the reference's own normalization, decilm.py:108)."""
+    from safetensors import safe_open
+    from safetensors.numpy import save_file
+    d1 = tmp_path / "llama"
+    hf, cfg = _mk_llama_ckpt(d1, seed=6, num_key_value_heads=4)
+    heads, kvh, h = 4, 4, cfg["hidden_size"]
+    dd = h // heads
+    # overwrite each layer's k/v with a 2-head tensor repeated -> the
+    # llama run IS the degrouped computation
+    sd = {}
+    with safe_open(d1 / "model.safetensors", framework="np") as f:
+        for k in f.keys():
+            sd[k] = f.get_tensor(k)
+    import numpy as np
+    rng = np.random.default_rng(20)
+    small = {}
+    for li in range(cfg["num_hidden_layers"]):
+        for p in ("k_proj", "v_proj"):
+            w2 = (rng.standard_normal((2 * dd, h)) * 0.05).astype(
+                np.float32)
+            small[(li, p)] = w2
+            sd[f"model.layers.{li}.self_attn.{p}.weight"] = np.repeat(
+                w2.reshape(2, dd, h), 2, axis=0).reshape(4 * dd, h)
+    save_file(sd, str(d1 / "model.safetensors"))
+    prompt = [5, 40, 9, 77]
+    want = _gen(d1, prompt)
+
+    d2 = tmp_path / "decilm"
+    d2.mkdir()
+    sd2 = dict(sd)
+    for (li, p), w2 in small.items():
+        sd2[f"model.layers.{li}.self_attn.{p}.weight"] = w2
+    save_file(sd2, str(d2 / "model.safetensors"))
+    raw = json.load(open(d1 / "config.json"))
+    raw["architectures"] = ["DeciLMForCausalLM"]
+    raw.pop("num_key_value_heads", None)
+    raw["num_key_value_heads_per_layer"] = [2] * cfg["num_hidden_layers"]
+    json.dump(raw, open(d2 / "config.json", "w"))
+    got = _gen(d2, prompt)
+    assert got == want, (got, want)
+
+
 def test_telechat2_loads_and_maps(tmp_path):
     """TeleChat2 layout: the per-head-interleaved key_value splits into
     the right K/V (checked against the loaded tree), and the model

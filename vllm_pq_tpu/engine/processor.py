@@ -98,6 +98,19 @@ class Processor:
                             raw.get("audio_token_index", 151646),
                             int(ac.get("max_source_positions", 1500)),
                             int(ac.get("num_mel_bins", 128)))
+                elif arch0 == "DeepseekVLV2ForCausalLM":
+                    from vllm_pq_tpu.multimodal.image import ImageProcessor
+                    vc = raw.get("vision_config", {})
+                    pc = raw.get("projector_config", {})
+                    vsize = vc.get("image_size", 384)
+                    psize = vc.get("patch_size", 14)
+                    r = pc.get("downsample_ratio", 2)
+                    side2 = -(-(vsize // psize) // r)
+                    spec = ("deepseek_vl2",
+                            raw.get("image_token_id", 100015), side2,
+                            ImageProcessor.from_pretrained(
+                                self.config.model.model,
+                                default_size=vsize))
                 elif arch0 in ("MiniCPMV", "MiniCPMO"):
                     from vllm_pq_tpu.multimodal.image import ImageProcessor
                     vc = raw.get("vision_config", {})
@@ -306,6 +319,45 @@ class Processor:
                 mm_inputs.append(MMInput(offset=len(out), length=n,
                                          pixel_values=mel))
                 out.extend([audio_tok] * n)
+                prev = spot + 1
+            out.extend(token_ids[prev:])
+            return out, mm_inputs
+        if spec and spec[0] == "deepseek_vl2":
+            # DeepSeek-VL2: global h*(w+1) + separator + tile-grid
+            # local views (reference deepseek_vl2.py:160). Pixels
+            # arrive [1 + tw*th, 3, S, S], GLOBAL first.
+            import numpy as np
+
+            from vllm_pq_tpu.models.deepseek_vl2 import deepseek_vl2_span
+            from vllm_pq_tpu.multimodal import MMInput
+            _, image_tok, side2, improc = spec
+            images = mm_data.get("image")
+            if images is None:
+                raise ValueError("multi_modal_data must contain 'image'")
+            if not isinstance(images, (list, tuple)):
+                images = [images]
+            spots = [i for i, t in enumerate(token_ids)
+                     if t == image_tok]
+            if len(spots) != len(images):
+                raise ValueError("image placeholder count mismatch")
+            out: list = []
+            mm_inputs = []
+            prev = 0
+            for spot, img in zip(spots, images):
+                out.extend(token_ids[prev:spot])
+                if isinstance(img, dict):
+                    px = np.asarray(img["pixel_values"], np.float32)
+                    tw, th = (int(v) for v in img.get(
+                        "spatial_crop", (0, 0)))
+                else:
+                    base = improc(np.asarray(img))
+                    px = base[None].astype(np.float32)
+                    tw = th = 0
+                n_tok = deepseek_vl2_span(side2, tw, th)
+                mm_inputs.append(MMInput(offset=len(out), length=n_tok,
+                                         pixel_values=px,
+                                         grid_thw=(tw, th)))
+                out.extend([image_tok] * n_tok)
                 prev = spot + 1
             out.extend(token_ids[prev:])
             return out, mm_inputs

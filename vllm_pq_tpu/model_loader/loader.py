@@ -1592,9 +1592,11 @@ def load_hf(model, mesh: Mesh, model_dir: str,
     }
     is_pq = isinstance(linear_method, PQLinearMethod)
     pending_aqlm: Dict[tuple, Dict[str, np.ndarray]] = {}
-    is_deepseek = model.__class__.__name__ == "DeepseekV2Model"
+    is_deepseek = model.__class__.__name__ in ("DeepseekV2Model",
+                                               "DeepseekVL2Model")
     is_moe = model.__class__.__name__ in ("MixtralModel", "Qwen2MoeModel",
                                           "DeepseekV2Model",
+                                          "DeepseekVL2Model",
                                           "ArcticModel", "AriaModel")
     is_aria = model.__class__.__name__ == "AriaModel"
     if is_aria:
@@ -1619,6 +1621,14 @@ def load_hf(model, mesh: Mesh, model_dir: str,
             "qformer": {"layers": [dict() for _ in range(
                 model.qformer_cfg.num_hidden_layers)]},
             "projector": {},
+        }
+    is_dsvl2 = model.__class__.__name__ == "DeepseekVL2Model"
+    if is_dsvl2:
+        tree["vision"] = {
+            "tower": {"layers": [dict() for _ in range(
+                model.vision_tower.n_blocks)]},
+            "projector": {"layers": [dict() for _ in range(
+                model.projector_depth)]},
         }
     is_minicpmv = model.__class__.__name__ == "MiniCPMVModel"
     if is_minicpmv:
@@ -1928,6 +1938,74 @@ def load_hf(model, mesh: Mesh, model_dir: str,
                 continue
             if name.startswith("language_model."):
                 name = name[len("language_model."):]
+                if not name.startswith(("model.", "lm_head.")):
+                    name = "model." + name
+        if is_dsvl2:
+            # DeepSeek-VL2 (models/deepseek_vl2.py): timm-SigLIP names
+            # under vision., MlpProjector under projector., newline/
+            # separator tokens, DeepSeek-V2 text under language.
+            T = tree["vision"]["tower"]
+            if name == "image_newline":
+                tree["vision"]["image_newline"] = {"weight": tensor}
+                continue
+            if name == "view_seperator":
+                tree["vision"]["view_seperator"] = {"weight": tensor}
+                continue
+            if name.startswith("projector.layers."):
+                parts_d = name.split(".")
+                li_p = int(parts_d[2]) // 2  # Sequential indices 0,2,4
+                tree["vision"]["projector"]["layers"][li_p][
+                    parts_d[-1]] = (tensor.T if parts_d[-1] == "weight"
+                                    else tensor)
+                continue
+            if name.startswith("vision."):
+                rest_v = name[len("vision."):]
+                if rest_v == "patch_embed.proj.weight":
+                    hh = tensor.shape[0]
+                    T["patch_embedding"] = dict(
+                        T.get("patch_embedding", {}),
+                        weight=tensor.transpose(2, 3, 1, 0)
+                        .reshape(-1, hh))
+                elif rest_v == "patch_embed.proj.bias":
+                    T.setdefault("patch_embedding", {})["bias"] = tensor
+                elif rest_v == "pos_embed":
+                    T["position_embedding"] = {"weight": tensor[0]}
+                elif rest_v.startswith("norm."):
+                    T.setdefault("post_layernorm", {})[
+                        rest_v.split(".")[-1]] = tensor
+                elif rest_v.startswith("blocks."):
+                    parts_v = rest_v.split(".")
+                    L = T["layers"][int(parts_v[1])]
+                    sub = ".".join(parts_v[2:-1])
+                    leaf = parts_v[-1]
+                    if sub == "attn.qkv":
+                        dh = tensor.shape[0] // 3
+                        for i, n2 in enumerate(("q_proj", "k_proj",
+                                                "v_proj")):
+                            piece = tensor[i * dh:(i + 1) * dh]
+                            L.setdefault(n2, {})[leaf] = (
+                                piece.T if leaf == "weight" else piece)
+                    else:
+                        m = {"attn.proj": "out_proj",
+                             "norm1": "layer_norm1",
+                             "norm2": "layer_norm2",
+                             "mlp.fc1": "fc1", "mlp.fc2": "fc2"}
+                        ours = m.get(sub)
+                        if ours is None:
+                            logger.warning("unmapped deepseek-vl2 "
+                                           "vision weight %s", name)
+                            continue
+                        L.setdefault(ours, {})[leaf] = (
+                            tensor.T if leaf == "weight"
+                            and "norm" not in ours else tensor)
+                elif rest_v.startswith("attn_pool."):
+                    pass  # timm map-pool head: unused (features tap)
+                else:
+                    logger.warning("unmapped deepseek-vl2 vision "
+                                   "weight %s", name)
+                continue
+            if name.startswith("language."):
+                name = name[len("language."):]
                 if not name.startswith(("model.", "lm_head.")):
                     name = "model." + name
         if is_minicpmv:
@@ -2298,6 +2376,20 @@ def load_hf(model, mesh: Mesh, model_dir: str,
                         "self_attn.q_layernorm": "self_attn.q_norm",
                         "self_attn.k_layernorm": "self_attn.k_norm",
                         }.get(rest, rest)
+            if fam == "decilm" and rest in ("self_attn.k_proj",
+                                            "self_attn.v_proj") \
+                    and leaf == "weight":
+                # DeciLM variable GQA: normalize every layer's k/v to
+                # the max kv-head count by repeating head blocks
+                # (reference models/decilm.py::_degroup_weight — the
+                # reference runs uniform GQA the same way)
+                d = cfg.head_dim
+                src_kvh = tensor.shape[0] // d
+                reps = cfg.num_key_value_heads // src_kvh
+                if reps > 1:
+                    tensor = np.repeat(
+                        tensor.reshape(src_kvh, d, -1), reps,
+                        axis=0).reshape(cfg.num_key_value_heads * d, -1)
             if fam == "aria":
                 # Aria MoE names (reference models/aria.py): router +
                 # fused grouped-expert stacks fc1 [E,h,2I] (projection|

@@ -295,7 +295,7 @@ class DeepseekV2Model:
     def __call__(self, params, input_ids, positions, kv_caches, attn_md,
                  rope_cache, *, tp_axis: Optional[str] = TP_AXIS,
                  lora: Optional[Dict] = None, decode_mode: bool = False,
-                 decode_pages: Optional[int] = None):
+                 decode_pages: Optional[int] = None, mm=None):
         cfg = self.cfg
         tp = jax.lax.psum(1, tp_axis) if tp_axis else 1
         hq = cfg.num_attention_heads // tp
@@ -313,6 +313,10 @@ class DeepseekV2Model:
         x = self._embed(params["embed_tokens"], input_ids, tp_axis)
         if cfg.embed_scale is not None:
             x = x * jnp.asarray(cfg.embed_scale, x.dtype)
+        if mm is not None:  # multimodal splice (DeepseekVL2)
+            mm_mask, mm_embeds = mm
+            x = jnp.where(mm_mask[:, None] != 0,
+                          mm_embeds.astype(x.dtype), x)
         t = x.shape[0]
         new_caches = []
         for li in range(cfg.num_hidden_layers):

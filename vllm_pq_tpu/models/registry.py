@@ -1913,6 +1913,65 @@ def _build_qwen2_moe(hf_config, config: EngineConfig, linear_method):
     return Qwen2MoeModel(mc, linear_method, expert_parallel=ep)
 
 
+@register_model("DeepseekVLV2ForCausalLM")
+def _build_deepseek_vl2(hf_config, config: EngineConfig, linear_method):
+    # DeepSeek-VL2 (reference models/deepseek_vl2.py): timm-SigLIP
+    # tower + downsample_mlp_gelu projector + newline/separator tokens
+    # on the DeepSeek-V2 MLA decoder
+    from types import SimpleNamespace
+
+    from vllm_pq_tpu.models.deepseek import DeepseekConfig
+    from vllm_pq_tpu.models.deepseek_vl2 import DeepseekVL2Model
+    from vllm_pq_tpu.multimodal.siglip import SiglipVisionConfig
+
+    def ns(v):
+        return SimpleNamespace(**v) if isinstance(v, dict) else v
+    lc = ns(getattr(hf_config, "language_config", None)
+            or getattr(hf_config, "text_config", None))
+    vc = ns(getattr(hf_config, "vision_config", None))
+    pc = ns(getattr(hf_config, "projector_config", None))
+    dc = (DeepseekConfig.from_hf_config(lc) if lc is not None
+          else DeepseekConfig())
+    dc.dtype = config.model.jax_dtype
+    import vllm_pq_tpu.envs as envs
+    dc.mla_latent = not envs.VPQ_MLA_DISABLE
+    vcfg = SiglipVisionConfig(
+        hidden_size=getattr(vc, "width", None)
+        or getattr(vc, "hidden_size", 1152),
+        intermediate_size=getattr(vc, "intermediate_size", None)
+        or 4 * (getattr(vc, "width", None) or 1152),
+        num_hidden_layers=getattr(vc, "layers", None)
+        or getattr(vc, "num_hidden_layers", 27),
+        num_attention_heads=getattr(vc, "heads", None)
+        or getattr(vc, "num_attention_heads", 16),
+        image_size=getattr(vc, "image_size", 384),
+        patch_size=getattr(vc, "patch_size", 14)) \
+        if vc is not None else SiglipVisionConfig()
+    return DeepseekVL2Model(
+        dc, vcfg,
+        image_token_index=getattr(hf_config, "image_token_id", 100015),
+        downsample_ratio=getattr(pc, "downsample_ratio", 2)
+        if pc is not None else 2,
+        projector_depth=getattr(pc, "depth", 2) if pc is not None else 2,
+        mlp_ratio=getattr(pc, "mlp_ratio", 1) if pc is not None else 1,
+        global_view_pos=getattr(hf_config, "global_view_pos", "head"))
+
+
+@register_model("DeciLMForCausalLM")
+def _build_decilm(hf_config, config: EngineConfig, linear_method):
+    # DeciLM variable GQA (reference models/decilm.py): normalized to
+    # uniform max-kv-head GQA at load exactly like the reference
+    # (repeat_interleaved k/v head blocks)
+    from vllm_pq_tpu.models.llama import LlamaConfig, LlamaModel
+    mc = LlamaConfig.from_hf_config(hf_config)
+    per_layer = getattr(hf_config, "num_key_value_heads_per_layer", None)
+    if per_layer:
+        mc.num_key_value_heads = max(per_layer)
+    mc.hf_family = "decilm"
+    mc.dtype = config.model.jax_dtype
+    return LlamaModel(mc, linear_method)
+
+
 @register_model("MiniCPMV", "MiniCPMO")
 def _build_minicpmv(hf_config, config: EngineConfig, linear_method):
     # MiniCPM-V (reference models/minicpmv.py): SigLIP tower +
