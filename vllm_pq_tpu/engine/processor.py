@@ -98,6 +98,16 @@ class Processor:
                             raw.get("audio_token_index", 151646),
                             int(ac.get("max_source_positions", 1500)),
                             int(ac.get("num_mel_bins", 128)))
+                elif arch0 == "GLM4VForCausalLM":
+                    from vllm_pq_tpu.multimodal.image import ImageProcessor
+                    vc = raw.get("vision_config", {})
+                    vsize = vc.get("image_size", 1120)
+                    side = vsize // vc.get("patch_size", 14)
+                    spec = (raw.get("boi_token_id", 151339),
+                            (side // 2) ** 2 + 2,
+                            ImageProcessor.from_pretrained(
+                                self.config.model.model,
+                                default_size=vsize))
                 elif arch0 == "DeepseekVLV2ForCausalLM":
                     from vllm_pq_tpu.multimodal.image import ImageProcessor
                     vc = raw.get("vision_config", {})

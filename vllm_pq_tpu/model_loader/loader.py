@@ -1622,6 +1622,13 @@ def load_hf(model, mesh: Mesh, model_dir: str,
                 model.qformer_cfg.num_hidden_layers)]},
             "projector": {},
         }
+    is_glm4v = model.__class__.__name__ == "GLM4VModel"
+    if is_glm4v:
+        tree["vision"] = {
+            "tower": {"layers": [dict() for _ in range(
+                model.vision_cfg["num_hidden_layers"])]},
+            "projector": {},
+        }
     is_dsvl2 = model.__class__.__name__ == "DeepseekVL2Model"
     if is_dsvl2:
         tree["vision"] = {
@@ -1781,6 +1788,60 @@ def load_hf(model, mesh: Mesh, model_dir: str,
                 continue
             _load_mistral_native_weight(tree, cfg, shapes, linear_method,
                                         name, tensor)
+            continue
+        if is_glm4v and name.startswith("transformer.vision."):
+            # GLM-4V EVA2-CLIP tower + GLU projector (models/glm4v.py)
+            rest_g = name[len("transformer.vision."):]
+            V = tree["vision"]
+            T = V["tower"]
+            if rest_g == "patch_embedding.proj.weight":
+                hh = tensor.shape[0]
+                T["patch_embedding"] = dict(
+                    T.get("patch_embedding", {}),
+                    weight=tensor.transpose(2, 3, 1, 0).reshape(-1, hh))
+            elif rest_g == "patch_embedding.proj.bias":
+                T.setdefault("patch_embedding", {})["bias"] = tensor
+            elif rest_g == "patch_embedding.cls_embedding":
+                T["cls_embedding"] = {"weight": tensor.reshape(-1)}
+            elif rest_g == "patch_embedding.position_embedding.weight":
+                T["position_embedding"] = {"weight": tensor}
+            elif rest_g in ("boi", "eoi"):
+                V[rest_g] = {"weight": tensor.reshape(-1)}
+            elif rest_g == "conv.weight":
+                # conv2d [out, in, 2, 2] -> matmul over (C, kh, kw)
+                o2 = tensor.shape[0]
+                V["conv"] = dict(V.get("conv", {}),
+                                 weight=tensor.transpose(1, 2, 3, 0)
+                                 .reshape(-1, o2))
+            elif rest_g == "conv.bias":
+                V.setdefault("conv", {})["bias"] = tensor
+            elif rest_g.startswith("linear_proj."):
+                parts_g = rest_g.split(".")
+                sub, leaf = parts_g[1], parts_g[-1]
+                d2 = V["projector"].setdefault(sub, {})
+                d2[leaf] = (tensor.T if leaf == "weight"
+                            and "norm" not in sub else tensor)
+            elif rest_g.startswith("transformer.layers."):
+                parts_g = rest_g.split(".")
+                L = T["layers"][int(parts_g[2])]
+                sub = ".".join(parts_g[3:-1])
+                leaf = parts_g[-1]
+                m = {"attention.query_key_value": "query_key_value",
+                     "attention.dense": "dense",
+                     "mlp.fc1": "fc1", "mlp.fc2": "fc2",
+                     "input_layernorm": "input_layernorm",
+                     "post_attention_layernorm":
+                         "post_attention_layernorm"}
+                ours = m.get(sub)
+                if ours is None:
+                    logger.warning("unmapped glm4v vision weight %s",
+                                   name)
+                    continue
+                L.setdefault(ours, {})[leaf] = (
+                    tensor.T if leaf == "weight"
+                    and "norm" not in ours else tensor)
+            else:
+                logger.warning("unmapped glm4v vision weight %s", name)
             continue
         if fam in fam_loaders and not is_internvl:
             # (internvl routes only its language_model.* names through

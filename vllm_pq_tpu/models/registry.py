@@ -1913,6 +1913,55 @@ def _build_qwen2_moe(hf_config, config: EngineConfig, linear_method):
     return Qwen2MoeModel(mc, linear_method, expert_parallel=ep)
 
 
+@register_model("GLM4VForCausalLM")
+def _build_glm4v(hf_config, config: EngineConfig, linear_method):
+    # GLM-4V (reference models/glm4v.py): EVA2-CLIP tower + 2x2 conv
+    # downsample + GLU projector + boi/eoi tokens on the ChatGLM decoder
+    from vllm_pq_tpu.models.glm4v import GLM4VModel
+    from vllm_pq_tpu.models.llama import LlamaConfig
+    h = hf_config
+
+    def g(k, d=None):
+        return getattr(h, k, d)
+    heads = g("num_attention_heads", 32)
+    mc = LlamaConfig(
+        vocab_size=g("padded_vocab_size", g("vocab_size", 151552)),
+        hidden_size=g("hidden_size", 4096),
+        intermediate_size=g("ffn_hidden_size", 13696),
+        num_hidden_layers=g("num_layers", 40),
+        num_attention_heads=heads,
+        num_key_value_heads=(g("multi_query_group_num", 2)
+                             if g("multi_query_attention", False)
+                             else heads),
+        head_dim=g("kv_channels", None),
+        rms_norm_eps=g("layernorm_epsilon", 1e-5),
+        rope_theta=10000.0 * g("rope_ratio", 1.0),
+        max_position_embeddings=g("seq_length", 8192),
+        tie_word_embeddings=bool(g("tie_word_embeddings", False)),
+        attention_bias=bool(g("add_qkv_bias", True)
+                            or g("add_bias_linear", False)),
+    )
+    mc.o_proj_bias = bool(g("add_bias_linear", False))
+    mc.mlp_bias = bool(g("add_bias_linear", False))
+    mc.partial_rotary_factor = 0.5  # chatglm half-rope
+    mc.rope_style = "gptj"
+    mc.hf_family = "chatglm"
+    mc.dtype = config.model.jax_dtype
+    vc = g("vision_config") or {}
+    vcfg = {"hidden_size": vc.get("hidden_size", 1792),
+            "intermediate_size": vc.get("intermediate_size", 15360),
+            "num_hidden_layers": vc.get("num_hidden_layers", 63),
+            "num_attention_heads": vc.get("num_heads", 16),
+            "image_size": vc.get("image_size", 1120),
+            "patch_size": vc.get("patch_size", 14),
+            "in_channels": vc.get("in_channels", 3),
+            "hidden_act": vc.get("hidden_act", "gelu")}
+    return GLM4VModel(
+        mc, vcfg, linear_method,
+        image_token_index=g("boi_token_id", 151339),
+        scaling_factor=vc.get("scaling_factor", 8.0))
+
+
 @register_model("DeepseekVLV2ForCausalLM")
 def _build_deepseek_vl2(hf_config, config: EngineConfig, linear_method):
     # DeepSeek-VL2 (reference models/deepseek_vl2.py): timm-SigLIP
