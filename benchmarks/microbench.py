@@ -620,6 +620,130 @@ def bench_tstep(batch: int, ctx: int = 256, iters_in_graph: int = 4):
         tok = jnp.argmax(logits, axis=1).astype(jnp.int32)
         return tok, pos + 1, ringK, ringV
 
+    # ------- row-major, layout-island-free body (nc = no-concat rope,
+    # 3D qkv dots, direct 4D o-proj contraction). Hypothesis: the 6.8k
+    # copies come from (a) the rope concat (XLA avoids minor-dim concats
+    # by laying the fusion out batch-minor, then pays transposes in and
+    # out) and (b) the [s,g,r,64]<->[s,2048] reshapes (retiling: a 64-
+    # lane minor dim pads to 128). Fixes: rotate_half as a constant
+    # [d,d] signed-permutation MATMUL (no concat; MXU is idle during
+    # bandwidth-bound decode so the extra 67 MFLOP rides free), qkv dots
+    # emitting [s, H, d] DIRECTLY (the dot writes the padded tile
+    # natively instead of a copy retiling it), and the o projection
+    # contracting (g, r, d) in one dot_general (no 2D reshape).
+    h2 = d // 2
+    P_rot = np.zeros((d, d), np.float32)
+    for j in range(h2):
+        P_rot[h2 + j, j] = -1.0
+        P_rot[j, h2 + j] = 1.0
+    P_rot_bf = jnp.asarray(P_rot, jnp.bfloat16)
+    layers_nc = []
+    for L in layers:
+        Lq = dict(L)
+        # 3D weight views: [h, Hq, d] / [Hq, d] scales; o as [g, r, d, h]
+        Lq["q3"] = (L["q"][0].reshape(h, HQ, d), L["q"][1].reshape(HQ, d))
+        Lq["k3"] = (L["k"][0].reshape(h, g, d), L["k"][1].reshape(g, d))
+        Lq["v3"] = (L["v"][0].reshape(h, g, d), L["v"][1].reshape(g, d))
+        Lq["o4"] = (L["o"][0].reshape(g, r, d, h), L["o"][1])
+        layers_nc.append(Lq)
+
+    def step_nc(e, tok, pos, ringK, ringV, j):
+        x = e["embed"][tok]                               # [s, h]
+        cs = e["rope"][pos]                               # [s, d]
+        cos = jnp.concatenate([cs[:, :d // 2], cs[:, :d // 2]], 1)
+        sin = jnp.concatenate([cs[:, d // 2:], cs[:, d // 2:]], 1)
+
+        def lin3(L, wname, xin):
+            w, sc = L[wname]                              # [h, H, d]
+            xq, sx = quant_rows(xin, 1)
+            acc = jax.lax.dot_general(
+                xq, w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)         # [s, H, d]
+            return (acc.astype(jnp.float32) * sx[..., None]
+                    * sc[None]).astype(jnp.bfloat16)
+
+        def lin(L, wname, xin):
+            w, sc = L[wname]
+            xq, sx = quant_rows(xin, 1)
+            acc = jax.lax.dot_general(
+                xq, w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            return (acc.astype(jnp.float32) * sx
+                    * sc[None, :]).astype(jnp.bfloat16)
+
+        def rms(xin, wn):
+            x32 = xin.astype(jnp.float32)
+            nx = x32 * jax.lax.rsqrt(
+                jnp.mean(x32 * x32, -1, keepdims=True) + 1e-5)
+            return (nx * wn).astype(jnp.bfloat16)
+
+        def rope_nc(u):                                   # [s, H, d] bf16
+            rot = jnp.einsum("shd,de->she", u, P_rot_bf,
+                             preferred_element_type=jnp.float32)
+            return (u.astype(jnp.float32) * cos[:, None, :]
+                    + rot * sin[:, None, :])
+
+        for li, L in enumerate(e["layers_nc"]):
+            hn = rms(x, L["ln1"])
+            q = lin3(L, "q3", hn)                         # [s, HQ, d]
+            k = lin3(L, "k3", hn)                         # [s, g, d]
+            v = lin3(L, "v3", hn)
+            q = rope_nc(q)
+            k = rope_nc(k).astype(jnp.bfloat16)
+            rK = jax.lax.dynamic_update_slice(
+                ringK[li], k[None], (j, 0, 0, 0))
+            rV = jax.lax.dynamic_update_slice(
+                ringV[li], v[None], (j, 0, 0, 0))
+            qh = (q * sm).astype(jnp.bfloat16).reshape(s, g, r, d)
+            sc_a = jnp.einsum("sgrd,sgld->sgrl", qh.astype(jnp.float32),
+                              e["aK"].astype(jnp.float32),
+                              preferred_element_type=jnp.float32)
+            sc_a = sc_a * e["aKs"][:, :, None, :]
+            sc_r = jnp.einsum("sgrd,nsgd->sgrn", qh, rK,
+                              preferred_element_type=jnp.float32)
+            apos = jnp.arange(ctx, dtype=jnp.int32)[None, :]
+            valid_a = apos < e["base_lens"][:, None]
+            valid_r = (jnp.arange(n_ring, dtype=jnp.int32)[None, :]
+                       <= j)
+            sc_a = jnp.where(valid_a[:, None, None, :], sc_a, -1e30)
+            sc_r = jnp.where(valid_r[:, None, None, :], sc_r, -1e30)
+            gmax = jnp.maximum(sc_a.max(-1), sc_r.max(-1))[..., None]
+            ea = jnp.exp(sc_a - gmax)
+            er = jnp.exp(sc_r - gmax)
+            den = (ea.sum(-1) + er.sum(-1))[..., None]
+            pa = (ea / den) * e["aVs"][:, :, None, :]
+            pr = er / den
+            out = jnp.einsum("sgrl,sgld->sgrd", pa.astype(jnp.bfloat16),
+                             e["aV"].astype(jnp.bfloat16),
+                             preferred_element_type=jnp.float32)
+            out = out + jnp.einsum("sgrn,nsgd->sgrd",
+                                   pr.astype(jnp.bfloat16), rV,
+                                   preferred_element_type=jnp.float32)
+            # o projection straight off [s, g, r, d]: quantize over the
+            # flattened contraction dims without materializing 2D
+            ob = out.astype(jnp.bfloat16)
+            w4, sc4 = L["o4"]
+            ax = jnp.max(jnp.abs(ob), axis=(1, 2, 3),
+                         keepdims=True) / 127.0 + 1e-8
+            oq = jnp.round(ob / ax).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                oq, w4, (((1, 2, 3), (0, 1, 2)), ((), ())),
+                preferred_element_type=jnp.int32)          # [s, h]
+            o = (acc.astype(jnp.float32) * ax[:, :, 0, 0]
+                 * sc4[None, :]).astype(jnp.bfloat16)
+            x = x + o
+            hn = rms(x, L["ln2"])
+            act = (jax.nn.silu(lin(L, "gate", hn).astype(jnp.float32))
+                   * lin(L, "up", hn).astype(jnp.float32)).astype(
+                       jnp.bfloat16)
+            x = x + lin(L, "down", act)
+            ringK = [rK if i == li else ringK[i] for i in range(LAYERS)]
+            ringV = [rV if i == li else ringV[i] for i in range(LAYERS)]
+        xn = rms(x, e["fnorm"])
+        logits = jnp.dot(xn, e["lm"], preferred_element_type=jnp.float32)
+        tok = jnp.argmax(logits, axis=1).astype(jnp.int32)
+        return tok, pos + 1, ringK, ringV
+
     # ---------------- transposed body (batch-minor end-to-end) -------
     embedT = embed.T                                      # [h, vocab]
     ropeT = rope.T                                        # [d, pos]
@@ -709,7 +833,8 @@ def bench_tstep(batch: int, ctx: int = 256, iters_in_graph: int = 4):
     # Weights/arenas must be jit ARGUMENTS: as closure constants they
     # serialize into the HLO shipped to the remote compile service
     # (hundreds of MB -> broken pipe on the tunnel).
-    env = {"layers": layers, "embed": embed, "lm": lm, "fnorm": fnorm,
+    env = {"layers": layers, "layers_nc": layers_nc, "embed": embed,
+           "lm": lm, "fnorm": fnorm,
            "aK": aK, "aV": aV, "aKs": aKs, "aVs": aVs,
            "aKT": aKT, "aVT": aVT, "aKsT": aKsT, "aVsT": aVsT,
            "rope": rope, "ropeT": ropeT, "embedT": embedT,
@@ -730,6 +855,7 @@ def bench_tstep(batch: int, ctx: int = 256, iters_in_graph: int = 4):
 
     run_row = mk_chain(step_row, (n_ring, s, g, d))
     run_t = mk_chain(step_t, (n_ring, g, d, s))
+    run_nc = mk_chain(step_nc, (n_ring, s, g, d))
 
     # equivalence check (same math transposed): tiny tolerance on token
     # ids after a couple iterations would need exact argmax ties; check
@@ -737,6 +863,8 @@ def bench_tstep(batch: int, ctx: int = 256, iters_in_graph: int = 4):
     res = {}
     t_row = _timeit(run_row, env, tok0, pos0, iters=8)
     res["row_ms_per_iter"] = round(t_row * 1e3 / iters_in_graph, 3)
+    t_nc = _timeit(run_nc, env, tok0, pos0, iters=8)
+    res["nc_ms_per_iter"] = round(t_nc * 1e3 / iters_in_graph, 3)
     t_t = _timeit(run_t, env, tok0, pos0, iters=8)
     res["transposed_ms_per_iter"] = round(t_t * 1e3 / iters_in_graph, 3)
     res.update(batch=batch, ctx=ctx, n=iters_in_graph)

@@ -161,6 +161,42 @@ def build_rope_cache(max_len: int, head_dim: int, base: float = 10000.0,
     return jnp.asarray(cache, dtype=dtype)
 
 
+_ROT_P = {}
+
+
+def _rot_perm(d: int, style: str, dtype) -> jax.Array:
+    """Constant [d, d] signed-permutation matrix computing rotate_half
+    as ONE dot: out = x @ P.
+
+    Why a matmul and not slice+concat: XLA avoids minor-dim concats by
+    laying the whole rope fusion out batch-minor, then pays [T, H*D]
+    transposed copies into AND out of it every layer — the dominant
+    term of the 6.8k-copy / 5.8 GiB-per-window layout tax
+    (BENCHMARKS.md round-5 tstep A/B: concat-free body 3.62 vs 3.93
+    ms/iter). The permutation dot is exact (products are ±x or ±0.0,
+    f32 accumulate) and rides the MXU, which sits idle during
+    bandwidth-bound decode."""
+    key = (d, style)
+    m = _ROT_P.get(key)
+    if m is None:
+        rd, full = d if isinstance(d, tuple) else (d, d)
+        m = np.zeros((full, full), np.float32)
+        h = rd // 2
+        if style == "gptj":
+            # rotate_every_two: out[2i] = -x[2i+1]; out[2i+1] = x[2i]
+            ev = np.arange(0, rd, 2)
+            m[ev + 1, ev] = -1.0
+            m[ev, ev + 1] = 1.0
+        else:
+            # neox halves: out[:h] = -x[h:]; out[h:] = x[:h]
+            r = np.arange(h)
+            m[h + r, r] = -1.0
+            m[r, h + r] = 1.0
+        _ROT_P[key] = m  # cache NUMPY: a jnp constant created inside a
+        # trace would leak that trace's tracer into later programs
+    return jnp.asarray(m, dtype)
+
+
 def apply_rope(q: jax.Array, k: jax.Array, positions: jax.Array,
                rope_cache: jax.Array, style: str = "neox"):
     """q [T, Hq, D], k [T, Hk, D], positions [T] -> rotated (q, k).
@@ -168,27 +204,32 @@ def apply_rope(q: jax.Array, k: jax.Array, positions: jax.Array,
     ``style``: "neox" rotates [first half | second half] (HF llama);
     "gptj" rotates interleaved even/odd lane pairs (GPT-J
     rotate_every_two; reference rotary_embedding.py ``is_neox_style``
-    False)."""
+    False). rotate_half is a signed-permutation DOT (see _rot_perm),
+    so the full rotation is x*cos_full + (x@P)*sin_full with no
+    concatenate in the per-layer graph. Partial rotary (rope_cache
+    narrower than head_dim) folds in for free: pass-through dims get
+    cos=1 / sin=0 and zero P columns."""
     d = q.shape[-1]
-    cs = rope_cache[positions]            # [T, D]
-    cos = cs[:, :d // 2][:, None, :]      # [T, 1, D/2]
-    sin = cs[:, d // 2:][:, None, :]
-
+    rd = rope_cache.shape[-1]             # rotary dims (<= d)
+    cs = rope_cache[positions]            # [T, rd]
+    c2, s2 = cs[:, :rd // 2], cs[:, rd // 2:]
     if style == "gptj":
-        def rot(x):
-            x1 = x[..., 0::2]
-            x2 = x[..., 1::2]
-            o1 = x1 * cos - x2 * sin
-            o2 = x2 * cos + x1 * sin
-            return jnp.stack([o1, o2], axis=-1).reshape(
-                x.shape).astype(x.dtype)
-        return rot(q), rot(k)
+        # interleave: lane 2i and 2i+1 share frequency i
+        cos = jnp.stack([c2, c2], -1).reshape(cs.shape[0], rd)
+        sin = jnp.stack([s2, s2], -1).reshape(cs.shape[0], rd)
+    else:
+        cos = jnp.concatenate([c2, c2], -1)
+        sin = jnp.concatenate([s2, s2], -1)
+    if rd < d:
+        cos = jnp.pad(cos, ((0, 0), (0, d - rd)), constant_values=1.0)
+        sin = jnp.pad(sin, ((0, 0), (0, d - rd)), constant_values=0.0)
+    cos = cos[:, None, :]
+    sin = sin[:, None, :]
+    P = _rot_perm((rd, d) if rd < d else d, style, q.dtype)
 
     def rot(x):
-        x1 = x[..., :d // 2]
-        x2 = x[..., d // 2:]
-        o1 = x1 * cos - x2 * sin
-        o2 = x2 * cos + x1 * sin
-        return jnp.concatenate([o1, o2], axis=-1).astype(x.dtype)
+        xr = jnp.einsum("thd,de->the", x, P.astype(x.dtype),
+                        preferred_element_type=jnp.float32)
+        return (x * cos + xr * sin).astype(x.dtype)
 
     return rot(q), rot(k)

@@ -587,22 +587,22 @@ class LlamaModel:
             q, k = apply_mrope(q, k, pos3, rope_cache, mrope)
         elif cfg.rope_layers is not None and not cfg.rope_layers[li]:
             pass  # SmolLM3-style NoPE layer: positions unencoded
-        elif cfg.partial_rotary_factor < 1.0:
-            rd = rope_cache.shape[-1]
-            qr, kr = apply_rope(q[..., :rd], k[..., :rd], positions,
-                                rope_cache, cfg.rope_style)
-            q = jnp.concatenate([qr, q[..., rd:]], axis=-1)
-            k = jnp.concatenate([kr, k[..., rd:]], axis=-1)
         else:
+            # partial rotary folds into apply_rope (pass-through dims
+            # see cos=1/sin=0): no per-layer slice + concat
             q, k = apply_rope(q, k, positions, rope_cache, cfg.rope_style)
 
-        cache = write_kv_cache(kv_cache, k, v, attn_md["slot_mapping"])
+        spec_win = attn_md.get("spec_window")
+        cache = write_kv_cache(
+            kv_cache, k, v, attn_md["slot_mapping"],
+            q_per_row=(spec_win["q_pos"].shape[1] if spec_win else 1))
         attn = ragged_paged_attention(
             q, cache, attn_md["kv_lens"], attn_md["page_indices"],
             attn_md["cu_q_lens"], attn_md["num_seqs"],
             sm_scale=sm_scale, sliding_window=self.layer_window(li),
             soft_cap=cfg.attn_logit_softcap, decode_mode=decode_mode,
-            decode_pages=decode_pages, alibi_slopes=alibi)
+            decode_pages=decode_pages, alibi_slopes=alibi,
+            spec_md=attn_md.get("spec_window"))
         attn = attn.reshape(t, heads * d)
         o = self._lin(lp, "o_proj", attn, lora_layer, lora_md)
         if tp_axis:
