@@ -310,9 +310,24 @@ class EngineConfig:
         self.compilation.derive(self.scheduler)
         if (self.speculative.enabled
                 and self.scheduler.num_scheduler_steps > 1):
-            logger.warning("speculative decoding and multi-step decoding "
-                           "are mutually exclusive; disabling multi-step")
-            self.scheduler.num_scheduler_steps = 1
+            if self.speculative.method in ("medusa", "mlp_speculator"):
+                # in-graph proposers compose with decode windows: the
+                # window body drafts, verifies, and advances 1..k+1
+                # positions per iteration (worker/runner.py spec_loop).
+                # The window's emitted count is data-dependent, so the
+                # host cannot pack the NEXT window without the previous
+                # result — lag-1 async does not compose here.
+                if self.scheduler.async_scheduling:
+                    logger.warning(
+                        "speculative multi-step windows are exclusive "
+                        "with async scheduling; disabling async")
+                    self.scheduler.async_scheduling = False
+            else:
+                logger.warning(
+                    "host-proposer speculative decoding and multi-step "
+                    "decoding are mutually exclusive; disabling "
+                    "multi-step")
+                self.scheduler.num_scheduler_steps = 1
         if (self.scheduler.async_scheduling and self.speculative.enabled
                 and self.speculative.method not in ("medusa",
                                                     "mlp_speculator")):

@@ -91,6 +91,10 @@ class Scheduler:
         # proposals (engine/core.py sets this for async scheduling with
         # medusa / mlp_speculator)
         self.device_spec_k = 0
+        # spec x multi-step windows (in-graph proposers): drafts are
+        # proposed AND verified inside the window program; the host
+        # grants n*(k+1) slots and advances by the actual emitted count
+        self.window_spec_k = 0
 
         # stats
         self.num_preemptions = 0
@@ -425,6 +429,10 @@ class Scheduler:
         n = self.config.num_scheduler_steps
         if n <= 1 or self.waiting or not self.running:
             return None
+        # speculative windows (in-graph proposers composed with
+        # multi-step, runner spec_loop): every iteration may emit up to
+        # k+1 tokens, so KV slots are granted for the worst case
+        n_alloc = n * (1 + self.window_spec_k)
         # the device executes the window one iteration at a time, so the
         # per-dispatch width is len(running) tokens — N does not inflate
         # the compiled batch (the N x S accounting is host-side only)
@@ -441,7 +449,7 @@ class Scheduler:
                     or sp.presence_penalty != 0
                     or sp.frequency_penalty != 0
                     or sp.repetition_penalty != 1.0
-                    or r.num_tokens + n > self.max_model_len
+                    or r.num_tokens + n_alloc > self.max_model_len
                     # a request that would finish early in the window
                     # wastes most of it (and a near-empty batch would
                     # compile a whole window variant for a handful of
@@ -452,14 +460,16 @@ class Scheduler:
 
         output = SchedulerOutput()
         output.num_scheduler_steps = n
+        output.spec_window_k = self.window_spec_k
         for request in list(self.running):
-            new_blocks = self.kv_cache_manager.allocate_slots(request, n)
+            new_blocks = self.kv_cache_manager.allocate_slots(request,
+                                                              n_alloc)
             if new_blocks is None:
                 # pool pressure: fall back to the regular path (which can
                 # preempt); blocks allocated so far are consistent state
                 return None
-            output.num_scheduled_tokens[request.request_id] = n
-            output.total_num_scheduled_tokens += n
+            output.num_scheduled_tokens[request.request_id] = n_alloc
+            output.total_num_scheduled_tokens += n_alloc
             output.scheduled_cached_reqs.append(
                 CachedRequestData(
                     req_id=request.request_id,
@@ -531,7 +541,21 @@ class Scheduler:
                 continue
             num_draft = len(scheduler_output.scheduled_spec_decode_tokens
                             .get(req_id, ()))
-            if num_draft:
+            if scheduler_output.num_scheduler_steps > 1:
+                # windows advance by what the device actually emitted
+                # (== num_scheduled for plain windows; 1..k+1 per
+                # iteration for speculative windows)
+                num_generated = len(
+                    runner_output.sampled_token_ids.get(req_id, ()))
+                request.num_computed_tokens += num_generated
+                if scheduler_output.spec_window_k:
+                    self.spec_stats_proposed += (
+                        scheduler_output.num_scheduler_steps
+                        * scheduler_output.spec_window_k)
+                    self.spec_stats_accepted += (
+                        num_generated
+                        - scheduler_output.num_scheduler_steps)
+            elif num_draft:
                 # rejected drafts were computed but their KV is invalid:
                 # roll num_computed back by (num_draft + 1 - num_generated)
                 # (reference v1/core/scheduler.py:517-523)

@@ -64,6 +64,11 @@ class SchedulerOutput:
     # that was granted this many tokens, to be generated in one device
     # dispatch (the runner runs a lax.scan of this length).
     num_scheduler_steps: int = 1
+    # Speculative multi-step window: each of the num_scheduler_steps
+    # iterations verifies this many in-graph drafts + 1 token, so a
+    # request may generate 1..(k+1) tokens per iteration; the scheduler
+    # advances num_computed by the ACTUAL emitted count.
+    spec_window_k: int = 0
     # prefix-cache stats for metrics
     num_cached_tokens: int = 0
     # multimodal: req_id -> encoder-input indices to run this step;

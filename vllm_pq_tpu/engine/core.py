@@ -147,6 +147,16 @@ class EngineCore:
                                                   "mlp_speculator")):
             self.scheduler.device_spec_k = \
                 config.speculative.num_spec_tokens
+        # spec x multi-step windows: in-graph proposers draft and
+        # verify INSIDE the decode window (runner spec_loop); the
+        # scheduler over-allocates n*(k+1) KV slots and advances by
+        # the actual emitted count
+        if (config.scheduler.num_scheduler_steps > 1
+                and config.speculative.enabled
+                and config.speculative.method in ("medusa",
+                                                  "mlp_speculator")):
+            self.scheduler.window_spec_k = \
+                config.speculative.num_spec_tokens
         if config.compilation.warmup:
             self._warmup_live_path()
 
@@ -276,7 +286,10 @@ class EngineCore:
             self.scheduler.ignored_req_ids.clear()
         if self.proposer is not None:
             self._propose_drafts()
-        if self._medusa and not self.scheduler.device_spec_k:
+        if (self._medusa and not self.scheduler.device_spec_k
+                and not self.scheduler.window_spec_k):
+            # window mode proposes in-graph; host-attached drafts would
+            # block _schedule_multistep's steady-decode gate
             self._attach_medusa_drafts(runner_output)
         if self.draft_proposer is not None:
             self.draft_proposer.on_step(scheduler_output, step_meta,

@@ -62,7 +62,7 @@ def _gather_pages(kv_pages, idx, out_dtype=jnp.bfloat16):
 
 
 def write_kv_cache(kv_cache, k: jax.Array, v: jax.Array,
-                   slot_mapping: jax.Array):
+                   slot_mapping: jax.Array, q_per_row: int = 1):
     """Scatter new K/V rows into the paged cache.
 
     kv_cache [P, page_size, 2*KVH, D]; k, v [T, KVH, D];
@@ -71,11 +71,13 @@ def write_kv_cache(kv_cache, k: jax.Array, v: jax.Array,
 
     Inside a decode window the cache is a ``WindowCache`` (immutable
     arena + ring, ops/window_attention.py): the write appends to the
-    ring instead (the paged fold happens in a separate dispatch)."""
+    ring instead (the paged fold happens in a separate dispatch).
+    ``q_per_row`` > 1 (speculative windows) appends that many ring
+    entries per sequence from the flat row-major [S*Q, KVH, D] input."""
     from vllm_pq_tpu.ops.window_attention import WindowCache, append_ring
     if isinstance(kv_cache, WindowCache):
+        s = kv_cache.aK.shape[0] * q_per_row
         t = k.shape[0]
-        s = kv_cache.aK.shape[0]
         ks = k[:s] if t >= s else jnp.pad(k, ((0, s - t), (0, 0), (0, 0)))
         vs = v[:s] if t >= s else jnp.pad(v, ((0, s - t), (0, 0), (0, 0)))
         return append_ring(kv_cache, ks, vs)
@@ -319,16 +321,28 @@ def ragged_paged_attention(q, kv_pages, kv_lens, page_indices, cu_q_lens,
                            soft_cap: Optional[float] = None,
                            decode_mode: bool = False,
                            decode_pages: Optional[int] = None,
-                           alibi_slopes: Optional[jax.Array] = None
+                           alibi_slopes: Optional[jax.Array] = None,
+                           spec_md: Optional[dict] = None
                            ) -> jax.Array:
     """Dispatch to the best implementation for the current device.
 
     ``decode_mode`` (static): every sequence has exactly one query token
     at flat position == its row index; uses the gather-based XLA decode
-    path (``decode_pages`` = static bucketed max pages per sequence)."""
+    path (``decode_pages`` = static bucketed max pages per sequence).
+
+    ``spec_md``: speculative decode-window metadata (q_pos / ring_pos /
+    ring_valid / base_lens) — each row contributes Q queries per
+    iteration; only the arena path supports it."""
     from vllm_pq_tpu.ops.window_attention import (WindowCache,
-                                                  window_attention)
+                                                  window_attention,
+                                                  window_attention_spec)
     if isinstance(kv_pages, WindowCache):
+        if spec_md is not None:
+            assert alibi_slopes is None, \
+                "spec decode windows do not compose with ALiBi"
+            return window_attention_spec(
+                q, kv_pages, spec_md, sm_scale=sm_scale,
+                sliding_window=sliding_window, soft_cap=soft_cap)
         # decode-window arena path: row i's kv length at window start =
         # current kv_len minus the ring tokens written so far
         base_lens = kv_lens - (kv_pages.step + 1)

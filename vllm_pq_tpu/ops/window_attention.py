@@ -144,15 +144,28 @@ def build_window_cache(kv_cache: jax.Array, page_indices: jax.Array,
 
 
 def append_ring(wc: WindowCache, k: jax.Array, v: jax.Array) -> WindowCache:
-    """Append this iteration's K/V rows ([S, KVH, D]) to the ring."""
+    """Append this iteration's K/V rows to the ring.
+
+    k/v [S, KVH, D] appends ONE ring entry (plain decode windows);
+    [S*Q, KVH, D] (flat row r*Q+j = row r's query j, the speculative
+    window layout) appends Q entries at once — entry slots step+1 ..
+    step+Q hold the row-major [Q, S, KVH, D] transpose."""
+    s = wc.aK.shape[0]
+    t = k.shape[0]
+    q_per = t // s
+    if q_per > 1:
+        kq = k.reshape(s, q_per, *k.shape[1:]).swapaxes(0, 1)
+        vq = v.reshape(s, q_per, *v.shape[1:]).swapaxes(0, 1)
+    else:
+        kq, vq = k[None], v[None]
     j = wc.step + 1
     ringK = jax.lax.dynamic_update_slice(
-        wc.ringK, k[None].astype(wc.ringK.dtype), (j, 0, 0, 0))
+        wc.ringK, kq.astype(wc.ringK.dtype), (j, 0, 0, 0))
     ringV = jax.lax.dynamic_update_slice(
-        wc.ringV, v[None].astype(wc.ringV.dtype), (j, 0, 0, 0))
+        wc.ringV, vq.astype(wc.ringV.dtype), (j, 0, 0, 0))
     return WindowCache(aK=wc.aK, aV=wc.aV, aKs=wc.aKs, aVs=wc.aVs,
                        sK=wc.sK, sV=wc.sV, sKs=wc.sKs, sVs=wc.sVs,
-                       ringK=ringK, ringV=ringV, step=j)
+                       ringK=ringK, ringV=ringV, step=j + q_per - 1)
 
 
 def window_attention(q: jax.Array, wc: WindowCache, base_lens: jax.Array,
@@ -315,3 +328,125 @@ def window_attention(q: jax.Array, wc: WindowCache, base_lens: jax.Array,
     elif t < s:
         out = out[:t]
     return out
+
+
+def window_attention_spec(q: jax.Array, wc: WindowCache, spec_md: dict,
+                          *, sm_scale: float,
+                          sliding_window: Optional[int] = None,
+                          soft_cap: Optional[float] = None) -> jax.Array:
+    """Multi-query arena attention for SPECULATIVE decode windows.
+
+    Each sequence contributes Q = 1 + num_spec_tokens queries per window
+    iteration (the last committed token + the drafts); flat row r*Q+j is
+    row r's query j. Unlike the plain window, ring entries cannot be
+    masked by slot index alone: rejected drafts leave stale entries
+    whose positions later iterations REWRITE at new slots, so validity
+    and positions ride in ``spec_md`` (carried by the window body):
+
+      q_pos      i32[S, Q]  absolute position of each query token
+      ring_pos   i32[S, N]  absolute position each ring entry holds
+      ring_valid bool[S, N] entry is live (accepted, or the current
+                            iteration's not-yet-verified entries)
+      base_lens  i32[S]     arena-valid prefix length (window start)
+
+    A ring entry is visible to a query iff it is valid AND its position
+    <= the query's position (so draft j sees drafts < j of the same
+    iteration, and stale rejected entries are never visible). The score
+    einsums are the plain window's with the fused (Q, rep) head dim —
+    same MXU shapes, masks reshaped per query. Reference analog: spec
+    tokens scheduled through the one V1 loop
+    (vllm/v1/core/sched/scheduler.py) with FlashAttention handling the
+    multi-token query window."""
+    s, kvh, ctx, d = wc.aK.shape
+    n = wc.ringK.shape[0]
+    ls = wc.sK.shape[0]
+    int8 = wc.aK.dtype == jnp.int8
+    t = q.shape[0]
+    nq = spec_md["q_pos"].shape[1]
+    assert t == s * nq, (t, s, nq)
+    hq = q.shape[1]
+    rep = hq // kvh
+
+    qh = q.reshape(s, nq, kvh, rep, d).transpose(0, 2, 1, 3, 4)
+    qscaled = qh * jnp.asarray(sm_scale, qh.dtype)   # [s, g, Q, r, d]
+
+    q_pos = spec_md["q_pos"]                          # [s, Q]
+    ring_pos = spec_md["ring_pos"]                    # [s, N]
+    ring_valid = spec_md["ring_valid"]                # [s, N]
+    base_lens = spec_md["base_lens"]                  # [s]
+
+    aK = wc.aK.astype(qscaled.dtype) if int8 else wc.aK
+    sc_a = jnp.einsum("sgqrd,sgld->sgqrl", qscaled, aK,
+                      preferred_element_type=jnp.float32)
+    if int8:
+        sc_a = sc_a * wc.aKs[:, :, None, None, :]
+    ring = wc.ringK.astype(qscaled.dtype)
+    sc_r = jnp.einsum("sgqrd,nsgd->sgqrn", qscaled, ring,
+                      preferred_element_type=jnp.float32)
+
+    apos = ls + jnp.arange(ctx, dtype=jnp.int32)[None, :]
+    valid_a = (apos < base_lens[:, None])[:, None, :]      # [s, 1, l]
+    valid_a = jnp.broadcast_to(valid_a, (s, nq, ctx))
+    valid_r = (ring_valid[:, None, :]
+               & (ring_pos[:, None, :] <= q_pos[:, :, None]))  # [s,Q,n]
+    if sliding_window is not None:
+        valid_a = valid_a & (apos[:, None] > q_pos[:, :, None]
+                             - sliding_window)
+        valid_r = valid_r & (ring_pos[:, None, :] > q_pos[:, :, None]
+                             - sliding_window)
+    if soft_cap is not None:
+        sc_a = jnp.tanh(sc_a / soft_cap) * soft_cap
+        sc_r = jnp.tanh(sc_r / soft_cap) * soft_cap
+    sc_a = jnp.where(valid_a[:, None, :, None, :], sc_a, MASK_VALUE)
+    sc_r = jnp.where(valid_r[:, None, :, None, :], sc_r, MASK_VALUE)
+
+    sc_s = None
+    if ls:
+        sK = wc.sK.astype(qscaled.dtype) if int8 else wc.sK
+        sc_s = jnp.einsum("sgqrd,lgd->sgqrl", qscaled, sK,
+                          preferred_element_type=jnp.float32)
+        if int8:
+            sc_s = sc_s * wc.sKs.T[None, :, None, None, :]
+        spos = jnp.arange(ls, dtype=jnp.int32)[None, :]
+        valid_s = (spos < jnp.minimum(base_lens[:, None], ls))[:, None]
+        valid_s = jnp.broadcast_to(valid_s, (s, nq, ls))
+        if sliding_window is not None:
+            valid_s = valid_s & (spos[:, None] > q_pos[:, :, None]
+                                 - sliding_window)
+        if soft_cap is not None:
+            sc_s = jnp.tanh(sc_s / soft_cap) * soft_cap
+        sc_s = jnp.where(valid_s[:, None, :, None, :], sc_s, MASK_VALUE)
+
+    segs = ([sc_s] if sc_s is not None else []) + [sc_a, sc_r]
+    gmax = segs[0].max(axis=-1)
+    for sg in segs[1:]:
+        gmax = jnp.maximum(gmax, sg.max(axis=-1))
+    gmax = gmax[..., None]
+    exps = [jnp.exp(sg - gmax) for sg in segs]
+    denom = sum(e.sum(axis=-1) for e in exps)[..., None]
+    if sc_s is not None:
+        ess, ea, er = exps
+    else:
+        ea, er = exps
+        ess = None
+    vdt = jnp.bfloat16 if int8 else wc.aV.dtype
+    pa = ea / denom
+    pr = er / denom
+    if int8:
+        pa = pa * wc.aVs[:, :, None, None, :]
+    out = jnp.einsum("sgqrl,sgld->sgqrd", pa.astype(vdt),
+                     wc.aV.astype(vdt) if int8 else wc.aV,
+                     preferred_element_type=jnp.float32)
+    out = out + jnp.einsum("sgqrn,nsgd->sgqrd",
+                           pr.astype(wc.ringV.dtype), wc.ringV,
+                           preferred_element_type=jnp.float32)
+    if ess is not None:
+        pss = ess / denom
+        if int8:
+            pss = pss * wc.sVs.T[None, :, None, None, :]
+        out = out + jnp.einsum("sgqrl,lgd->sgqrd", pss.astype(vdt),
+                               wc.sV.astype(vdt) if int8 else wc.sV,
+                               preferred_element_type=jnp.float32)
+    # [s, g, Q, r, d] -> flat [s*Q, hq, d]
+    out = out.transpose(0, 2, 1, 3, 4).reshape(t, hq, d)
+    return out.astype(q.dtype)

@@ -1045,8 +1045,9 @@ class ModelRunner:
 
             def build_all(kv_caches, page_indices):
                 return [build_window_cache(
-                    c, page_indices, ctx_pages - shared_pages, n_steps,
-                    shared_pages=shared_pages) for c in kv_caches]
+                    c, page_indices, ctx_pages - shared_pages,
+                    n_steps * k1, shared_pages=shared_pages)
+                    for c in kv_caches]
 
             build_sharded = _shard_map(
                 build_all, mesh,
@@ -1055,6 +1056,20 @@ class ModelRunner:
         else:
             cache_specs = self._layer_specs(n_layers)
             build_sharded = None
+
+        # speculative decode windows (VERDICT r4 #5 / reference
+        # v1/core/sched/scheduler.py spec-token scheduling): in-graph
+        # proposers (medusa / mlp_speculator) draft K tokens per
+        # iteration, the target verifies all K+1 in ONE forward, and
+        # the window advances 1..K+1 positions per iteration. Arena
+        # windows only (the multi-query masks live in
+        # window_attention_spec); mrope/alibi models keep plain windows.
+        spec_k = (self.spec_k
+                  if (self.spec_k and self.medusa_heads is not None
+                      and use_arena and not use_mrope
+                      and not getattr(model.cfg, "alibi", False))
+                  else 0)
+        k1 = spec_k + 1
 
         def fwd(params, kv_caches, rope, inputs):
             hidden, new_caches = model(
@@ -1091,8 +1106,113 @@ class ModelRunner:
                                  in_specs=(param_specs,),
                                  out_specs=dense_specs)
 
+        def spec_loop(params, kv_caches, f, page_indices, active,
+                      base_state, last0, pos0, rope, step_key,
+                      medusa_w, prev_drafts):
+            """Speculative window: each iteration verifies K drafts + 1
+            token in one multi-query forward, then proposes the next K
+            in-graph (medusa / mlp_speculator heads). Per-row advance is
+            1..K+1 tokens — ring entry positions and validity are
+            carried so stale rejected entries never score
+            (window_attention_spec) and the fold scatters only live
+            entries (device-computed slots, _get_fold_spec)."""
+            from vllm_pq_tpu.layers.rejection import verify_and_sample
+            t_spec = s * k1
+            n_ring = n_steps * k1
+            rows = jnp.arange(s)
+            base_lens = jnp.where(active, pos0, 0)
+            sc_cfg = self.config.speculative
+            mlp_spec = getattr(self, "_mlp_spec_mode", False)
+
+            def sbody(carry, i):
+                (kv_caches, last, drafts, pos, out_len, ring_pos,
+                 ring_valid) = carry
+                tok3 = jnp.concatenate(
+                    [last[:, None], jnp.maximum(drafts, 0)], axis=1)
+                qpos = (pos[:, None]
+                        + jnp.arange(k1, dtype=jnp.int32)[None])
+                qpos = jnp.minimum(qpos, self.max_model_len - 1)
+                ring_pos = jax.lax.dynamic_update_slice(
+                    ring_pos, qpos, (0, i * k1))
+                ring_valid = jax.lax.dynamic_update_slice(
+                    ring_valid,
+                    jnp.broadcast_to(active[:, None], (s, k1)),
+                    (0, i * k1))
+                inputs = {
+                    "token_ids": tok3.reshape(-1),
+                    "positions": qpos.reshape(-1),
+                    "slot_mapping": jnp.zeros(t_spec, jnp.int32),
+                    "kv_lens": jnp.where(active, qpos[:, -1] + 1, 0),
+                    "page_indices": page_indices,
+                    "cu_q_lens": jnp.arange(s + 1, dtype=jnp.int32) * k1,
+                    "num_seqs": f["num_seqs"],
+                    "logits_indices": jnp.arange(t_spec,
+                                                 dtype=jnp.int32),
+                    "spec_window": {
+                        "q_pos": qpos, "ring_pos": ring_pos,
+                        "ring_valid": ring_valid,
+                        "base_lens": base_lens},
+                }
+                hidden, kv_caches = model(
+                    params, inputs["token_ids"], inputs["positions"],
+                    kv_caches, inputs, rope, decode_mode=True,
+                    decode_pages=ctx_pages)
+                logits = model.compute_logits(params, hidden)
+                l3 = logits.reshape(s, k1, -1).astype(jnp.float32)
+                state = base_state._replace(output_len=out_len)
+                toks, gens = verify_and_sample(
+                    l3, drafts,
+                    jnp.where(drafts[:, 0] >= 0, spec_k, 0), state,
+                    jax.random.fold_in(step_key, i), all_greedy=greedy,
+                    acceptance_method=sc_cfg.acceptance_method,
+                    posterior_threshold=sc_cfg.posterior_threshold,
+                    posterior_alpha=sc_cfg.posterior_alpha)
+                gens = jnp.where(active, gens, 1)
+                # entries past the accepted prefix are stale from now on
+                newv = ((jnp.arange(k1, dtype=jnp.int32)[None]
+                         < gens[:, None]) & active[:, None])
+                ring_valid = jax.lax.dynamic_update_slice(
+                    ring_valid, newv, (0, i * k1))
+                pick = jnp.clip(gens - 1, 0, k1 - 1)
+                last = toks[rows, pick]
+                h_last = hidden.reshape(s, k1, -1)[rows, pick]
+                if mlp_spec:
+                    from vllm_pq_tpu.spec_decode.mlp_speculator import \
+                        mlp_spec_drafts
+                    scale_in, alpha = self._mlp_static
+                    drafts_next = mlp_spec_drafts(
+                        medusa_w, h_last, last, scale_input=scale_in,
+                        alpha=alpha)
+                else:
+                    from vllm_pq_tpu.spec_decode.medusa import \
+                        medusa_drafts
+                    drafts_next = medusa_drafts(medusa_w, h_last)
+                drafts_next = drafts_next[:, :spec_k]
+                pos = jnp.where(active, pos + gens, pos)
+                out_len = out_len + jnp.where(active, gens, 0)
+                return ((kv_caches, last, drafts_next, pos, out_len,
+                         ring_pos, ring_valid), (toks, gens))
+
+            carry = (kv_caches, last0, prev_drafts, pos0,
+                     f["output_len"], jnp.zeros((s, n_ring), jnp.int32),
+                     jnp.zeros((s, n_ring), bool))
+            toks_list, gens_list = [], []
+            for i in range(n_steps):
+                carry, (toks, gens) = sbody(carry, i)
+                toks_list.append(toks)
+                gens_list.append(gens)
+            (kv_caches, last, drafts, _, _, ring_pos,
+             ring_valid) = carry
+            toks_all = jnp.stack(toks_list)   # [N, S, K+1]
+            gens_all = jnp.stack(gens_list)   # [N, S]
+            ringsK = jnp.stack([wc.ringK for wc in kv_caches])
+            ringsV = jnp.stack([wc.ringV for wc in kv_caches])
+            return (toks_all, gens_all, last, drafts,
+                    (ringsK, ringsV, ring_pos, ring_valid))
+
         def window_core(params, kv_caches, rope, packed, step_key,
-                        prev_toks, *, per_shard: bool):
+                        prev_toks, medusa_w=None, prev_drafts=None,
+                        *, per_shard: bool):
             """The N-iteration decode window. ``per_shard=True`` runs
             the WHOLE loop inside one shard_map (arena mode): rings and
             scores never cross a shard_map boundary, which the profiler
@@ -1124,6 +1244,15 @@ class ModelRunner:
             pos0 = jnp.maximum(f["kv_lens"] - 1, 0)
 
             m = min(s, t_bucket)  # rows in flight never exceed the bucket
+
+            if spec_k:
+                builder = (build_all if per_shard else build_sharded)
+                kv_caches = builder(kv_caches,
+                                    f["page_indices"].reshape(
+                                        s, self.max_blocks_per_req))
+                return spec_loop(params, kv_caches, f, page_indices,
+                                 active, base_state, last0, pos0,
+                                 rope, step_key, medusa_w, prev_drafts)
 
             def body(carry, i):
                 kv_caches, last, pos, out_len = carry
@@ -1196,6 +1325,26 @@ class ModelRunner:
             ring_stack_spec = PS(None, None, None, head_ax, None)
             # inputs are the PAGED caches: the arena build happens
             # inside this same program
+            if spec_k:
+                whole = _shard_map(
+                    functools.partial(window_core, per_shard=True),
+                    mesh,
+                    in_specs=(fwd_param_specs,
+                              self._layer_specs(n_layers),
+                              P(None, None), P(), P(), P(), P(), P()),
+                    out_specs=(P(), P(), P(), P(),
+                               (ring_stack_spec, ring_stack_spec,
+                                P(), P())))
+
+                def run_spec(params, kv_caches, rope, packed, step_key,
+                             prev_toks, medusa_w, prev_drafts):
+                    if dequant is not None:
+                        params = dequant(params)
+                    return whole(params, kv_caches, rope, packed,
+                                 step_key, prev_toks, medusa_w,
+                                 prev_drafts)
+                return jax.jit(run_spec), True, spec_k
+
             whole = _shard_map(
                 functools.partial(window_core, per_shard=True), mesh,
                 in_specs=(fwd_param_specs, self._layer_specs(n_layers),
@@ -1208,14 +1357,14 @@ class ModelRunner:
                     params = dequant(params)
                 return whole(params, kv_caches, rope, packed, step_key,
                              prev_toks)
-            return jax.jit(run), True
+            return jax.jit(run), True, 0
 
         def run(params, kv_caches, rope, packed, step_key, prev_toks):
             if dequant is not None:
                 params = dequant(params)
             return window_core(params, kv_caches, rope, packed, step_key,
                                prev_toks, per_shard=False)
-        return jax.jit(run, donate_argnums=(1,)), False
+        return jax.jit(run, donate_argnums=(1,)), False, 0
 
     def _get_fold(self, n_steps: int):
         """Fold dispatch: scatter a window's rings into the paged
@@ -1245,6 +1394,48 @@ class ModelRunner:
             fold, mesh,
             in_specs=(self._layer_specs(n_layers), ring_spec, ring_spec,
                       P()),
+            out_specs=self._layer_specs(n_layers))
+        fn = jax.jit(sharded, donate_argnums=(0,))
+        self._step_fns[key] = fn
+        return fn
+
+    def _get_fold_spec(self):
+        """Speculative-window fold: ring entry positions are
+        data-dependent (each row advanced by its accepted count), so
+        the slot mapping is computed IN-GRAPH from the carried entry
+        positions + the block table; stale (rejected) entries scatter
+        to the null page 0."""
+        key = "fold_spec"
+        fn = self._step_fns.get(key)
+        if fn is not None:
+            return fn
+        from vllm_pq_tpu.ops.attention import write_kv_cache
+        n_layers = self.model.cfg.num_hidden_layers
+        mesh = self.mesh
+        bs = self.block_size
+        kv_axes = tuple(self.kv_spec) + (None,) * (
+            4 - len(tuple(self.kv_spec)))
+        ring_spec = P(None, None, None, kv_axes[2], None)
+
+        def fold(kv_caches, ringsK, ringsV, ring_pos, ring_valid,
+                 page_indices):
+            pos_c = jnp.minimum(ring_pos, self.max_model_len - 1)
+            blk = jnp.take_along_axis(page_indices, pos_c // bs, axis=1)
+            slots = jnp.where(ring_valid, blk * bs + pos_c % bs, 0)
+            # ring layout is entry-major [n, s]; match it
+            slots_flat = slots.T.reshape(-1)
+            out = []
+            for li, c in enumerate(kv_caches):
+                n, s2 = ringsK.shape[1], ringsK.shape[2]
+                k = ringsK[li].reshape(n * s2, *ringsK.shape[3:])
+                v = ringsV[li].reshape(n * s2, *ringsV.shape[3:])
+                out.append(write_kv_cache(c, k, v, slots_flat))
+            return out
+
+        sharded = _shard_map(
+            fold, mesh,
+            in_specs=(self._layer_specs(n_layers), ring_spec, ring_spec,
+                      P(), P(), P()),
             out_specs=self._layer_specs(n_layers))
         fn = jax.jit(sharded, donate_argnums=(0,))
         self._step_fns[key] = fn
@@ -2450,11 +2641,14 @@ class ModelRunner:
             count=len(row_req_ids))
         shared_pages = min(self._shared_prefix_pages(row_mask),
                            max(ctx_pages - 1, 0))
-        fn, use_arena = self._get_multistep(n, ib.all_greedy, t_bucket,
-                                            ctx_pages, shared_pages)
+        fn, use_arena, win_spec = self._get_multistep(
+            n, ib.all_greedy, t_bucket, ctx_pages, shared_pages)
         self._step_count += 1
         step_key = jax.random.fold_in(self._rng_key, self._step_count)
         packed = jnp.asarray(buf.copy())
+        if win_spec:
+            return self._dispatch_multistep_spec(
+                fn, win_spec, n, packed, step_key, row_req_ids)
         dump = os.environ.get("VPQ_DUMP_STEP_HLO")
         if dump and not getattr(self, "_hlo_dumped", False):
             # dev tool: write the OPTIMIZED multistep HLO for op-level
@@ -2501,7 +2695,56 @@ class ModelRunner:
             pass
         return (all_toks, row_req_ids)
 
+    def _dispatch_multistep_spec(self, fn, spec_k: int, n: int, packed,
+                                 step_key, row_req_ids):
+        """Speculative window dispatch: drafts carry on device between
+        windows (the first window's -1 drafts simply verify to nothing,
+        so misalignment after batch membership changes only costs
+        acceptance, never correctness)."""
+        s = self.max_num_reqs
+        prev_drafts = getattr(self, "_prev_win_drafts", None)
+        if prev_drafts is None or prev_drafts.shape != (s, spec_k):
+            prev_drafts = jnp.full((s, spec_k), -1, jnp.int32)
+        toks_all, gens_all, last, drafts, aux = fn(
+            self.params, self.kv_caches, self.rope_cache, packed,
+            step_key, self._prev_toks_or_zeros(), self.medusa_heads,
+            prev_drafts)
+        self._prev_win_drafts = drafts
+        ringsK, ringsV, ring_pos, ring_valid = aux
+        pi = jnp.asarray(
+            self.input_batch.block_table[:s, :self.max_blocks_per_req])
+        fold = self._get_fold_spec()
+        self.kv_caches = fold(self.kv_caches, ringsK, ringsV,
+                              ring_pos, ring_valid, pi)
+        self._prev_toks = last
+        self._prev_row_of = {rid: row
+                             for row, rid in enumerate(row_req_ids)
+                             if rid is not None}
+        for a in (toks_all, gens_all):
+            try:
+                a.copy_to_host_async()
+            except Exception:
+                pass
+        return (toks_all, gens_all, row_req_ids)
+
     def _fetch_multistep(self, h) -> ModelRunnerOutput:
+        if len(h) == 3:  # speculative window: [N, S, K+1] + counts
+            toks_all, gens_all, row_req_ids = h
+            out = ModelRunnerOutput()
+            toks_np = np.asarray(jax.device_get(toks_all))
+            gens_np = np.asarray(jax.device_get(gens_all))
+            n = toks_np.shape[0]
+            for row, rid in enumerate(row_req_ids):
+                if rid is None:
+                    continue
+                toks = []
+                for i in range(n):
+                    toks.extend(
+                        int(t) for t in toks_np[i, row,
+                                                :int(gens_np[i, row])])
+                out.req_ids.append(rid)
+                out.sampled_token_ids[rid] = toks
+            return out
         all_toks, row_req_ids = h
         out = ModelRunnerOutput()
         toks_np = np.asarray(jax.device_get(all_toks))  # [N, S]
