@@ -98,6 +98,19 @@ class Processor:
                             raw.get("audio_token_index", 151646),
                             int(ac.get("max_source_positions", 1500)),
                             int(ac.get("num_mel_bins", 128)))
+                elif (arch0 in ("QWenLMHeadModel",
+                                "QwenVLForConditionalGeneration")
+                      and raw.get("visual")):
+                    # Qwen-VL v1: one image_pad placeholder expands to
+                    # n_queries resampled tokens (reference qwen_vl.py
+                    # QwenVLProcessor)
+                    from vllm_pq_tpu.multimodal.image import ImageProcessor
+                    vc = raw["visual"]
+                    spec = (int(vc.get("image_start_id", 151857)) + 2,
+                            int(vc.get("n_queries", 256)),
+                            ImageProcessor.from_pretrained(
+                                self.config.model.model,
+                                default_size=vc.get("image_size", 448)))
                 elif arch0 == "GLM4VForCausalLM":
                     from vllm_pq_tpu.multimodal.image import ImageProcessor
                     vc = raw.get("vision_config", {})

@@ -1622,6 +1622,13 @@ def load_hf(model, mesh: Mesh, model_dir: str,
                 model.qformer_cfg.num_hidden_layers)]},
             "projector": {},
         }
+    is_qwen_vl = model.__class__.__name__ == "QwenVLModel"
+    if is_qwen_vl:
+        tree["vision"] = {
+            "tower": {"layers": [dict() for _ in range(
+                model.visual["layers"])]},
+            "attn_pool": {},
+        }
     is_glm4v = model.__class__.__name__ == "GLM4VModel"
     if is_glm4v:
         tree["vision"] = {
@@ -1788,6 +1795,69 @@ def load_hf(model, mesh: Mesh, model_dir: str,
                 continue
             _load_mistral_native_weight(tree, cfg, shapes, linear_method,
                                         name, tensor)
+            continue
+        if is_qwen_vl and name.startswith("transformer.visual."):
+            # Qwen-VL CLIP ViT + attn_pool resampler (models/qwen_vl.py)
+            rest_q = name[len("transformer.visual."):]
+            V = tree["vision"]
+            T = V["tower"]
+            if rest_q == "conv1.weight":
+                ww = tensor.shape[0]
+                T["conv1"] = {"weight": tensor.transpose(1, 2, 3, 0)
+                              .reshape(-1, ww)}
+            elif rest_q == "positional_embedding":
+                T["positional_embedding"] = {"weight": tensor}
+            elif rest_q.startswith("ln_pre."):
+                T.setdefault("ln_pre", {})[
+                    rest_q.split(".")[-1]] = tensor
+            elif rest_q.startswith("transformer.resblocks."):
+                parts_q = rest_q.split(".")
+                L = T["layers"][int(parts_q[2])]
+                sub = ".".join(parts_q[3:-1])
+                leaf = parts_q[-1]
+                m = {"attn.in_proj": "in_proj",
+                     "attn.out_proj": "out_proj",
+                     "mlp.c_fc": "c_fc", "mlp.c_proj": "c_proj",
+                     "ln_1": "ln_1", "ln_2": "ln_2"}
+                ours = m.get(sub)
+                if ours is None:
+                    logger.warning("unmapped qwen-vl vision weight %s",
+                                   name)
+                    continue
+                L.setdefault(ours, {})[leaf] = (
+                    tensor.T if leaf == "weight"
+                    and not ours.startswith("ln_") else tensor)
+            elif rest_q.startswith("attn_pool."):
+                ap = V["attn_pool"]
+                sub = rest_q[len("attn_pool."):]
+                if sub == "query":
+                    ap["query"] = {"weight": tensor}
+                elif sub == "pos_embed":
+                    ap["pos_embed"] = {"weight": tensor}
+                elif sub == "attn.in_proj_weight":
+                    ap.setdefault("in_proj", {})["weight"] = tensor.T
+                elif sub == "attn.in_proj_bias":
+                    ap.setdefault("in_proj", {})["bias"] = tensor
+                elif sub.startswith("attn.out_proj."):
+                    leaf = sub.split(".")[-1]
+                    ap.setdefault("out_proj", {})[leaf] = (
+                        tensor.T if leaf == "weight" else tensor)
+                elif sub.startswith(("kv_proj.", "ln_q.", "ln_kv.")):
+                    part, leaf = sub.split(".")
+                    ap.setdefault(part, {})[leaf] = (
+                        tensor.T if leaf == "weight"
+                        and part == "kv_proj" else tensor)
+                else:
+                    logger.warning("unmapped qwen-vl attn_pool "
+                                   "weight %s", name)
+            elif rest_q.startswith("ln_post."):
+                V.setdefault("ln_post", {})[
+                    rest_q.split(".")[-1]] = tensor
+            elif rest_q == "proj":
+                V["proj"] = {"weight": tensor}
+            else:
+                logger.warning("unmapped qwen-vl vision weight %s",
+                               name)
             continue
         if is_glm4v and name.startswith("transformer.vision."):
             # GLM-4V EVA2-CLIP tower + GLU projector (models/glm4v.py)

@@ -415,7 +415,21 @@ def _build_qwen_v1(hf_config, config: EngineConfig, linear_method):
     mc.attention_bias = True
     mc.hf_family = "qwen_v1"
     mc.dtype = config.model.jax_dtype
+    visual = getattr(hf, "visual", None)
+    if visual:
+        # real Qwen-VL checkpoints carry architectures=
+        # ["QWenLMHeadModel"] WITH a `visual` config block (reference
+        # registry maps them to QwenVLForConditionalGeneration)
+        from vllm_pq_tpu.models.qwen_vl import QwenVLModel
+        return QwenVLModel(mc, dict(visual), linear_method)
     return LlamaModel(mc, linear_method)
+
+
+@register_model("QwenVLForConditionalGeneration")
+def _build_qwen_vl(hf_config, config: EngineConfig, linear_method):
+    # Qwen-VL v1 (reference models/qwen_vl.py): CLIP-style ViT +
+    # perceiver resampler attn_pool on the QWen v1 decoder
+    return _build_qwen_v1(hf_config, config, linear_method)
 
 
 @register_model("TransformersModel")
