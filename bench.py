@@ -235,7 +235,9 @@ def parent_main():
                 ("smallbatch", None),
                 ("smallbatch_fused", {"VPQ_PQ_RESIDENT": "0",
                                       "VPQ_WINDOW_DEQUANT": "0"}),
-                ("longctx", None)):
+                ("longctx", None),
+                # spec x multi-step windows A/B (VERDICT r4 #5)
+                ("specwin", None)):
             if _left() < 260:
                 errors.append(f"{name} skipped (deadline)")
                 continue
@@ -293,7 +295,170 @@ MODEL_CFGS["smallbatch"] = MODEL_CFGS["flagship"]
 MODEL_CFGS["longctx"] = MODEL_CFGS["flagship"]
 
 
+def child_specwin():
+    """Speculative multi-step windows on the flagship config (VERDICT
+    r4 missing #5 done-criterion): batch-256 decode windows WITH
+    in-graph medusa drafts vs plain windows, same child process.
+
+    Acceptance control: the dummy-loaded flagship is made degenerate
+    on device (o_proj/down_proj zeroed, tied embeddings, medusa lm =
+    embed^T) so it repeats its input token and the heads propose
+    exactly the model's next token — the measured uplift is the
+    window MECHANICS' best case at the stated acceptance, both
+    reported."""
+    os.environ.setdefault("VPQ_PAGES_FIXED", "1")
+    os.environ.setdefault("VPQ_PQ_RESIDENT", "int8")
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vllm_pq_tpu import LLM, SamplingParams
+
+    platform = jax.devices()[0].platform
+    on_tpu = platform == "tpu"
+    model_cfg = dict(MODEL_CFGS["flagship"])
+    model_cfg["tie_word_embeddings"] = True
+    batch, prompt_len, decode_steps, sched_steps = 256, 32, 193, 32
+    spec_k = int(os.environ.get("VPQ_BENCH_SPEC_K", "2"))
+    max_len = 512  # spec windows reserve n*(k+1) slots of headroom
+    if not on_tpu:
+        model_cfg.update(hidden_size=256, intermediate_size=512,
+                         num_hidden_layers=2, num_attention_heads=8,
+                         num_key_value_heads=4, vocab_size=2048)
+        batch, decode_steps, sched_steps = 8, 24, 4
+        max_len = 128
+
+    d = tempfile.mkdtemp()
+    with open(os.path.join(d, "config.json"), "w") as f:
+        json.dump(model_cfg, f)
+    # medusa dir: 0 resblocks (head = bare lm matrix, overwritten with
+    # the device embedding after load)
+    hd = tempfile.mkdtemp()
+    from safetensors.numpy import save_file
+    rng = np.random.default_rng(0)
+    save_file({f"{i}.0.weight":
+               (rng.standard_normal(
+                   (model_cfg["vocab_size"],
+                    model_cfg["hidden_size"])) * 0.02).astype(
+                       np.float32)
+               for i in range(spec_k)},
+              os.path.join(hd, "medusa_lm_head.safetensors"))
+    with open(os.path.join(hd, "config.json"), "w") as f:
+        json.dump({"medusa_num_heads": spec_k,
+                   "medusa_num_layers": 0}, f)
+
+    kw = dict(load_format="dummy",
+              dtype="bfloat16" if on_tpu else "float32",
+              quantization="pq",
+              kv_cache_dtype="int8" if on_tpu else "auto",
+              max_model_len=max_len, max_num_seqs=batch,
+              max_num_batched_tokens=2048, block_size=16,
+              gpu_memory_utilization=0.8,
+              num_kv_blocks=batch * (max_len // 16) + 64
+              if on_tpu else None,
+              enable_prefix_caching=True,
+              num_scheduler_steps=sched_steps)
+
+    def degenerate(llm):
+        r = llm.llm_engine.engine_core.runner
+        p = r.params
+        for L in p["layers"]:
+            for nm in ("o_proj", "down_proj"):
+                L[nm] = jax.tree.map(jnp.zeros_like, L[nm])
+        # iid-gaussian embedding: argmax(e_t . E^T) == t w.h.p., so
+        # every row is a REPEAT fixed point (the dummy loader's embed
+        # lands rows in period-2 cycles a one-position-tied head
+        # mispredicts at draft >= 2)
+        emb = p["embed_tokens"]["weight"]
+        g = np.random.default_rng(1).standard_normal(
+            emb.shape).astype(np.float32) * 0.02
+        p["embed_tokens"]["weight"] = jnp.asarray(g, emb.dtype)
+        # unit final norm: dummy per-channel norm weights break the
+        # self-similarity argmax
+        p["norm"] = jax.tree.map(jnp.ones_like, p["norm"])
+        if r.medusa_heads is not None:
+            emb_t = p["embed_tokens"]["weight"].T
+            r.medusa_heads = [{"res": [], "lm": emb_t}
+                              for _ in range(spec_k)]
+
+    def run_arm(spec):
+        extra = (dict(speculative_method="medusa",
+                      speculative_model=hd,
+                      num_speculative_tokens=spec_k)
+                 if spec else dict(async_scheduling=True))
+        llm = LLM(model=d, **kw, **extra)
+        degenerate(llm)
+        rng = np.random.default_rng(0)
+        prompts = [{"prompt_token_ids":
+                    rng.integers(10, model_cfg["vocab_size"] - 10,
+                                 prompt_len).tolist()}
+                   for _ in range(batch)]
+        sp = SamplingParams(temperature=0.0, max_tokens=decode_steps,
+                            ignore_eos=True)
+        eng = llm.llm_engine
+        for i, p2 in enumerate(prompts):
+            eng.add_request(f"sw{i}", p2, sp)
+        while True:
+            sched = eng.engine_core.scheduler
+            if (len(sched.waiting) == 0 and sched.running and
+                    all(r.num_computed_tokens >= r.num_prompt_tokens
+                        for r in sched.running)):
+                break
+            eng.step()
+            if not eng.has_unfinished_requests():
+                break
+        emitted = {}
+
+        def _new_tokens(outs):
+            n = 0
+            for o in outs:
+                if not o.outputs:
+                    continue
+                tot = len(o.outputs[0].token_ids)
+                n += tot - emitted.get(o.request_id, 0)
+                emitted[o.request_id] = tot
+            return n
+        samples = []
+        while eng.has_unfinished_requests():
+            ts = time.perf_counter()
+            outs = eng.step()
+            nt = _new_tokens(outs)
+            samples.append((time.perf_counter() - ts, nt))
+            if any(o.finished for o in outs):
+                break
+        while eng.has_unfinished_requests():
+            eng.step()
+        sched = eng.engine_core.scheduler
+        prop, acc = sched.spec_stats_proposed, sched.spec_stats_accepted
+        # aggregate over busy windows, dropping the slowest (compile)
+        busy = [(dt, nt) for dt, nt in samples if nt > 0]
+        if len(busy) >= 3:
+            busy.remove(max(busy))
+        tput = (sum(n for _, n in busy)
+                / max(sum(dt for dt, _ in busy), 1e-9))
+        del llm
+        import gc
+        gc.collect()
+        return tput, prop, acc
+
+    plain_tput, _, _ = run_arm(False)
+    spec_tput, prop, acc = run_arm(True)
+    print(json.dumps({
+        "metric": "specwin_decode_tok_s", "platform": platform,
+        "batch": batch, "spec_k": spec_k,
+        "value": round(spec_tput, 1), "unit": "tok/s",
+        "plain_tok_s": round(plain_tput, 1),
+        "uplift": round(spec_tput / max(plain_tput, 1e-9), 3),
+        "acceptance": round(acc / max(prop, 1), 4),
+        "proposed": prop, "accepted": acc,
+    }), flush=True)
+
+
 def child_main(model_name):
+    if model_name == "specwin":
+        return child_specwin()
     # flagship: one compiled variant per step kind — kills the two
     # ~5-minute mid-run window recompiles (pages-bucket growth) on a
     # cold cache (measured 23.9k vs 22.1k tok/s). The 7B config's
