@@ -98,6 +98,28 @@ class Processor:
                             raw.get("audio_token_index", 151646),
                             int(ac.get("max_source_positions", 1500)),
                             int(ac.get("num_mel_bins", 128)))
+                elif arch0 == "MolmoForCausalLM":
+                    # <im_patch> id from the tokenizer (reference
+                    # molmo.py:1065 vocab lookup); one placeholder
+                    # expands to the pooled (24+1)//2 ^2 = 144 span
+                    from vllm_pq_tpu.multimodal.image import ImageProcessor
+                    pid = raw.get("image_patch_id")
+                    if pid is None:
+                        getv = getattr(self.tokenizer,
+                                       "convert_tokens_to_ids", None)
+                        pid = getv("<im_patch>") if getv else None
+                    if pid is None or pid < 0:
+                        emb = (raw.get("embedding_size")
+                               or raw.get("vocab_size", 152064))
+                        pid = emb + 2
+                    mvc = (raw.get("vision_config")
+                           or raw.get("vision_backbone") or {})
+                    msz = mvc.get("image_size", 336)
+                    mside = msz // mvc.get("patch_size", 14)
+                    spec = (int(pid), ((mside + 1) // 2) ** 2,
+                            ImageProcessor.from_pretrained(
+                                self.config.model.model,
+                                default_size=msz))
                 elif (arch0 in ("QWenLMHeadModel",
                                 "QwenVLForConditionalGeneration")
                       and raw.get("visual")):

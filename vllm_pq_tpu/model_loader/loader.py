@@ -603,6 +603,131 @@ def _load_qwen_v1_weight(tree, cfg, shapes, linear_method, name,
         logger.warning("unmapped qwen-v1 weight %s", name)
 
 
+_MOLMO_WTE = {}
+
+
+def _load_molmo_weight(tree, cfg, shapes, linear_method, name,
+                       w) -> None:
+    """Molmo naming (reference models/molmo.py hf_to_vllm_mapper):
+    model.transformer.blocks tree with fused att_proj, ff_proj stored
+    [multiplier || gate] (MulAndSilu), wte split into embedding +
+    new_embedding (128 extra image-token rows), ff_out as the lm head;
+    model.vision_backbone.* carries the ViT + pooling + projector."""
+    import numpy as np
+    put = _mk_put_linear(tree, linear_method)
+    if name in ("model.transformer.wte.embedding",
+                "model.transformer.wte.new_embedding"):
+        st = _MOLMO_WTE.setdefault(id(tree), {})
+        st["extra" if name.endswith("new_embedding") else "main"] = w
+        if "main" in st:
+            main = np.asarray(st["main"])
+            extra = st.get("extra")
+            rows = cfg.vocab_size + cfg.embed_extra_rows
+            if extra is not None:
+                full = np.concatenate([main, np.asarray(extra)], 0)
+            elif main.shape[0] >= rows:
+                full = main
+            else:  # pad until/unless new_embedding arrives
+                full = np.concatenate(
+                    [main, np.zeros((rows - main.shape[0],
+                                     main.shape[1]), main.dtype)], 0)
+            tree["embed_tokens"] = {"weight": full}
+            if extra is not None:
+                _MOLMO_WTE.pop(id(tree), None)
+        return
+    if name == "model.transformer.ln_f.weight":
+        tree["norm"]["weight"] = w
+        return
+    if name == "model.transformer.ff_out.weight":
+        if "lm_head" in shapes:
+            tree["lm_head"] = {"weight": w.T}
+        return
+    if name.startswith("model.vision_backbone."):
+        rest = name[len("model.vision_backbone."):]
+        V = tree["vision"]
+        parts = rest.split(".")
+        leaf = parts[-1]
+        if rest.startswith("image_vit.transformer.resblocks."):
+            L = V["tower"]["layers"][int(parts[3])]
+            sub = parts[4]
+            key = parts[5] if sub in ("attention", "feed_forward") \
+                else sub
+            L.setdefault(key, {})[leaf] = (
+                w.T if leaf == "weight" and "norm" not in key else w)
+        elif rest.startswith("image_vit."):
+            key = parts[1]
+            m = {"patch_embedding": "patch_embedding",
+                 "class_embedding": "class_embedding",
+                 "positional_embedding": "positional_embedding",
+                 "pre_ln": "pre_ln"}
+            ours = m.get(key)
+            if ours is None:
+                logger.warning("unmapped molmo vision weight %s", name)
+                return
+            if key == "class_embedding":
+                V["tower"][ours] = {"weight": np.asarray(w).reshape(-1)}
+            elif key == "positional_embedding":
+                V["tower"][ours] = {"weight": w}
+            elif key == "patch_embedding":
+                V["tower"].setdefault(ours, {})[leaf] = (
+                    w.T if leaf == "weight" else w)
+            else:
+                V["tower"].setdefault(ours, {})[leaf] = w
+        elif rest.startswith("image_pooling_2d."):
+            V["pooling"].setdefault(parts[1], {})[leaf] = (
+                w.T if leaf == "weight" else w)
+        elif rest.startswith("image_projector."):
+            V["projector"].setdefault(parts[1], {})[leaf] = (
+                w.T if leaf == "weight" else w)
+        elif rest == "pad_embed":
+            V["pad_embed"] = {"weight": w}
+        else:
+            logger.warning("unmapped molmo vision weight %s", name)
+        return
+    if not name.startswith("model.transformer.blocks."):
+        logger.warning("unmapped molmo weight %s", name)
+        return
+    parts = name.split(".")
+    li = int(parts[3])
+    L = tree["layers"][li]
+    sub = parts[4]
+    leaf = parts[-1]
+    hq = cfg.num_attention_heads * cfg.head_dim
+    kvw = cfg.num_key_value_heads * cfg.head_dim
+    inter = cfg.intermediate_size
+    norm_after = cfg.block_style == "olmo2"
+    if sub == "att_proj":
+        splits = ((0, hq, "q_proj"), (hq, hq + kvw, "k_proj"),
+                  (hq + kvw, hq + 2 * kvw, "v_proj"))
+        if leaf == "weight":
+            for a, b2, n in splits:
+                put(L, n, w[a:b2].T)
+        else:
+            for a, b2, n in splits:
+                L[n + "_bias"] = {"bias": w[a:b2]}
+    elif sub == "attn_out":
+        put(L, "o_proj", w.T)
+    elif sub == "ff_proj":
+        # [multiplier || gate] halves (MulAndSilu): multiplier maps to
+        # up_proj (our mlp computes act(gate) * up)
+        put(L, "up_proj", w[:inter].T)
+        put(L, "gate_proj", w[inter:].T)
+    elif sub == "ff_out":
+        put(L, "down_proj", w.T)
+    elif sub == "attn_norm":
+        L["post_attention_layernorm" if norm_after
+          else "input_layernorm"] = {"weight": w}
+    elif sub == "ff_norm":
+        L["post_feedforward_layernorm" if norm_after
+          else "post_attention_layernorm"] = {"weight": w}
+    elif sub == "q_norm":
+        L["q_norm"] = {"weight": w}
+    elif sub == "k_norm":
+        L["k_norm"] = {"weight": w}
+    else:
+        logger.warning("unmapped molmo weight %s", name)
+
+
 def _load_jais_weight(tree, cfg, shapes, linear_method, name,
                       w) -> None:
     """JAIS naming (reference models/jais.py): GPT-2 Conv1D tree
@@ -1622,6 +1747,12 @@ def load_hf(model, mesh: Mesh, model_dir: str,
                 model.qformer_cfg.num_hidden_layers)]},
             "projector": {},
         }
+    if model.__class__.__name__ == "MolmoModel":
+        tree["vision"] = {
+            "tower": {"layers": [dict() for _ in range(
+                model.vis["layers"])]},
+            "pooling": {}, "projector": {},
+        }
     is_qwen_vl = model.__class__.__name__ == "QwenVLModel"
     if is_qwen_vl:
         tree["vision"] = {
@@ -1708,6 +1839,7 @@ def load_hf(model, mesh: Mesh, model_dir: str,
                    "telechat2": _load_telechat2_weight,
                    "fairseq2": _load_fairseq2_weight,
                    "qwen_v1": _load_qwen_v1_weight,
+                   "molmo": _load_molmo_weight,
                    "jais": _load_jais_weight}
     if fam == "qwen2_vl":
         nv = model.cfg.vision.depth

@@ -90,6 +90,10 @@ class LlamaConfig:
     rope_layers: Optional[tuple] = None  # SmolLM3 NoPE: 0 = no rope
     norm_affine: bool = True          # OLMo-1: non-parametric layernorm
     embed_norm: bool = False          # Bloom word_embeddings_layernorm
+    # extra learned embedding rows beyond vocab_size (Molmo's 128
+    # ADDITIONAL_VOCAB_SIZE image-special tokens): inputs may carry ids
+    # in [vocab, vocab+extra); logits stay at vocab_size
+    embed_extra_rows: int = 0
     residual_multiplier: float = 1.0  # Granite
     attention_multiplier: Optional[float] = None  # Granite sm_scale
     logit_scale: Optional[float] = None  # Cohere x, Granite 1/scaling
@@ -286,8 +290,9 @@ class LlamaModel:
             layer["k_norm"] = {"weight": ((cfg.num_key_value_heads * d,),
                                           cfg.dtype)}
         shapes = {
-            "embed_tokens": {"weight": ((cfg.vocab_size, cfg.hidden_size),
-                                        cfg.dtype)},
+            "embed_tokens": {"weight": ((cfg.vocab_size
+                                         + cfg.embed_extra_rows,
+                                         cfg.hidden_size), cfg.dtype)},
             "layers": [dict(layer) for _ in range(cfg.num_hidden_layers)],
             "norm": self._norm_shape(),
         }
@@ -740,6 +745,8 @@ class LlamaModel:
         cfg = self.cfg
         if cfg.tie_word_embeddings:
             w = params["embed_tokens"]["weight"]  # [V_local, H]
+            if cfg.embed_extra_rows:
+                w = w[:cfg.vocab_size]
             logits = jnp.dot(hidden, w.T,
                              preferred_element_type=jnp.float32)
         else:

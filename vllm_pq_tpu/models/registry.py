@@ -432,6 +432,49 @@ def _build_qwen_vl(hf_config, config: EngineConfig, linear_method):
     return _build_qwen_v1(hf_config, config, linear_method)
 
 
+@register_model("MolmoForCausalLM")
+def _build_molmo(hf_config, config: EngineConfig, linear_method):
+    # Molmo (reference models/molmo.py): CLIP ViT (layers -2/-9 concat)
+    # + 2x2 attention pooling + SwiGLU projector on a llama-math
+    # decoder with fused att_proj, MulAndSilu ff_proj, optional
+    # full-width qk RMSNorm and the norm-after (OLMo2-style) block
+    from vllm_pq_tpu.models.llama import LlamaConfig
+    from vllm_pq_tpu.models.molmo import MolmoModel
+    h = hf_config
+
+    def g(k, d=None):
+        return getattr(h, k, d)
+    heads = g("num_attention_heads", 28)
+    emb_size = g("embedding_size", None) or g("vocab_size", 152064)
+    mc = LlamaConfig(
+        vocab_size=emb_size,
+        hidden_size=g("hidden_size", 3584),
+        intermediate_size=g("intermediate_size", 37888) // 2,
+        num_hidden_layers=g("num_hidden_layers", 28),
+        num_attention_heads=heads,
+        num_key_value_heads=g("num_key_value_heads", None) or heads,
+        rms_norm_eps=g("layer_norm_eps", 1e-6),
+        rope_theta=g("rope_theta", 1e6),
+        max_position_embeddings=g("max_position_embeddings", 4096),
+        tie_word_embeddings=bool(g("weight_tying", False)),
+        attention_bias=bool(g("qkv_bias", False)),
+    )
+    mc.embed_extra_rows = int(g("additional_vocab_size", 128))
+    if g("attention_layer_norm", False):
+        mc.qk_norm = "full"
+    if g("norm_after", False):
+        mc.block_style = "olmo2"
+    mc.hf_family = "molmo"
+    mc.dtype = config.model.jax_dtype
+    # <im_patch> rides in the extra embedding rows right after the
+    # regular vocab (reference molmo.py:66 IMAGE_PATCH_TOKEN; the
+    # processor resolves the true id from the tokenizer)
+    patch_id = int(g("image_patch_id", 0) or (emb_size + 2))
+    vis = g("vision_config", None) or g("vision_backbone", None)
+    return MolmoModel(mc, linear_method, image_patch_id=patch_id,
+                      vis_overrides=dict(vis) if vis else None)
+
+
 @register_model("TransformersModel")
 def _build_transformers_fallback(hf_config, config: EngineConfig,
                                  linear_method):
