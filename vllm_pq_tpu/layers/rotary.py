@@ -232,4 +232,35 @@ def apply_rope(q: jax.Array, k: jax.Array, positions: jax.Array,
                         preferred_element_type=jnp.float32)
         return (x * cos + xr * sin).astype(x.dtype)
 
-    return rot(q), rot(k)
+    def rot_cc(x):
+        # classic slice+concat rotate_half — used for K ONLY: the K
+        # rope feeds the decode ring's dynamic_update_slice, and the
+        # P-dot's t-minor output layout made XLA relayout the WHOLE
+        # ring every iteration (704 x 4 MiB/window measured). K is
+        # [T, KVH, D] (tiny), so its concat copies are noise.
+        if rd < d:
+            xr_, xp = x[..., :rd], x[..., rd:]
+        else:
+            xr_, xp = x, None
+        x1 = xr_[..., :rd // 2]
+        x2 = xr_[..., rd // 2:]
+        cs_ = cos[..., :rd]
+        sn_ = sin[..., :rd]
+        if style == "gptj":
+            x1 = xr_[..., 0::2]
+            x2 = xr_[..., 1::2]
+            c2_ = cs_[..., 0::2]
+            s2_ = sn_[..., 0::2]
+            o1 = x1 * c2_ - x2 * s2_
+            o2 = x2 * c2_ + x1 * s2_
+            out = jnp.stack([o1, o2], axis=-1).reshape(xr_.shape)
+        else:
+            o1 = x1 * cs_[..., :rd // 2] - x2 * sn_[..., :rd // 2]
+            o2 = x2 * cs_[..., rd // 2:] + x1 * sn_[..., rd // 2:]
+            out = jnp.concatenate([o1, o2], axis=-1)
+        out = out.astype(x.dtype)
+        if xp is not None:
+            out = jnp.concatenate([out, xp], axis=-1)
+        return out
+
+    return rot(q), rot_cc(k)
