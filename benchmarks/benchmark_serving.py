@@ -74,6 +74,16 @@ async def run(args):
         # resolve model name
         async with session.get(f"{args.base_url}/v1/models") as r:
             model = (await r.json())["data"][0]["id"]
+        # session tunnel latency (VERDICT r4 weak #5): report the
+        # device-dispatch RTT alongside every run so cross-session
+        # serving comparisons normalize out environment shifts
+        rtt = None
+        try:
+            async with session.get(f"{args.base_url}/tunnel_rtt") as r:
+                if r.status == 200:
+                    rtt = await r.json()
+        except Exception:  # noqa: BLE001
+            pass
         results: list = []
         tasks = []
         t_bench0 = time.perf_counter()
@@ -116,6 +126,8 @@ async def run(args):
                        if itls else None),
         "median_e2el_ms": 1e3 * pct("e2el", 50),
         "p99_e2el_ms": 1e3 * pct("e2el", 99),
+        "tunnel_rtt_ms": (rtt or {}).get("median_ms"),
+        "tunnel_rtt_p90_ms": (rtt or {}).get("p90_ms"),
     }
     print(json.dumps(summary, indent=2))
     if args.output_json:
