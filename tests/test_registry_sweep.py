@@ -66,6 +66,30 @@ _OVERRIDES = {
     "BartModel": dict(
         _AUDIO, vocab_size=128, d_model=32,
         decoder_start_token_id=2, forced_eos_token_id=2),
+    "Florence2ForConditionalGeneration": {
+        "text_config": dict(_AUDIO, vocab_size=128, d_model=32),
+        "vision_config": dict(
+            model_type="davit", depths=[1, 1], dim_embed=[16, 32],
+            num_heads=[2, 2], num_groups=[2, 2], patch_size=[7, 3],
+            patch_stride=[4, 2], patch_padding=[3, 1],
+            patch_prenorm=[False, True], window_size=4,
+            projection_dim=32,
+            image_pos_embed={"type": "learned_abs_2d",
+                             "max_pos_embeddings": 50},
+            visual_temporal_embedding={"type": "COSINE",
+                                       "max_temporal_embeddings": 100},
+            image_feature_source=["spatial_avg_pool",
+                                  "temporal_avg_pool"]),
+        "pad_token_id": 1,
+    },
+    "Florence2LanguageForConditionalGeneration": dict(
+        _AUDIO, vocab_size=128, d_model=32,
+        vision_config=dict(model_type="davit", depths=[1],
+                           dim_embed=[16], num_heads=[2],
+                           num_groups=[2], patch_size=[7],
+                           patch_stride=[4], patch_padding=[3],
+                           patch_prenorm=[False], window_size=4,
+                           projection_dim=32)),
 }
 
 

@@ -59,6 +59,15 @@ class Processor:
                 elif arch0 in ("BartForConditionalGeneration",
                                "BartModel"):
                     spec = ("encdec_text",)
+                elif arch0 in (
+                        "Florence2ForConditionalGeneration",
+                        "Florence2LanguageForConditionalGeneration"):
+                    from vllm_pq_tpu.multimodal.image import \
+                        ImageProcessor
+                    spec = ("florence2",
+                            ImageProcessor.from_pretrained(
+                                self.config.model.model,
+                                default_size=768))
                 elif arch0 == "MllamaForConditionalGeneration":
                     from vllm_pq_tpu.multimodal.image import \
                         ImageProcessor
@@ -497,6 +506,38 @@ class Processor:
             ids_arr = np.asarray(enc, np.int32)
             return list(token_ids), [MMInput(offset=0, length=0,
                                              pixel_values=ids_arr)]
+        if spec and spec[0] == "florence2":
+            # encoder-decoder: encoder token ids ride
+            # multi_modal_data["encoder"]; an optional image's DaViT
+            # tokens are PREPENDED to the encoder text embeddings
+            # (reference florence2.py get_input_embeddings merge)
+            import numpy as np
+            from vllm_pq_tpu.multimodal import MMInput
+            improc = spec[1]
+            enc = mm_data.get("encoder")
+            if enc is None:
+                raise ValueError(
+                    "florence2 takes the encoder prompt via "
+                    "multi_modal_data={'encoder': [ids], 'image': ...}")
+            ids_arr = np.asarray(enc, np.int32)
+            images = mm_data.get("image")
+            if images is None:
+                payload = ids_arr
+            else:
+                if isinstance(images, (list, tuple)):
+                    images = images[0]
+                px = (np.asarray(images["pixel_values"], np.float32)
+                      if isinstance(images, dict)
+                      else improc(images))
+                payload = (ids_arr, px)
+            import hashlib as _hl
+            hh = _hl.sha256()
+            for part in (payload if isinstance(payload, tuple)
+                         else (payload,)):
+                hh.update(np.ascontiguousarray(part).tobytes())
+            return list(token_ids), [MMInput(
+                offset=0, length=0, pixel_values=payload,
+                mm_hash=hh.hexdigest()[:32])]
         if spec and spec[0] == "whisper":
             # audio attaches whole (no placeholder expansion): the
             # decoder cross-attends to the encoder output

@@ -603,6 +603,83 @@ def _load_qwen_v1_weight(tree, cfg, shapes, linear_method, name,
         logger.warning("unmapped qwen-v1 weight %s", name)
 
 
+def _load_florence2_weight(tree, cfg, name: str, w) -> None:
+    """Florence-2 naming (reference models/florence2.py):
+    ``language_model.model.*`` is plain BART; ``vision_tower.*`` is the
+    DaViT; ``image_projection`` / ``image_proj_norm`` /
+    ``image_pos_embed`` bridge into the encoder. The sinusoidal
+    ``visual_temporal_embed`` buffer is recomputed, not loaded."""
+    import numpy as np
+    if name.startswith("language_model."):
+        _load_bart_weight(tree, cfg, name[len("language_model."):], w)
+        return
+    V = tree["vision"]
+    if name == "image_projection":
+        V["image_projection"] = {"weight": w}
+        return
+    if name.startswith("image_proj_norm."):
+        V.setdefault("image_proj_norm", {})[name.split(".")[-1]] = w
+        return
+    if name == "image_pos_embed.row_embeddings.weight":
+        V["pos_row"] = {"weight": w}
+        return
+    if name == "image_pos_embed.column_embeddings.weight":
+        V["pos_col"] = {"weight": w}
+        return
+    if name.startswith("visual_temporal_embed."):
+        return  # fixed sinusoid, recomputed at trace time
+    if not name.startswith("vision_tower."):
+        logger.warning("unmapped florence2 weight %s", name)
+        return
+    rest = name[len("vision_tower."):]
+    parts = rest.split(".")
+    leaf = parts[-1]
+    if rest.startswith("convs."):
+        st = V["stages"][int(parts[1])]
+        if parts[2] == "proj":
+            # torch conv [out, in, kh, kw] -> HWIO
+            st.setdefault("conv", {})[leaf] = (
+                np.asarray(w).transpose(2, 3, 1, 0)
+                if leaf == "weight" else w)
+        elif parts[2] == "norm":
+            st.setdefault("conv_norm", {})[leaf] = w
+        else:
+            logger.warning("unmapped florence2 weight %s", name)
+        return
+    if rest.startswith("blocks."):
+        blk = V["stages"][int(parts[1])]["blocks"][int(parts[2])]
+        which = parts[3]          # spatial_block / channel_block
+        tgt = blk.setdefault(
+            "spatial" if which == "spatial_block" else "channel", {})
+        sub = parts[4]
+        if sub in ("conv1", "conv2"):
+            # PreNorm(None, DepthWiseConv2d): ...conv1.fn.dw.weight
+            # torch depthwise [C, 1, kh, kw] -> HWIO [kh, kw, 1, C]
+            tgt.setdefault(sub, {})[leaf] = (
+                np.asarray(w).transpose(2, 3, 1, 0)
+                if leaf == "weight" else w)
+        elif sub in ("window_attn", "channel_attn"):
+            inner = parts[5]
+            if inner == "norm":
+                tgt.setdefault("norm", {})[leaf] = w
+            else:                 # fn.qkv / fn.proj
+                key = parts[6]
+                tgt.setdefault(key, {})[leaf] = (
+                    w.T if leaf == "weight" else w)
+        elif sub == "ffn":
+            inner = parts[5]
+            if inner == "norm":
+                tgt.setdefault("ffn_norm", {})[leaf] = w
+            else:                 # fn.net.fc1 / fc2
+                key = parts[7]
+                tgt.setdefault(key, {})[leaf] = (
+                    w.T if leaf == "weight" else w)
+        else:
+            logger.warning("unmapped florence2 weight %s", name)
+        return
+    logger.warning("unmapped florence2 weight %s", name)
+
+
 _MOLMO_WTE = {}
 
 
@@ -1846,7 +1923,8 @@ def load_hf(model, mesh: Mesh, model_dir: str,
         tree["vision"] = {"patch_embed": {},
                           "blocks": [dict() for _ in range(nv)],
                           "merger": {}}
-    is_bart = model.__class__.__name__ == "BartModel"
+    is_florence2 = model.__class__.__name__ == "Florence2Model"
+    is_bart = model.__class__.__name__ == "BartModel" or is_florence2
     if is_bart:
         tree["encoder"] = {
             "embed_positions": {}, "layernorm_embedding": {},
@@ -1855,6 +1933,10 @@ def load_hf(model, mesh: Mesh, model_dir: str,
         tree["layernorm_embedding"] = {}
         tree["final_logits_bias"] = {
             "weight": np.zeros(cfg.vocab_size, np.float32)}
+    if is_florence2:
+        tree["vision"] = {"stages": [
+            {"blocks": [dict() for _ in range(dp)]}
+            for dp in model.depths]}
     is_whisper = model.__class__.__name__ == "WhisperModel"
     if is_whisper:
         tree["encoder"] = {
@@ -1887,6 +1969,9 @@ def load_hf(model, mesh: Mesh, model_dir: str,
             continue
         if is_whisper:
             _load_whisper_weight(tree, cfg, shapes, name, tensor)
+            continue
+        if is_florence2:
+            _load_florence2_weight(tree, cfg, name, tensor)
             continue
         if is_bart:
             _load_bart_weight(tree, cfg, name, tensor)

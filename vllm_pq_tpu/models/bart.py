@@ -181,12 +181,20 @@ class BartModel:
         """token ids i32[L] -> encoder states [L, d] (post-LN BART
         encoder, HF BartEncoder.forward)."""
         cfg = self.cfg
-        ep = params["encoder"]
-        eps = 1e-5
         ids = ids.astype(jnp.int32)
-        n = ids.shape[0]
         x = params["embed_tokens"]["weight"][ids] * jnp.asarray(
             self._scale(), cfg.dtype)
+        return self.encode_from_embeds(params, x)
+
+    def encode_from_embeds(self, params: Dict,
+                           x: jax.Array) -> jax.Array:
+        """embeddings [L, d] -> encoder states [L, d] (the multimodal
+        entry: Florence-2 prepends DaViT image tokens to the text
+        embeds before positions are added)."""
+        cfg = self.cfg
+        ep = params["encoder"]
+        eps = 1e-5
+        n = x.shape[0]
         x = x + ep["embed_positions"]["weight"][2:2 + n]
         x = layer_norm(x, ep["layernorm_embedding"]["weight"],
                        ep["layernorm_embedding"]["bias"], eps)

@@ -432,6 +432,28 @@ def _build_qwen_vl(hf_config, config: EngineConfig, linear_method):
     return _build_qwen_v1(hf_config, config, linear_method)
 
 
+@register_model("Florence2ForConditionalGeneration",
+                "Florence2LanguageForConditionalGeneration")
+def _build_florence2(hf_config, config: EngineConfig, linear_method):
+    # Florence-2 (reference models/florence2.py): DaViT hierarchical
+    # vision tower prepended to the BART encoder; BART decoder
+    # generates with cross-attention
+    from vllm_pq_tpu.models.bart import BartConfig
+    from vllm_pq_tpu.models.florence2 import Florence2Model
+    h = hf_config
+    tc = getattr(h, "text_config", None) or h
+    if isinstance(tc, dict):
+        from types import SimpleNamespace
+        tc = SimpleNamespace(**tc)
+    mc = BartConfig.from_hf_config(tc)
+    mc.dtype = config.model.jax_dtype
+    vc = getattr(h, "vision_config", None) or {}
+    if not isinstance(vc, dict):
+        vc = vc.to_dict() if hasattr(vc, "to_dict") else vars(vc)
+    return Florence2Model(mc, vc, linear_method,
+                          pad_token_id=getattr(h, "pad_token_id", 1))
+
+
 @register_model("MolmoForCausalLM")
 def _build_molmo(hf_config, config: EngineConfig, linear_method):
     # Molmo (reference models/molmo.py): CLIP ViT (layers -2/-9 concat)

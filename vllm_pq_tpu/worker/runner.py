@@ -1627,7 +1627,20 @@ class ModelRunner:
             mask[fo:fo + hi - lo] = 1
             embeds[fo:fo + hi - lo] = feats[lo - s0:hi - s0]
 
-    def _encode_encdec(self, arr: np.ndarray) -> np.ndarray:
+    def _encode_encdec(self, arr) -> np.ndarray:
+        if isinstance(arr, tuple):
+            # multimodal encoder prompt (Florence-2): (encoder token
+            # ids, pixel values) — the encoder consumes image features
+            # + text embeddings in one sequence
+            ids, px = arr
+            key = ("encdec_enc_mm", ids.shape, px.shape)
+            fn = self._step_fns.get(key)
+            if fn is None:
+                fn = jax.jit(self.model.encode_encoder_input)
+                self._step_fns[key] = fn
+            return np.asarray(jax.device_get(
+                fn(self.params, jnp.asarray(ids),
+                   jnp.asarray(px)))).astype(np.float32)
         key = ("encdec_enc", arr.shape)
         fn = self._step_fns.get(key)
         if fn is None:
