@@ -603,6 +603,51 @@ def _load_qwen_v1_weight(tree, cfg, shapes, linear_method, name,
         logger.warning("unmapped qwen-v1 weight %s", name)
 
 
+def _load_prithvi_weight(tree, cfg, name: str, w) -> None:
+    """Prithvi MAE encoder naming (timm-style ViT blocks; terratorch
+    checkpoints may prefix ``encoder.`` and nest a ``state_dict``).
+    Decoder/mask tensors and the recomputed sincos pos_embed are
+    skipped."""
+    import numpy as np
+    for pre in ("encoder.", "model.", "backbone."):
+        if name.startswith(pre):
+            name = name[len(pre):]
+    if (name.startswith(("decoder", "mask_token", "pos_embed"))
+            or name.endswith("pos_embed")):
+        return
+    if name.startswith("patch_embed.proj."):
+        leaf = name.split(".")[-1]
+        if leaf == "weight":
+            # Conv3d [E, C, t, ph, pw] -> [(t, ph, pw... C-major), E]:
+            # our patchify orders (C, tp, ph, pw)
+            w = np.asarray(w).transpose(1, 2, 3, 4, 0).reshape(
+                -1, w.shape[0])
+        tree["patch_embed"][leaf] = w
+        return
+    if name == "cls_token":
+        tree["cls_token"] = {"weight": np.asarray(w).reshape(-1)}
+        return
+    if name.startswith("norm."):
+        tree["norm"][name.split(".")[-1]] = w
+        return
+    if name.startswith("blocks."):
+        parts = name.split(".")
+        L = tree["blocks"][int(parts[1])]
+        sub = ".".join(parts[2:-1])
+        leaf = parts[-1]
+        m = {"attn.qkv": "qkv", "attn.proj": "proj",
+             "mlp.fc1": "fc1", "mlp.fc2": "fc2",
+             "norm1": "norm1", "norm2": "norm2"}
+        ours = m.get(sub)
+        if ours is None:
+            logger.warning("unmapped prithvi weight %s", name)
+            return
+        L.setdefault(ours, {})[leaf] = (
+            w.T if leaf == "weight" and "norm" not in ours else w)
+        return
+    logger.warning("unmapped prithvi weight %s", name)
+
+
 def _load_florence2_weight(tree, cfg, name: str, w) -> None:
     """Florence-2 naming (reference models/florence2.py):
     ``language_model.model.*`` is plain BART; ``vision_tower.*`` is the
@@ -1923,6 +1968,10 @@ def load_hf(model, mesh: Mesh, model_dir: str,
         tree["vision"] = {"patch_embed": {},
                           "blocks": [dict() for _ in range(nv)],
                           "merger": {}}
+    is_prithvi = model.__class__.__name__ == "PrithviModel"
+    if is_prithvi:
+        tree.update(patch_embed={}, cls_token={}, norm={},
+                    blocks=[dict() for _ in range(model.depth)])
     is_florence2 = model.__class__.__name__ == "Florence2Model"
     is_bart = model.__class__.__name__ == "BartModel" or is_florence2
     if is_bart:
@@ -1969,6 +2018,9 @@ def load_hf(model, mesh: Mesh, model_dir: str,
             continue
         if is_whisper:
             _load_whisper_weight(tree, cfg, shapes, name, tensor)
+            continue
+        if is_prithvi:
+            _load_prithvi_weight(tree, cfg, name, tensor)
             continue
         if is_florence2:
             _load_florence2_weight(tree, cfg, name, tensor)

@@ -432,6 +432,31 @@ def _build_qwen_vl(hf_config, config: EngineConfig, linear_method):
     return _build_qwen_v1(hf_config, config, linear_method)
 
 
+@register_model("PrithviGeoSpatialMAE")
+def _build_prithvi(hf_config, config: EngineConfig, linear_method):
+    # Prithvi geospatial MAE (reference prithvi_geospatial_mae.py): an
+    # in-tree ViT-MAE encoder (the reference delegates to the external
+    # terratorch package); serves pooled patch features
+    from types import SimpleNamespace
+
+    from vllm_pq_tpu.models.prithvi import PrithviModel
+    h = hf_config
+    # terratorch-style configs nest under pretrained_cfg/model_args
+    pc = getattr(h, "pretrained_cfg", None)
+    if pc:
+        ma = (pc.get("model_args", {})
+              if isinstance(pc, dict) else
+              getattr(pc, "model_args", {}))
+        merged = {}
+        if isinstance(ma, dict):
+            merged.update(ma.get("backbone_kwargs", ma))
+        h = SimpleNamespace(**{**(vars(h) if not isinstance(h, dict)
+                                  else h), **merged})
+    m = PrithviModel(h, linear_method)
+    m.cfg.dtype = config.model.jax_dtype
+    return m
+
+
 @register_model("Florence2ForConditionalGeneration",
                 "Florence2LanguageForConditionalGeneration")
 def _build_florence2(hf_config, config: EngineConfig, linear_method):
