@@ -603,6 +603,70 @@ def _load_qwen_v1_weight(tree, cfg, shapes, linear_method, name,
         logger.warning("unmapped qwen-v1 weight %s", name)
 
 
+def _load_phi3small_weight(tree, cfg, shapes, linear_method, name,
+                           w) -> None:
+    """Phi-3-Small naming (reference models/phi3_small.py): HEAD-MAJOR
+    fused query_key_value ([(q_per_kv + 2) * head_dim] per kv group),
+    biased dense, up_proj/down_proj gegelu MLP, LayerNorm leaves."""
+    import numpy as np
+    put = _mk_put_linear(tree, linear_method)
+    if name == "model.embed_tokens.weight":
+        tree["embed_tokens"]["weight"] = w
+        return
+    if name.startswith("model.final_layernorm."):
+        tree["norm"][name.split(".")[-1]] = w
+        return
+    if name == "lm_head.weight":
+        if "lm_head" in shapes:
+            tree["lm_head"] = {"weight": w.T}
+        return
+    if not name.startswith("model.layers."):
+        logger.warning("unmapped phi3small weight %s", name)
+        return
+    parts = name.split(".")
+    li = int(parts[2])
+    L = tree["layers"][li]
+    sub = ".".join(parts[3:-1])
+    leaf = parts[-1]
+    d = cfg.head_dim
+    kvh = cfg.num_key_value_heads
+    rep = cfg.num_attention_heads // kvh
+    if sub == "self_attn.query_key_value":
+        wa = np.asarray(w)
+        grp = wa.reshape(kvh, (rep + 2) * d, *wa.shape[1:])
+        qs = grp[:, :rep * d].reshape(kvh * rep * d, *wa.shape[1:])
+        ks = grp[:, rep * d:(rep + 1) * d].reshape(kvh * d,
+                                                   *wa.shape[1:])
+        vs = grp[:, (rep + 1) * d:].reshape(kvh * d, *wa.shape[1:])
+        if leaf == "weight":
+            put(L, "q_proj", qs.T)
+            put(L, "k_proj", ks.T)
+            put(L, "v_proj", vs.T)
+        else:
+            L["q_proj_bias"] = {"bias": qs}
+            L["k_proj_bias"] = {"bias": ks}
+            L["v_proj_bias"] = {"bias": vs}
+    elif sub == "self_attn.dense":
+        if leaf == "weight":
+            put(L, "o_proj", w.T)
+        else:
+            L["o_proj_bias"] = {"bias": w}
+    elif sub == "mlp.up_proj":
+        if leaf == "weight":
+            put(L, "up_proj", w.T)
+        else:
+            L["up_proj_bias"] = {"bias": w}
+    elif sub == "mlp.down_proj":
+        if leaf == "weight":
+            put(L, "down_proj", w.T)
+        else:
+            L["down_proj_bias"] = {"bias": w}
+    elif sub in ("input_layernorm", "post_attention_layernorm"):
+        L.setdefault(sub, {})[leaf] = w
+    else:
+        logger.warning("unmapped phi3small weight %s", name)
+
+
 def _load_prithvi_weight(tree, cfg, name: str, w) -> None:
     """Prithvi MAE encoder naming (timm-style ViT blocks; terratorch
     checkpoints may prefix ``encoder.`` and nest a ``state_dict``).
@@ -1962,6 +2026,7 @@ def load_hf(model, mesh: Mesh, model_dir: str,
                    "fairseq2": _load_fairseq2_weight,
                    "qwen_v1": _load_qwen_v1_weight,
                    "molmo": _load_molmo_weight,
+                   "phi3small": _load_phi3small_weight,
                    "jais": _load_jais_weight}
     if fam == "qwen2_vl":
         nv = model.cfg.vision.depth

@@ -94,6 +94,15 @@ class LlamaConfig:
     # ADDITIONAL_VOCAB_SIZE image-special tokens): inputs may carry ids
     # in [vocab, vocab+extra); logits stay at vocab_size
     embed_extra_rows: int = 0
+    # Phi-3-Small gegelu: up_proj emits 2*ffn INTERLEAVED lanes,
+    # act = quick_gelu(clamp(a)) * (clamp(b) + 1)
+    gegelu_limit: Optional[float] = None
+    # Phi-3-Small blocksparse attention (reference
+    # attention/ops/blocksparse_attention): (block_size, local_blocks,
+    # vert_stride, head_step); dense layers every
+    # blocksparse_dense_every_n
+    blocksparse: Optional[tuple] = None
+    blocksparse_dense_every_n: Optional[int] = None
     residual_multiplier: float = 1.0  # Granite
     attention_multiplier: Optional[float] = None  # Granite sm_scale
     logit_scale: Optional[float] = None  # Cohere x, Granite 1/scaling
@@ -180,8 +189,11 @@ def _linear_defs(cfg: LlamaConfig):
     if cfg.mlp_style == "swiglu":
         defs.append(("gate_proj", cfg.hidden_size, cfg.intermediate_size,
                      "column"))
+    # gegelu (Phi-3-Small): up emits both interleaved halves
+    up_out = (2 * cfg.intermediate_size if cfg.hidden_act == "gegelu"
+              else cfg.intermediate_size)
     defs += [
-        ("up_proj", cfg.hidden_size, cfg.intermediate_size, "column"),
+        ("up_proj", cfg.hidden_size, up_out, "column"),
         ("down_proj", cfg.intermediate_size, cfg.hidden_size, "row"),
     ]
     return defs
@@ -601,13 +613,17 @@ class LlamaModel:
         cache = write_kv_cache(
             kv_cache, k, v, attn_md["slot_mapping"],
             q_per_row=(spec_win["q_pos"].shape[1] if spec_win else 1))
+        bs_spec = cfg.blocksparse
+        if bs_spec is not None and cfg.blocksparse_dense_every_n and \
+                (li + 1) % cfg.blocksparse_dense_every_n == 0:
+            bs_spec = None  # Phi-3-Small: every n-th layer is dense
         attn = ragged_paged_attention(
             q, cache, attn_md["kv_lens"], attn_md["page_indices"],
             attn_md["cu_q_lens"], attn_md["num_seqs"],
             sm_scale=sm_scale, sliding_window=self.layer_window(li),
             soft_cap=cfg.attn_logit_softcap, decode_mode=decode_mode,
             decode_pages=decode_pages, alibi_slopes=alibi,
-            spec_md=attn_md.get("spec_window"))
+            spec_md=attn_md.get("spec_window"), blocksparse=bs_spec)
         attn = attn.reshape(t, heads * d)
         o = self._lin(lp, "o_proj", attn, lora_layer, lora_md)
         if tp_axis:
@@ -698,7 +714,8 @@ class LlamaModel:
              lora_md: Optional[Dict] = None) -> jax.Array:
         from vllm_pq_tpu.layers.activation import ACT2FN
         cfg = self.cfg
-        act_fn = ACT2FN[cfg.hidden_act]
+        act_fn = (None if cfg.hidden_act == "gegelu"
+                  else ACT2FN[cfg.hidden_act])
         gate_up_bias = cfg.mlp_bias and cfg.mlp_bias != "down"
         if cfg.mlp_style == "mlp":
             # two-linear MLP (GPT-NeoX dense_h_to_4h/4h_to_h, Phi
@@ -706,7 +723,19 @@ class LlamaModel:
             up = self._lin(lp, "up_proj", h, lora_layer, lora_md)
             if gate_up_bias:
                 up = up + lp["up_proj_bias"]["bias"]
-            act = act_fn(up)
+            if cfg.hidden_act == "gegelu":
+                # Phi-3-Small (reference phi3_small.py::gegelu):
+                # interleaved halves, clamped at gegelu_limit
+                a = up[..., 0::2].astype(jnp.float32)
+                b = up[..., 1::2].astype(jnp.float32)
+                lim = cfg.gegelu_limit
+                if lim is not None:
+                    a = jnp.minimum(a, lim)
+                    b = jnp.clip(b, -lim, lim)
+                act = ((a * jax.nn.sigmoid(1.702 * a))
+                       * (b + 1.0)).astype(up.dtype)
+            else:
+                act = act_fn(up)
         else:
             gate = self._lin(lp, "gate_proj", h, lora_layer, lora_md)
             up = self._lin(lp, "up_proj", h, lora_layer, lora_md)

@@ -432,6 +432,63 @@ def _build_qwen_vl(hf_config, config: EngineConfig, linear_method):
     return _build_qwen_v1(hf_config, config, linear_method)
 
 
+@register_model("Phi3SmallForCausalLM")
+def _build_phi3_small(hf_config, config: EngineConfig, linear_method):
+    # Phi-3-Small (reference models/phi3_small.py): LayerNorm blocks,
+    # fused head-major query_key_value + biased dense, gegelu MLP, mup
+    # scaling, and blocksparse attention (local blocks + per-head
+    # vertical stride columns; every n-th layer dense). The sparse
+    # mask runs in the XLA attention paths (ops/attention.py) — the
+    # reference's triton kernel is CUDA-only, so this is the
+    # TPU-native equivalent, not a port.
+    from vllm_pq_tpu.models.llama import LlamaConfig, LlamaModel
+    h = hf_config
+
+    def g(k, d=None):
+        return getattr(h, k, d)
+    heads = g("num_attention_heads", 32)
+    mc = LlamaConfig(
+        vocab_size=g("vocab_size", 100352),
+        hidden_size=g("hidden_size", 4096),
+        intermediate_size=g("intermediate_size", 14336),
+        num_hidden_layers=g("num_hidden_layers", 32),
+        num_attention_heads=heads,
+        num_key_value_heads=g("num_key_value_heads", None) or heads,
+        rms_norm_eps=g("layer_norm_epsilon", 1e-5),
+        rope_theta=g("rope_embedding_base", 1e6),
+        max_position_embeddings=g("max_position_embeddings", 8192),
+        tie_word_embeddings=bool(g("tie_word_embeddings", True)),
+        attention_bias=True,
+    )
+    mc.norm_type = "layernorm"
+    mc.o_proj_bias = True
+    mc.mlp_style = "mlp"
+    mc.mlp_bias = True
+    mc.hidden_act = "gegelu"
+    mc.gegelu_limit = g("gegelu_limit", None)
+    if g("mup_use_scaling", False):
+        # sm_scale = mup_attn_multiplier / head_dim
+        mc.attention_multiplier = (g("mup_attn_multiplier", 1.0)
+                                   / (mc.hidden_size // heads))
+        mc.embed_scale = g("mup_embedding_multiplier", None)
+        wm = g("mup_width_multiplier", None)
+        if wm:
+            mc.logit_scale = 1.0 / wm
+    bs = g("blocksparse_block_size", None)
+    if bs:
+        vs = g("blocksparse_vert_stride", 8)
+        homo = bool(g("blocksparse_homo_head_pattern", False))
+        step = 0 if homo else max(1, vs // heads)
+        mc.blocksparse = (int(bs),
+                          int(g("blocksparse_num_local_blocks", 16)),
+                          int(vs), int(step))
+        mc.blocksparse_dense_every_n = g(
+            "dense_attention_every_n_layers", None)
+    mc.hf_family = "phi3small"
+    mc.dtype = config.model.jax_dtype
+    return LlamaModel(mc, linear_method)
+
+
 @register_model("PrithviGeoSpatialMAE")
 def _build_prithvi(hf_config, config: EngineConfig, linear_method):
     # Prithvi geospatial MAE (reference prithvi_geospatial_mae.py): an

@@ -113,9 +113,15 @@ def ref_ragged_paged_attention(
     sliding_window: Optional[int] = None,
     soft_cap: Optional[float] = None,
     alibi_slopes: Optional[jax.Array] = None,  # f32[HQ] (local shard)
+    blocksparse: Optional[tuple] = None,
 ) -> jax.Array:
     """Jittable masked reference. O(S * pages_per_seq * page_size * T)
-    memory — fine for tests/CPU, not for production TPU."""
+    memory — fine for tests/CPU, not for production TPU.
+
+    ``blocksparse`` = (block_size, local_blocks, vert_stride,
+    head_step): Phi-3-Small's local+vertical-strided block mask
+    (reference attention/ops/blocksparse_attention/utils.py
+    get_sparse_attn_mask) applied per query head h = g*rep + r."""
     t, hq, d = q.shape
     arr = kv_pages.data if isinstance(kv_pages, QuantKV) else kv_pages
     p, ps, ckv, _ = arr.shape
@@ -166,6 +172,17 @@ def ref_ragged_paged_attention(
     # disable padded tokens/seqs
     valid &= (tok < cu_q_lens[num_seqs])[:, None]
     scores = jnp.where(valid[:, None, None, :], scores, MASK_VALUE)
+    if blocksparse is not None:
+        bs_sz, local_b, vs, hstep = blocksparse
+        qb = qpos // bs_sz                          # [T]
+        kb = lpos // bs_sz                          # [L]
+        h_idx = (jnp.arange(kvh, dtype=jnp.int32)[:, None] * rep
+                 + jnp.arange(rep, dtype=jnp.int32)[None])  # [g, r]
+        loc = (qb[:, None] - kb[None]) < local_b    # [T, L]
+        vert = ((kb[None, None, None, :]
+                 + h_idx[None, :, :, None] * hstep + 1) % vs == 0)
+        ok = loc[:, None, None, :] | vert
+        scores = jnp.where(ok, scores, MASK_VALUE)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("tkrl,tlkd->tkrd", probs, vq.astype(jnp.float32))
     return out.reshape(t, hq, d).astype(q.dtype)
@@ -175,7 +192,8 @@ def xla_decode_attention(q, kv_pages, kv_lens, page_indices, *,
                          n_pages: int, sm_scale: float = 1.0,
                          sliding_window: Optional[int] = None,
                          soft_cap: Optional[float] = None,
-                         alibi_slopes: Optional[jax.Array] = None
+                         alibi_slopes: Optional[jax.Array] = None,
+                         blocksparse: Optional[tuple] = None
                          ) -> jax.Array:
     """Pure-XLA decode attention: gather this step's KV pages densely
     and run one batched masked attention.
@@ -221,6 +239,17 @@ def xla_decode_attention(q, kv_pages, kv_lens, page_indices, *,
     if sliding_window is not None:
         mask &= pos > lens - 1 - sliding_window
     scores = jnp.where(mask, scores, MASK_VALUE)
+    if blocksparse is not None:
+        bs_sz, local_b, vs, hstep = blocksparse
+        qpos_b = (kv_lens[:s] - 1) // bs_sz              # [S]
+        kb = jnp.arange(n_pages * ps, dtype=jnp.int32) // bs_sz
+        h_idx = (jnp.arange(kvh, dtype=jnp.int32)[:, None] * rep
+                 + jnp.arange(rep, dtype=jnp.int32)[None])
+        loc = (qpos_b[:, None] - kb[None]) < local_b     # [S, L]
+        vert = ((kb[None, None, None, :]
+                 + h_idx[None, :, :, None] * hstep + 1) % vs == 0)
+        ok = loc[:, None, None, :] | vert
+        scores = jnp.where(ok, scores, MASK_VALUE)
     p = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("sgrl,slgd->sgrd", p.astype(v.dtype), v)
     out = out.reshape(s, hq, d)
@@ -322,7 +351,8 @@ def ragged_paged_attention(q, kv_pages, kv_lens, page_indices, cu_q_lens,
                            decode_mode: bool = False,
                            decode_pages: Optional[int] = None,
                            alibi_slopes: Optional[jax.Array] = None,
-                           spec_md: Optional[dict] = None
+                           spec_md: Optional[dict] = None,
+                           blocksparse: Optional[tuple] = None
                            ) -> jax.Array:
     """Dispatch to the best implementation for the current device.
 
@@ -356,13 +386,15 @@ def ragged_paged_attention(q, kv_pages, kv_lens, page_indices, cu_q_lens,
     # dims (e.g. DeepSeek MLA's 192) take the XLA paths. Int8 KV
     # dequant is fused into the XLA gather paths only.
     kernel_ok = (q.shape[-1] in (64, 128)
-                 and not isinstance(kv_pages, QuantKV))
+                 and not isinstance(kv_pages, QuantKV)
+                 and blocksparse is None)
     if decode_mode and (not kernel_ok or alibi_slopes is not None):
         return xla_decode_attention(
             q, kv_pages, kv_lens, page_indices,
             n_pages=decode_pages or page_indices.shape[1],
             sm_scale=sm_scale, sliding_window=sliding_window,
-            soft_cap=soft_cap, alibi_slopes=alibi_slopes)
+            soft_cap=soft_cap, alibi_slopes=alibi_slopes,
+            blocksparse=blocksparse)
     if not kernel_ok and backend != "ref":
         backend = "ref"
     # decode dispatch: the XLA gather path IS the decode default. On
@@ -381,12 +413,14 @@ def ragged_paged_attention(q, kv_pages, kv_lens, page_indices, cu_q_lens,
             q, kv_pages, kv_lens, page_indices,
             n_pages=decode_pages or page_indices.shape[1],
             sm_scale=sm_scale, sliding_window=sliding_window,
-            soft_cap=soft_cap)
-    if backend == "ref" or (not on_tpu and backend != "pallas"):
+            soft_cap=soft_cap, blocksparse=blocksparse)
+    if backend == "ref" or (not on_tpu and backend != "pallas") \
+            or blocksparse is not None:
         return ref_ragged_paged_attention(
             q, kv_pages, kv_lens, page_indices, cu_q_lens, num_seqs,
             sm_scale=sm_scale, sliding_window=sliding_window,
-            soft_cap=soft_cap, alibi_slopes=alibi_slopes)
+            soft_cap=soft_cap, alibi_slopes=alibi_slopes,
+            blocksparse=blocksparse)
     from vllm_pq_tpu.ops.rpa_kernel import ragged_paged_attention_pallas
     if alibi_slopes is not None:
         alibi_slopes = jnp.asarray(alibi_slopes, jnp.float32)

@@ -970,6 +970,8 @@ class ModelRunner:
         mode = envs.VPQ_WINDOW_ARENA
         if mode == "0" or self.cache_kinds:
             return False
+        if getattr(self.model.cfg, "blocksparse", None) is not None:
+            return False  # Phi-3-Small masks live in the paged paths
         kv_shape = self.model.kv_cache_shape(1, self.block_size, tp_size=1)
         if len(kv_shape) != 4:
             return False  # MLA latent caches: paged path
@@ -1395,7 +1397,17 @@ class ModelRunner:
             in_specs=(self._layer_specs(n_layers), ring_spec, ring_spec,
                       P()),
             out_specs=self._layer_specs(n_layers))
-        fn = jax.jit(sharded, donate_argnums=(0,))
+        # Donating the pool into the fold while the WINDOW execution
+        # still holds a read on it makes PJRT protectively copy every
+        # layer's cache at ~450 us each (20-38 ms/window, r4 profile).
+        # Default: no donation — the in-program functional scatter
+        # copies the pool ONCE at HBM stream speed (~2.3 ms/window),
+        # an order of magnitude cheaper than the runtime's conservative
+        # copies. VPQ_FOLD_DONATE=1 restores donation for A/B.
+        if os.environ.get("VPQ_FOLD_DONATE", "0") == "1":
+            fn = jax.jit(sharded, donate_argnums=(0,))
+        else:
+            fn = jax.jit(sharded)
         self._step_fns[key] = fn
         return fn
 
