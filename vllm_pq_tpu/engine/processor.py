@@ -200,6 +200,19 @@ class Processor:
                             ImageProcessor.from_pretrained(
                                 self.config.model.model,
                                 default_size=vsize))
+                elif arch0 == "Phi4MMForCausalLM":
+                    # Phi-4-MM rides the phi3v HD expansion with
+                    # side2 = (448/14)/2/2 = 8 (AvgPool compression)
+                    from vllm_pq_tpu.multimodal.image import ImageProcessor
+                    vc = raw.get("vision_config") or {}
+                    vsize = vc.get("image_size", 448)
+                    psize = vc.get("patch_size", 14)
+                    spec = ("phi3v",
+                            raw.get("image_token_id", 200010),
+                            vsize, (vsize // psize) // 4,
+                            ImageProcessor.from_pretrained(
+                                self.config.model.model,
+                                default_size=vsize))
                 elif arch0 == "UltravoxModel":
                     ac = raw.get("audio_config", {})
                     spec = ("ultravox",

@@ -1969,7 +1969,8 @@ def load_hf(model, mesh: Mesh, model_dir: str,
             "resampler": {},
         }
     is_phi3v = model.__class__.__name__ == "Phi3VModel"
-    if is_phi3v:
+    is_phi4mm = model.__class__.__name__ == "Phi4MMModel"
+    if is_phi3v or is_phi4mm:
         tree["vision"] = {
             "tower": {"layers": [dict() for _ in range(
                 model.vision_tower.n_blocks)]},
@@ -2509,6 +2510,34 @@ def load_hf(model, mesh: Mesh, model_dir: str,
                     name = "model." + name
             elif name.startswith(("apm.", "tts.", "audio_projection")):
                 continue  # MiniCPM-O audio/TTS heads: unused at serving
+        if is_phi4mm:
+            # Phi-4-MM (reference models/phi4mm.py): vision under
+            # model.embed_tokens_extend.image_embed.*; the audio_embed
+            # conformer is not yet implemented (skipped); base decoder
+            # is Phi-4-mini with fused qkv/gate_up (generic branch)
+            if ".image_embed." in name:
+                rest = name.split(".image_embed.", 1)[1]
+                if rest.startswith("img_processor."):
+                    sub = rest.split("img_processor.", 1)[1]
+                    if sub.startswith("vision_model."):
+                        sub = sub[len("vision_model."):]
+                    _load_siglip_vision(tree["vision"]["tower"], sub,
+                                        tensor)
+                elif rest in ("glb_GN", "sub_GN"):
+                    tree["vision"][rest] = {
+                        "weight": tensor.reshape(-1)}
+                elif rest.startswith("img_projection."):
+                    parts = rest.split(".")
+                    sub = {"0": "linear_1", "2": "linear_2"}[parts[1]]
+                    d = tree["vision"]["projector"].setdefault(sub, {})
+                    d[parts[2]] = (tensor.T if parts[2] == "weight"
+                                   else tensor)
+                else:
+                    logger.warning("unmapped phi4mm vision weight %s",
+                                   name)
+                continue
+            if ".audio_embed." in name or "audial" in name:
+                continue  # conformer encoder: not yet implemented
         if is_phi3v and ".vision_embed_tokens." in name:
             # Phi-3-Vision (reference models/phi3v.py weight names):
             # model.vision_embed_tokens.{img_processor.vision_model.*,

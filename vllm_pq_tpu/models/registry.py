@@ -872,6 +872,37 @@ def _build_phi3v(hf_config, config: EngineConfig, linear_method):
         image_token_index=getattr(hf_config, "image_token_id", 32044))
 
 
+@register_model("Phi4MMForCausalLM")
+def _build_phi4mm(hf_config, config: EngineConfig, linear_method):
+    # Phi-4-multimodal (reference models/phi4mm.py): SigLIP-so400m
+    # tapped at layer -2 + AvgPool2d token compression + the Phi-3V HD
+    # transform on the Phi-4-mini decoder; modality LoRAs
+    # (vision-lora/speech-lora PEFT dirs) serve via lora/; audio
+    # encoder not yet implemented
+    from vllm_pq_tpu.models.llama import LlamaConfig
+    from vllm_pq_tpu.models.phi4mm import Phi4MMModel
+    from vllm_pq_tpu.multimodal.siglip import SiglipVisionConfig
+    mc = LlamaConfig.from_hf_config(hf_config)
+    mc.dtype = config.model.jax_dtype
+    vc = getattr(hf_config, "vision_config", None)
+    if isinstance(vc, dict):
+        from types import SimpleNamespace
+        vc = SimpleNamespace(**vc)
+    if vc is not None:
+        vcfg = SiglipVisionConfig.from_hf(vc)
+    else:
+        # SigLIP so400m/patch14/448 (reference phi4mm.py
+        # get_navit_vision_model)
+        vcfg = SiglipVisionConfig(
+            hidden_size=1152, intermediate_size=4304,
+            num_hidden_layers=27, num_attention_heads=16,
+            image_size=448, patch_size=14)
+    return Phi4MMModel(
+        mc, vcfg, linear_method,
+        image_token_index=getattr(hf_config, "image_token_id",
+                                  200010))
+
+
 @register_model("UltravoxModel")
 def _build_ultravox(hf_config, config: EngineConfig, linear_method):
     # Ultravox speech-language (reference models/ultravox.py): Whisper

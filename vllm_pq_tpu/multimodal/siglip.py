@@ -67,9 +67,13 @@ class SiglipVisionTower:
     tower (models/idefics3.py)."""
 
     def __init__(self, cfg: SiglipVisionConfig, position_ids=None,
-                 apply_post_layernorm: bool = True):
+                 apply_post_layernorm: bool = True,
+                 run_blocks: int = None):
         self.cfg = cfg
         self.n_blocks = cfg.num_hidden_layers
+        # Phi-4-MM taps hidden_states[-2]: run all but the last block
+        # (param templates keep every layer so checkpoints load whole)
+        self.run_blocks = run_blocks
         self.position_ids = position_ids
         # LLaVA-OneVision taps hidden_states[-1], i.e. the last block
         # output BEFORE the final post_layernorm (HF
@@ -133,7 +137,10 @@ class SiglipVisionTower:
         nh = cfg.num_attention_heads
         d = cfg.hidden_size // nh
         scale = d ** -0.5
-        for lp in params["layers"]:
+        layers = params["layers"]
+        if self.run_blocks is not None:
+            layers = layers[:self.run_blocks]
+        for lp in layers:
             h_in = _ln(x, lp["layer_norm1"], eps)
             t = h_in.shape[1]
 
