@@ -241,7 +241,8 @@ def parent_main():
             if _left() < 260:
                 errors.append(f"{name} skipped (deadline)")
                 continue
-            budget = min(_left() - 40, 500)
+            # specwin boots TWO engines (plain + spec arm): wider budget
+            budget = min(_left() - 40, 800 if name == "specwin" else 500)
             _log(f"{name} run (timeout {budget:.0f}s)")
             extra = run_measurement(name.replace("_fused", ""), budget,
                                     env_extra=env)
