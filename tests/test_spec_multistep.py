@@ -157,6 +157,52 @@ def test_spec_window_accepts_and_advances(tmp_path):
             sched.spec_stats_accepted, sched.spec_stats_proposed)
 
 
+def test_spec_window_sliding_window_model(tmp_path, dirs):
+    """Sliding-window attention composes: the spec window's per-entry
+    position masks must respect the layer window."""
+    from vllm_pq_tpu import LLM, SamplingParams
+    _, heads_dir = dirs
+    cfg = dict(TINY)
+    cfg["sliding_window"] = 24
+    m = tmp_path / "swmodel"
+    m.mkdir()
+    json.dump(cfg, open(m / "config.json", "w"))
+    sp = SamplingParams(temperature=0.0, max_tokens=21, ignore_eos=True)
+    prompts = [{"prompt_token_ids": [7, 8, 9, 10, 11]},
+               {"prompt_token_ids": [3, 4, 5]}]
+    ref = LLM(model=str(m), **KW)
+    exp = [o.outputs[0].token_ids for o in ref.generate(prompts, sp)]
+    del ref
+    llm = LLM(model=str(m), speculative_method="medusa",
+              speculative_model=heads_dir, num_speculative_tokens=2,
+              num_scheduler_steps=4, **KW)
+    got = [o.outputs[0].token_ids for o in llm.generate(prompts, sp)]
+    assert got == exp
+
+
+def test_spec_window_prefix_caching(dirs):
+    """Prefix caching on: over-allocated window slots and the
+    device-computed fold must keep the block pool consistent."""
+    from vllm_pq_tpu import LLM, SamplingParams
+    model_dir, heads_dir = dirs
+    kw = dict(KW)
+    kw["enable_prefix_caching"] = True
+    llm = LLM(model=model_dir, speculative_method="medusa",
+              speculative_model=heads_dir, num_speculative_tokens=2,
+              num_scheduler_steps=4, **kw)
+    sp = SamplingParams(temperature=0.0, max_tokens=18, ignore_eos=True)
+    shared = list(range(40, 60))
+    prompts = [{"prompt_token_ids": shared + [7]},
+               {"prompt_token_ids": shared + [9]}]
+    outs1 = [o.outputs[0].token_ids for o in llm.generate(prompts, sp)]
+    outs2 = [o.outputs[0].token_ids for o in llm.generate(prompts, sp)]
+    assert outs1 == outs2
+    pool = llm.llm_engine.engine_core.scheduler \
+        .kv_cache_manager.block_pool
+    # cached blocks stay allocated by design; nothing leaks beyond them
+    assert pool.get_num_free_blocks() > 0
+
+
 def test_spec_window_sampled_smoke(dirs):
     """Non-greedy rows go through rejection sampling inside the window;
     streams differ from single-step (drafts change the accept path) but
