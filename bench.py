@@ -297,6 +297,8 @@ MODEL_CFGS["longctx"] = MODEL_CFGS["flagship"]
 
 
 def child_specwin():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          "/tmp/vpq_jax_cache")
     """Speculative multi-step windows on the flagship config (VERDICT
     r4 missing #5 done-criterion): batch-256 decode windows WITH
     in-graph medusa drafts vs plain windows, same child process.
@@ -458,6 +460,10 @@ def child_specwin():
 
 
 def child_main(model_name):
+    # direct --child invocations (dev A/Bs) get the same persistent
+    # compile cache as parent-spawned children
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          "/tmp/vpq_jax_cache")
     if model_name == "specwin":
         return child_specwin()
     # flagship: one compiled variant per step kind — kills the two

@@ -2758,17 +2758,17 @@ class ModelRunner:
             out = ModelRunnerOutput()
             toks_np = np.asarray(jax.device_get(toks_all))
             gens_np = np.asarray(jax.device_get(gens_all))
-            n = toks_np.shape[0]
+            k1 = toks_np.shape[2]
+            # accepted-prefix mask [N, S, K+1]; per row the accepted
+            # tokens concatenate in iteration order
+            mask = (np.arange(k1)[None, None, :]
+                    < gens_np[:, :, None])
             for row, rid in enumerate(row_req_ids):
                 if rid is None:
                     continue
-                toks = []
-                for i in range(n):
-                    toks.extend(
-                        int(t) for t in toks_np[i, row,
-                                                :int(gens_np[i, row])])
                 out.req_ids.append(rid)
-                out.sampled_token_ids[rid] = toks
+                out.sampled_token_ids[rid] = \
+                    toks_np[:, row][mask[:, row]].tolist()
             return out
         all_toks, row_req_ids = h
         out = ModelRunnerOutput()
