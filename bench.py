@@ -556,11 +556,18 @@ def child_main(model_name):
     sp = SamplingParams(temperature=0.0, max_tokens=decode_steps,
                         ignore_eos=True)
 
-    # warmup: compile prefill + decode buckets
-    warm = [{"prompt_token_ids": p["prompt_token_ids"][:]}
-            for p in prompts[:2]]
-    llm.generate(warm, SamplingParams(temperature=0.0, max_tokens=4,
-                                      ignore_eos=True))
+    # warmup: compile prefill + decode buckets. SKIPPED for the
+    # multi-step-window configs: the tiny warm generation compiles the
+    # SINGLE-STEP t=64 prefill and t=16 decode variants that the
+    # windowed main run never executes — measured 25 minutes of remote
+    # compile on a degraded tunnel for graphs the benchmark does not
+    # need (the tail past the measured windows is ABORTED below for
+    # the same reason).
+    if sched_steps <= 1:
+        warm = [{"prompt_token_ids": p["prompt_token_ids"][:]}
+                for p in prompts[:2]]
+        llm.generate(warm, SamplingParams(temperature=0.0, max_tokens=4,
+                                          ignore_eos=True))
 
     eng = llm.llm_engine
     for i, p in enumerate(prompts):
