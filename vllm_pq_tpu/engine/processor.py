@@ -202,17 +202,24 @@ class Processor:
                                 default_size=vsize))
                 elif arch0 == "Phi4MMForCausalLM":
                     # Phi-4-MM rides the phi3v HD expansion with
-                    # side2 = (448/14)/2/2 = 8 (AvgPool compression)
+                    # side2 = (448/14)/2/2 = 8 (AvgPool compression);
+                    # the extended fields carry the AUDIO placeholder
+                    # (conformer span = ceil(frames / time_reduction))
                     from vllm_pq_tpu.multimodal.image import ImageProcessor
                     vc = raw.get("vision_config") or {}
                     vsize = vc.get("image_size", 448)
                     psize = vc.get("patch_size", 14)
+                    ap = ((raw.get("audio_processor") or {})
+                          .get("config") or {})
                     spec = ("phi3v",
                             raw.get("image_token_id", 200010),
                             vsize, (vsize // psize) // 4,
                             ImageProcessor.from_pretrained(
                                 self.config.model.model,
-                                default_size=vsize))
+                                default_size=vsize),
+                            raw.get("audio_token_id", 200011),
+                            ap.get("time_reduction", 8),
+                            ap.get("input_size", 80))
                 elif arch0 == "UltravoxModel":
                     ac = raw.get("audio_config", {})
                     spec = ("ultravox",
@@ -428,6 +435,38 @@ class Processor:
                 prev = spot + 1
             out.extend(token_ids[prev:])
             return out, mm_inputs
+        if spec and spec[0] == "phi3v" and len(spec) > 5 \
+                and "audio" in mm_data:
+            # Phi-4-MM audio: each placeholder expands to
+            # ceil(mel_frames / time_reduction) conformer tokens; the
+            # payload is the precomputed logfbank [T, n_mels]
+            import numpy as np
+            from vllm_pq_tpu.multimodal import MMInput
+            audio_tok, reduction = spec[5], spec[6]
+            audios = mm_data["audio"]
+            if not isinstance(audios, (list, tuple)):
+                audios = [audios]
+            spots = [i for i, t in enumerate(token_ids)
+                     if t == audio_tok]
+            if len(spots) != len(audios):
+                raise ValueError(
+                    f"prompt has {len(spots)} audio placeholders but "
+                    f"{len(audios)} audios were provided")
+            out: list = []
+            mm_inputs = []
+            prev = 0
+            for spot, au in zip(spots, audios):
+                out.extend(token_ids[prev:spot])
+                mel = np.asarray(
+                    au["mel"] if isinstance(au, dict) else au,
+                    np.float32)
+                n_tok = -(-mel.shape[0] // reduction)
+                mm_inputs.append(MMInput(offset=len(out), length=n_tok,
+                                         pixel_values=mel))
+                out.extend([audio_tok] * n_tok)
+                prev = spot + 1
+            out.extend(token_ids[prev:])
+            return out, mm_inputs
         if spec and spec[0] == "phi3v":
             # Phi-3-Vision HD transform spans (reference phi3v.py
             # get_num_image_tokens); pixels arrive [crops+1, 3, S, S]
@@ -436,7 +475,7 @@ class Processor:
 
             from vllm_pq_tpu.models.phi3v import phi3v_feature_span
             from vllm_pq_tpu.multimodal import MMInput
-            _, image_tok, vsize, side2, improc = spec
+            image_tok, vsize, side2, improc = spec[1:5]
             images = mm_data.get("image")
             if images is None:
                 raise ValueError("multi_modal_data must contain 'image'")

@@ -667,6 +667,102 @@ def _load_phi3small_weight(tree, cfg, shapes, linear_method, name,
         logger.warning("unmapped phi3small weight %s", name)
 
 
+def _load_phi4mm_audio_weight(A: dict, rest: str, w) -> None:
+    """Phi-4-MM conformer names (reference phi4mm_audio.py module
+    tree) -> models/phi4mm_audio.py template. Conv kernels transpose
+    to HWIO; torch Sequential indices map positionally (activations
+    hold no params, so conv.0/2/3/5/6... collapse to our dense list)."""
+    import numpy as np
+    parts = rest.split(".")
+    leaf = parts[-1]
+    if rest.startswith("encoder.encoder_embedding."):
+        A["mean" if leaf == "global_mean" else "invstd"] = \
+            {"weight": w}
+        return
+    if rest.startswith("encoder.embed.conv."):
+        # Sequential: [conv2d, act] + (dw, pw, act)*: param-carrying
+        # indices 0, 2, 3, 5, 6, ... -> dense list 0, 1, 2, 3, 4, ...
+        idx = int(parts[3])
+        if idx == 0:
+            dense = 0
+        else:
+            grp, off = divmod(idx - 2, 3)   # off: 0=dw, 1=pw
+            dense = 1 + 2 * grp + off
+        d = A["nemo"]["layers"][dense]
+        if leaf == "weight":
+            d["weight"] = np.asarray(w).transpose(2, 3, 1, 0)
+        else:
+            d["bias"] = w
+        return
+    if rest.startswith("encoder.embed.out."):
+        A["nemo"]["out"][leaf] = w.T if leaf == "weight" else w
+        return
+    if rest.startswith("encoder.relative_attention_bias_layer."):
+        A["t5_bias"] = {"weight": w}
+        return
+    if rest.startswith("encoder.encoders."):
+        B = A["blocks"][int(parts[2])]
+        sub = parts[3]
+        if sub in ("feed_forward_in", "feed_forward_out"):
+            F = B["ff_in" if sub == "feed_forward_in" else "ff_out"]
+            if parts[4] == "layer_norm":
+                F.setdefault("ln", {})[leaf] = w
+            elif parts[4] == "net" and parts[5] == "0":
+                F.setdefault("glu", {})[leaf] = (
+                    w.T if leaf == "weight" else w)
+            elif parts[4] == "net" and parts[5] == "2":
+                F.setdefault("out", {})[leaf] = (
+                    w.T if leaf == "weight" else w)
+            return
+        if sub == "self_attn":
+            m = {"linear_q": "q", "linear_k": "k", "linear_v": "v",
+                 "linear_out": "out"}
+            ours = m.get(parts[4])
+            if ours:
+                B["attn"].setdefault(ours, {})[leaf] = (
+                    w.T if leaf == "weight" else w)
+            return
+        if sub == "conv":
+            C = B["conv"]
+            if parts[4] == "layer_norm":
+                C.setdefault("ln", {})[leaf] = w
+            elif parts[4] == "glu":
+                if parts[5] == "ext_pw_conv_1d":
+                    C.setdefault("glu_w", {})[leaf] = (
+                        np.asarray(w).transpose(2, 1, 0)
+                        if leaf == "weight" else w)
+                elif parts[5] in ("b1", "b2"):
+                    C["glu_" + parts[5]] = {
+                        "weight": np.asarray(w).reshape(-1)}
+            elif parts[4] == "dw_sep_conv_1d":
+                which = "dw" if parts[5] == "dw_conv" else "pw"
+                C.setdefault(which, {})[leaf] = (
+                    np.asarray(w).transpose(2, 1, 0)
+                    if leaf == "weight" else w)
+            elif parts[4] == "ext_pw_conv_1d":
+                C.setdefault("ext_pw", {})[leaf] = (
+                    np.asarray(w).transpose(2, 1, 0)
+                    if leaf == "weight" else w)
+            return
+        if sub == "layer_norm_att":
+            B.setdefault("ln_att", {})[leaf] = w
+            return
+        if sub == "layer_norm":
+            B.setdefault("ln", {})[leaf] = w
+            return
+        return
+    if rest.startswith("audio_projection.speech."):
+        idx = parts[2]
+        sub = {"0": "linear_1", "2": "linear_2"}.get(idx)
+        if sub:
+            A["proj"].setdefault(sub, {})[leaf] = (
+                w.T if leaf == "weight" else w)
+        return
+    if rest.startswith("audio_projection.vision."):
+        return  # vision-speech projection: speech mode served
+    logger.warning("unmapped phi4mm audio weight %s", rest)
+
+
 def _load_prithvi_weight(tree, cfg, name: str, w) -> None:
     """Prithvi MAE encoder naming (timm-style ViT blocks; terratorch
     checkpoints may prefix ``encoder.`` and nest a ``state_dict``).
@@ -1976,6 +2072,16 @@ def load_hf(model, mesh: Mesh, model_dir: str,
                 model.vision_tower.n_blocks)]},
             "projector": {},
         }
+    if is_phi4mm and getattr(model, "audio_encoder", None) is not None:
+        enc = model.audio_encoder
+        tree["vision"]["audio"] = {
+            "nemo": {"layers": [dict() for _ in range(
+                2 * enc.n_sub - 1)], "out": {}},
+            "blocks": [
+                {"ff_in": {}, "attn": {}, "conv": {}, "ff_out": {}}
+                for _ in range(enc.cfg.num_blocks)],
+            "proj": {},
+        }
     is_ultravox = model.__class__.__name__ == "UltravoxModel"
     is_q2audio = model.__class__.__name__ == "Qwen2AudioModel" \
         or is_ultravox
@@ -2536,8 +2642,13 @@ def load_hf(model, mesh: Mesh, model_dir: str,
                     logger.warning("unmapped phi4mm vision weight %s",
                                    name)
                 continue
-            if ".audio_embed." in name or "audial" in name:
-                continue  # conformer encoder: not yet implemented
+            if ".audio_embed." in name:
+                if "audio" not in tree.get("vision", {}):
+                    continue  # no audio_processor config
+                _load_phi4mm_audio_weight(
+                    tree["vision"]["audio"],
+                    name.split(".audio_embed.", 1)[1], tensor)
+                continue
         if is_phi3v and ".vision_embed_tokens." in name:
             # Phi-3-Vision (reference models/phi3v.py weight names):
             # model.vision_embed_tokens.{img_processor.vision_model.*,

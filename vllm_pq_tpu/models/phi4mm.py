@@ -35,27 +35,46 @@ class Phi4MMModel(Phi3VModel):
 
     def __init__(self, cfg: LlamaConfig, vision_cfg,
                  linear_method: LinearMethod,
-                 image_token_index: int = 200010):
+                 image_token_index: int = 200010,
+                 audio_cfg: dict = None,
+                 audio_token_index: int = 200011):
         from vllm_pq_tpu.multimodal.siglip import SiglipVisionTower
         # skip Phi3VModel.__init__'s CLIP tower: rebuild with SigLIP
         super(Phi3VModel, self).__init__(cfg, linear_method)
         self.vision_cfg = vision_cfg
         self.image_token_index = image_token_index
+        self.audio_token_index = audio_token_index
         self.vision_tower = SiglipVisionTower(
             vision_cfg, apply_post_layernorm=False,
             run_blocks=vision_cfg.num_hidden_layers - 1)
+        self.audio_encoder = None
+        if audio_cfg:
+            from vllm_pq_tpu.models.phi4mm_audio import (
+                ConformerConfig, Phi4MMAudioEncoder)
+            self.audio_encoder = Phi4MMAudioEncoder(
+                ConformerConfig.from_hf(audio_cfg), cfg.hidden_size)
 
     def param_shapes(self) -> Dict:
         shapes = super().param_shapes()
         dt = self.cfg.dtype
         # same template as Phi3V, but the tower is SigLIP
         shapes["vision"]["tower"] = self.vision_tower.param_shapes(dt)
+        if self.audio_encoder is not None:
+            shapes["vision"]["audio"] = \
+                self.audio_encoder.param_shapes(dt)
         return shapes
 
     def encode_images(self, vision_params: Dict, pixels: jax.Array,
                       grid_thw: Tuple[int, int] = None) -> jax.Array:
         """pixels [num_crops+1, 3, 448, 448] (global first) + static
-        (h_crop, w_crop) -> [span, text_hidden]."""
+        (h_crop, w_crop) -> [span, text_hidden]. A 3D [1, T, n_mels]
+        input is an AUDIO logfbank instead: it runs the conformer
+        encoder (models/phi4mm_audio.py)."""
+        if pixels.ndim == 3:
+            assert self.audio_encoder is not None, \
+                "audio input but no audio_processor config"
+            return self.audio_encoder(vision_params["audio"],
+                                      pixels[0])[None]
         h_crop, w_crop = grid_thw
         feats = self.vision_tower(vision_params["tower"], pixels)
         # 2x2 AvgPool token compression (reference phi4mm.py:398)

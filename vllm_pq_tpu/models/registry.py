@@ -897,10 +897,18 @@ def _build_phi4mm(hf_config, config: EngineConfig, linear_method):
             hidden_size=1152, intermediate_size=4304,
             num_hidden_layers=27, num_attention_heads=16,
             image_size=448, patch_size=14)
+    ap = getattr(hf_config, "audio_processor", None) or {}
+    if isinstance(ap, dict):
+        audio_cfg = ap.get("config")
+    else:
+        audio_cfg = getattr(ap, "config", None)
     return Phi4MMModel(
         mc, vcfg, linear_method,
         image_token_index=getattr(hf_config, "image_token_id",
-                                  200010))
+                                  200010),
+        audio_cfg=audio_cfg,
+        audio_token_index=getattr(hf_config, "audio_token_id",
+                                  200011))
 
 
 @register_model("UltravoxModel")
