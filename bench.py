@@ -431,9 +431,14 @@ def child_specwin():
             samples.append((time.perf_counter() - ts, nt))
             if any(o.finished for o in outs):
                 break
+        # abort the tail: the sub-window leftovers would compile the
+        # single-step decode variant this benchmark never needs
+        sched = eng.engine_core.scheduler
+        eng.engine_core.abort_requests(
+            [r.request_id for r in list(sched.running)]
+            + [r.request_id for r in list(sched.waiting)])
         while eng.has_unfinished_requests():
             eng.step()
-        sched = eng.engine_core.scheduler
         prop, acc = sched.spec_stats_proposed, sched.spec_stats_accepted
         # aggregate over busy windows, dropping the slowest (compile)
         busy = [(dt, nt) for dt, nt in samples if nt > 0]
