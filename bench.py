@@ -323,7 +323,13 @@ def child_specwin():
     on_tpu = platform == "tpu"
     model_cfg = dict(MODEL_CFGS["flagship"])
     model_cfg["tie_word_embeddings"] = True
-    batch, prompt_len, decode_steps, sched_steps = 256, 32, 193, 32
+    # batch 32 default: at batch 256 the decode iteration is COMPUTE-
+    # bound on this chip, so K+1-token verification scales time with
+    # tokens and speculation cannot win (measured 19.3k vs 23.8k tok/s
+    # at 100% acceptance — BENCHMARKS.md round 5); the bandwidth-bound
+    # small-batch regime is where the weight-stream amortization pays
+    batch = int(os.environ.get("VPQ_BENCH_SPEC_BATCH", "32"))
+    prompt_len, decode_steps, sched_steps = 32, 193, 32
     spec_k = int(os.environ.get("VPQ_BENCH_SPEC_K", "2"))
     max_len = 512  # spec windows reserve n*(k+1) slots of headroom
     if not on_tpu:
@@ -386,6 +392,22 @@ def child_specwin():
             r.medusa_heads = [{"res": [], "lm": emb_t}
                               for _ in range(spec_k)]
 
+    # dev bisect hooks (BENCH_DEBUG prints per-window walls)
+    stub = os.environ.get("VPQ_SPECWIN_STUB", "")
+    if stub == "attn":
+        import vllm_pq_tpu.ops.window_attention as _wa
+
+        def _stub_attn(q, wc, spec_md, *, sm_scale,
+                       sliding_window=None, soft_cap=None):
+            return q
+        _wa.window_attention_spec = _stub_attn
+    elif stub == "medusa":
+        import vllm_pq_tpu.spec_decode.medusa as _md
+
+        def _stub_drafts(heads, h):
+            return jnp.zeros((h.shape[0], len(heads)), jnp.int32)
+        _md.medusa_drafts = _stub_drafts
+
     def run_arm(spec):
         extra = (dict(speculative_method="medusa",
                       speculative_model=hd,
@@ -405,7 +427,7 @@ def child_specwin():
         # window's one-time compile INSIDE the timed samples: 55 tok/s
         # artifact at 98% acceptance)
         warm_sp = SamplingParams(temperature=0.0,
-                                 max_tokens=2 * sched_steps,
+                                 max_tokens=decode_steps,
                                  ignore_eos=True)
         for i, p2 in enumerate(prompts):
             eng.add_request(f"warm{i}", p2, warm_sp)
@@ -439,11 +461,16 @@ def child_specwin():
                 emitted[o.request_id] = tot
             return n
         samples = []
+        dbg = os.environ.get("BENCH_DEBUG")
         while eng.has_unfinished_requests():
             ts = time.perf_counter()
             outs = eng.step()
             nt = _new_tokens(outs)
             samples.append((time.perf_counter() - ts, nt))
+            if dbg:
+                print(f"specwin[{'spec' if spec else 'plain'}] step: "
+                      f"{(time.perf_counter() - ts) * 1e3:.1f} ms, "
+                      f"{nt} toks", file=sys.stderr, flush=True)
             if any(o.finished for o in outs):
                 break
         # abort the tail: the sub-window leftovers would compile the

@@ -1449,7 +1449,12 @@ class ModelRunner:
             in_specs=(self._layer_specs(n_layers), ring_spec, ring_spec,
                       P(), P(), P()),
             out_specs=self._layer_specs(n_layers))
-        fn = jax.jit(sharded, donate_argnums=(0,))
+        # same donation policy as _get_fold: donating under an
+        # in-flight window read makes PJRT protectively copy the pool
+        if os.environ.get("VPQ_FOLD_DONATE", "0") == "1":
+            fn = jax.jit(sharded, donate_argnums=(0,))
+        else:
+            fn = jax.jit(sharded)
         self._step_fns[key] = fn
         return fn
 
